@@ -1,0 +1,24 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Mirrors the reference's test strategy of exercising its parallel assembly
+paths inside the normal suite (``test/runtests.jl:46-55``); the TPU analog
+is `xla_force_host_platform_device_count` (SURVEY.md §4, "Multi-node").
+
+NOTE: the container's sitecustomize imports jax and registers the remote
+'axon' TPU backend before any env override can land, so the platform must be
+forced through jax.config, not environment variables — otherwise every jnp
+op silently round-trips the TPU tunnel.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

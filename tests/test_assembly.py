@@ -1,0 +1,163 @@
+"""Assembly + CG substrate: mass/diffusion matrices against analytic facts,
+Poisson solves against manufactured solutions. Parity with the reference's
+diffusion-operator tests (``test/gpu/diffusion-test.jl``, SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from thunderbolt_tpu import generate_mesh, Dirichlet
+from thunderbolt_tpu.fem.dofs import DofHandler
+from thunderbolt_tpu.fem.forms import (
+    make_form_batch, element_mass, element_diffusion, element_load,
+    scatter_matrix, scatter_vector, lumped_mass,
+)
+from thunderbolt_tpu.fem.sparsity import build_sparsity, csr_to_ell
+from thunderbolt_tpu.fem.constraints import close_constraints
+from thunderbolt_tpu.solver.linear import cg, jacobi_preconditioner
+
+DTYPE = jnp.float64
+
+
+def setup_scalar(mesh, order=1, degree=None):
+    dh = DofHandler(mesh)
+    dh.add_field("u", order=order)
+    dh.close()
+    sub = dh.subdofs[0]
+    batch = make_form_batch(dh, sub, degree=degree, dtype=DTYPE)
+    pattern = build_sparsity([sub.cell_dofs], dh.ndofs)
+    return dh, sub, batch, pattern
+
+
+@pytest.mark.parametrize("celltype,dims,order", [
+    ("quad4", (4, 4), 1), ("tri3", (4, 4), 1), ("hex8", (3, 3, 3), 1),
+    ("tet4", (2, 2, 2), 1), ("quad9", (3, 3), 2), ("tri6", (3, 3), 2),
+    ("hex27", (2, 2, 2), 2), ("tet10", (2, 2, 2), 2),
+])
+def test_mass_matrix_total(celltype, dims, order):
+    """sum_ij M_ij = |Omega|, row sums > 0 (P1)."""
+    mesh = generate_mesh(celltype, dims)
+    dh, sub, batch, pattern = setup_scalar(mesh, order=order)
+    Me = element_mass(batch)
+    vals = scatter_matrix(Me, jnp.asarray(pattern.elem_maps[0]), pattern.nnz)
+    assert np.isclose(float(vals.sum()), 1.0, atol=1e-10)
+    M = csr_to_ell(pattern, vals)
+    ones = jnp.ones(dh.ndofs, DTYPE)
+    assert np.isclose(float(ones @ M.mv(ones)), 1.0, atol=1e-10)
+    # lumped mass sums to volume too
+    ml = lumped_mass(batch, dh.ndofs)
+    assert np.isclose(float(ml.sum()), 1.0, atol=1e-10)
+
+
+@pytest.mark.parametrize("celltype,dims", [
+    ("quad4", (4, 4)), ("tri3", (4, 4)), ("hex8", (2, 2, 2)),
+])
+def test_stiffness_nullspace(celltype, dims):
+    """K @ const = 0 and K is symmetric negative semidefinite."""
+    mesh = generate_mesh(celltype, dims)
+    dh, sub, batch, pattern = setup_scalar(mesh)
+    Ke = element_diffusion(batch, D=1.0)
+    vals = scatter_matrix(Ke, jnp.asarray(pattern.elem_maps[0]), pattern.nnz)
+    K = csr_to_ell(pattern, vals)
+    c = jnp.full(dh.ndofs, 3.7, DTYPE)
+    assert np.allclose(np.asarray(K.mv(c)), 0.0, atol=1e-10)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=dh.ndofs))
+    assert float(x @ K.mv(x)) <= 1e-12
+
+
+@pytest.mark.parametrize("celltype,dims,order,tol", [
+    ("quad4", (16, 16), 1, 2e-2), ("tri3", (16, 16), 1, 2e-2),
+    ("quad9", (8, 8), 2, 2e-3), ("tri6", (8, 8), 2, 2e-3),
+    ("hex8", (8, 8, 8), 1, 5e-2), ("tet10", (4, 4, 4), 2, 2e-2),
+])
+def test_poisson_manufactured(celltype, dims, order, tol):
+    """-div(grad u) = f with u = prod sin(pi x_d), Dirichlet 0."""
+    mesh = generate_mesh(celltype, dims)
+    dh, sub, batch, pattern = setup_scalar(mesh, order=order)
+    dim = mesh.sdim
+
+    def uexact(x):
+        return np.prod(np.sin(np.pi * x), axis=-1)
+
+    Ke = element_diffusion(batch, D=1.0)  # = -∫∇N⋅∇N
+    kvals = scatter_matrix(Ke, jnp.asarray(pattern.elem_maps[0]), pattern.nnz)
+    A_raw = csr_to_ell(pattern, -kvals)  # positive definite Laplacian
+    f = dim * np.pi ** 2 * np.asarray(uexact(np.asarray(batch.xq)))
+    fe = element_load(batch, jnp.asarray(f, DTYPE))
+    b = scatter_vector(fe, batch.cell_dofs, dh.ndofs)
+
+    names = ["left", "right", "bottom", "top"] if dim == 2 else \
+        ["left", "right", "front", "back", "bottom", "top"]
+    ch = close_constraints(
+        dh, [Dirichlet("u", n, 0.0) for n in names], dtype=DTYPE)
+    A = ch.apply_operator(A_raw)
+    b = ch.apply_rhs(A_raw, b)
+    Minv = jacobi_preconditioner(A.diagonal())
+    x, info = cg(A.mv, b, Minv=Minv, rtol=1e-10, atol=1e-12, maxiter=2000)
+    assert bool(info.converged)
+
+    coords = dh.field_dof_coords("u")
+    err = np.abs(np.asarray(x) - uexact(coords))
+    assert err.max() < tol, err.max()
+
+
+def test_dirichlet_inhomogeneous():
+    """Laplace with u=g on boundary reproduces the linear exact solution."""
+    mesh = generate_mesh("quad4", (8, 8))
+    dh, sub, batch, pattern = setup_scalar(mesh)
+    Ke = element_diffusion(batch, D=1.0)
+    kvals = scatter_matrix(Ke, jnp.asarray(pattern.elem_maps[0]), pattern.nnz)
+    A_raw = csr_to_ell(pattern, -kvals)
+
+    g = lambda x: 2.0 * x[:, 0] - 0.5 * x[:, 1] + 1.0
+    names = ["left", "right", "bottom", "top"]
+    ch = close_constraints(
+        dh, [Dirichlet("u", n, g) for n in names], dtype=DTYPE)
+    A = ch.apply_operator(A_raw)
+    b = ch.apply_rhs(A_raw, jnp.zeros(dh.ndofs, DTYPE))
+    x, info = cg(A.mv, b, rtol=1e-12, atol=1e-14, maxiter=2000)
+    coords = dh.field_dof_coords("u")
+    assert np.allclose(np.asarray(x), g(coords), atol=1e-8)
+
+
+def test_anisotropic_diffusion_tensor():
+    """Tensor D reproduces the quadratic exact solution's bilinear energy."""
+    mesh = generate_mesh("quad4", (6, 6))
+    dh, sub, batch, pattern = setup_scalar(mesh, degree=4)
+    D = np.array([[4.5e-5, 0.0], [0.0, 2.0e-5]])
+    Ke = element_diffusion(batch, D=jnp.asarray(D))
+    kvals = scatter_matrix(Ke, jnp.asarray(pattern.elem_maps[0]), pattern.nnz)
+    K = csr_to_ell(pattern, kvals)
+    # u = x => energy = -u'Ku = ∫ e_x . D e_x = D[0,0]*|Omega|
+    coords = dh.field_dof_coords("u")
+    ux = jnp.asarray(coords[:, 0])
+    assert np.isclose(float(-(ux @ K.mv(ux))), D[0, 0], rtol=1e-10)
+    uy = jnp.asarray(coords[:, 1])
+    assert np.isclose(float(-(uy @ K.mv(uy))), D[1, 1], rtol=1e-10)
+    assert np.isclose(float(-(ux @ K.mv(uy))), D[0, 1], atol=1e-14)
+
+
+def test_mixed_mesh_two_blocks():
+    """Two blocks (quad + tri) share nodes; assembly is conforming."""
+    from thunderbolt_tpu.mesh.mesh import Mesh, ElementBlock
+    # unit square: left half quads, right half triangles
+    mq = generate_mesh("quad4", (2, 4), (0.0, 0.0), (0.5, 1.0))
+    mt = generate_mesh("tri3", (2, 4), (0.5, 0.0), (1.0, 1.0))
+    nodes = np.vstack([mq.nodes, mt.nodes])
+    blocks = [ElementBlock("quad4", mq.blocks[0].connectivity),
+              ElementBlock("tri3", mt.blocks[0].connectivity + mq.nnodes)]
+    from thunderbolt_tpu.mesh.mesh import merge_duplicate_nodes
+    nodes, blocks, _ = merge_duplicate_nodes(nodes, blocks)
+    mesh = Mesh(nodes, blocks)
+    dh = DofHandler(mesh).add_field("u").close()
+    subs = dh.subdofs
+    assert len(subs) == 2
+    pattern = build_sparsity([s.cell_dofs for s in subs], dh.ndofs)
+    total = 0.0
+    for s, em in zip(subs, pattern.elem_maps):
+        batch = make_form_batch(dh, s, dtype=DTYPE)
+        Me = element_mass(batch)
+        total += float(scatter_matrix(Me, jnp.asarray(em), pattern.nnz).sum())
+    assert np.isclose(total, 1.0, atol=1e-10)
+    assert dh.ndofs == mesh.nnodes

@@ -1,0 +1,95 @@
+"""Mesh generators: volumes, facetsets, quadratic elevation, ring/LV.
+Parity with the reference's ``test_mesh.jl`` (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from thunderbolt_tpu import generate_mesh, generate_ring_mesh, generate_ideal_lv_mesh
+from thunderbolt_tpu.mesh.elements import get_element
+from thunderbolt_tpu.mesh.quadrature import quadrature_rule
+from thunderbolt_tpu.utils.smallmat import det_small
+import jax.numpy as jnp
+
+
+def mesh_volume(mesh):
+    vol = 0.0
+    for b in mesh.blocks:
+        el = b.element
+        qr = quadrature_rule(b.celltype, 2 * el.order)
+        dN = el.grad(qr.points)  # [nqp, nb, dim]
+        Xe = mesh.nodes[b.connectivity]  # [nc, nb, dim]
+        J = np.einsum("qbr,cbs->cqsr", dN, Xe)
+        detJ = np.asarray(det_small(jnp.asarray(J)))
+        vol += (detJ * qr.weights[None]).sum()
+    return vol
+
+
+@pytest.mark.parametrize("celltype,dims", [
+    ("line2", (4,)), ("line3", (4,)),
+    ("quad4", (3, 4)), ("quad9", (3, 4)),
+    ("tri3", (3, 4)), ("tri6", (3, 4)),
+    ("hex8", (2, 3, 2)), ("hex27", (2, 2, 2)),
+    ("tet4", (2, 3, 2)), ("tet10", (2, 2, 2)),
+])
+def test_generate_mesh_volume(celltype, dims):
+    cmin = np.zeros(len(dims))
+    cmax = np.array([1.5, 2.0, 0.5][: len(dims)])
+    mesh = generate_mesh(celltype, dims, cmin, cmax)
+    assert np.isclose(mesh_volume(mesh), np.prod(cmax - cmin), rtol=1e-10)
+    assert mesh.blocks[0].celltype == celltype
+    # positive Jacobians everywhere
+    b = mesh.blocks[0]
+    el = b.element
+    qr = quadrature_rule(celltype, 2)
+    dN = el.grad(qr.points)
+    Xe = mesh.nodes[b.connectivity]
+    J = np.einsum("qbr,cbs->cqsr", dN, Xe)
+    detJ = np.asarray(det_small(jnp.asarray(J)))
+    assert detJ.min() > 0
+
+
+@pytest.mark.parametrize("celltype,dims", [
+    ("quad4", (3, 4)), ("tri3", (3, 4)), ("hex8", (2, 3, 2)),
+    ("tet4", (2, 2, 2)), ("quad9", (3, 3)), ("hex27", (2, 2, 2)),
+])
+def test_box_facetsets(celltype, dims):
+    mesh = generate_mesh(celltype, dims)
+    dim = len(dims)
+    names = ["left", "right", "bottom", "top"] if dim == 2 else \
+        ["left", "right", "front", "back", "bottom", "top"]
+    for n in names:
+        assert n in mesh.facetsets and len(mesh.facetsets[n]) > 0, n
+    total = sum(len(v) for v in mesh.facetsets.values())
+    assert total == len(mesh.boundary_facets())
+    # left nodes all have x == 0
+    assert np.allclose(mesh.nodes[mesh.nodesets["left"], 0], 0.0)
+    assert np.allclose(mesh.nodes[mesh.nodesets["right"], 0], 1.0)
+
+
+def test_ring_mesh():
+    mesh = generate_ring_mesh(12, 3, 2, inner_radius=0.75, outer_radius=1.0,
+                              longitudinal_upper=0.2)
+    exact = np.pi * (1.0 ** 2 - 0.75 ** 2) * 0.2
+    # polygonal ring is slightly smaller than the circular one
+    assert abs(mesh_volume(mesh) - exact) / exact < 0.05
+    for n in ("Endocardium", "Epicardium", "Top", "Bottom"):
+        assert n in mesh.facetsets
+    r_endo = np.linalg.norm(mesh.nodes[mesh.nodesets["Endocardium"], :2], axis=1)
+    assert np.allclose(r_endo, 0.75, atol=1e-10)
+
+
+def test_ideal_lv_mesh():
+    mesh = generate_ideal_lv_mesh(8, 2, 4)
+    vol = mesh_volume(mesh)
+    assert vol > 0
+    for n in ("Endocardium", "Epicardium", "Base"):
+        assert n in mesh.facetsets and len(mesh.facetsets[n]) > 0
+    assert "Apex" in mesh.nodesets
+    # base facets sit at z >= longitudinal_upper
+    base_nodes = mesh.nodes_of_facetset("Base")
+    assert mesh.nodes[base_nodes, 2].min() > 0.19
+
+
+def test_boundary_facet_count_quad():
+    mesh = generate_mesh("quad4", (3, 3))
+    assert len(mesh.boundary_facets()) == 4 * 3

@@ -1,0 +1,163 @@
+"""Sparsity patterns: CSR construction + ELL layout for TPU SpMV.
+
+TPU-native replacement for Ferrite's ``allocate_matrix`` sparsity pattern and
+the reference's ``ThreadedSparseMatrixCSR`` SpMV (``src/utils.jl:167-246``):
+the pattern is built once on host (numpy), and assembly under jit scatters
+vmapped element matrices into the shared value array with ``segment_sum``
+(deterministic, race-free — replaces ``PerColorAssemblyStrategy``, see
+SURVEY.md §2.9). SpMV uses a padded ELL layout: ``y = sum_k vals[:, k] *
+x[cols[:, k]]`` — a dense gather + reduce that XLA tiles cleanly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from dataclasses import dataclass
+from typing import List, Tuple
+
+
+@dataclass
+class SparsityPattern:
+    """CSR + ELL index structure shared by all matrices on one dof layout."""
+
+    ndofs: int
+    nnz: int
+    indptr: np.ndarray       # int64 [ndofs+1]
+    indices: np.ndarray      # int32 [nnz] column of each CSR slot
+    rows: np.ndarray         # int32 [nnz] row of each CSR slot
+    ell_cols: np.ndarray     # int32 [ndofs, kmax]; padded with own row
+    ell_pos: np.ndarray      # int64 [nnz] CSR slot -> flat ELL slot
+    ell_diag_pos: np.ndarray  # int64 [ndofs] flat ELL slot of the true diagonal
+    elem_maps: List[np.ndarray]  # per registered batch: int32 [nc, nd, nd] -> CSR slot
+
+    @property
+    def kmax(self):
+        return self.ell_cols.shape[1]
+
+
+def build_sparsity(cell_dofs_list: List[np.ndarray], ndofs: int,
+                   extra_pairs: Tuple[np.ndarray, np.ndarray] = None
+                   ) -> SparsityPattern:
+    """Union sparsity of element dense blocks (+ optional extra (i,j) pairs).
+
+    cell_dofs_list: one int array [nc, nd] per element batch. The returned
+    ``elem_maps[k][c, a, b]`` is the CSR slot of (row=cell_dofs[c,a],
+    col=cell_dofs[c,b]).
+    """
+    keys = []
+    for cd in cell_dofs_list:
+        cd = np.asarray(cd, dtype=np.int64)
+        nc, nd = cd.shape
+        ii = np.repeat(cd, nd, axis=1)            # [nc, nd*nd] rows
+        jj = np.tile(cd, (1, nd))                 # [nc, nd*nd] cols
+        keys.append((ii.ravel() * ndofs + jj.ravel()))
+    if extra_pairs is not None:
+        ei, ej = extra_pairs
+        keys.append(np.asarray(ei, np.int64) * ndofs + np.asarray(ej, np.int64))
+    allkeys = np.concatenate(keys) if keys else np.zeros(0, np.int64)
+    uniq, inv = np.unique(allkeys, return_inverse=True)
+    nnz = uniq.shape[0]
+    rows = (uniq // ndofs).astype(np.int32)
+    cols = (uniq % ndofs).astype(np.int32)
+    # uniq is sorted by key = row-major -> already CSR ordered
+    indptr = np.zeros(ndofs + 1, dtype=np.int64)
+    np.add.at(indptr, rows + 1, 1)
+    indptr = np.cumsum(indptr)
+
+    elem_maps = []
+    off = 0
+    for cd in cell_dofs_list:
+        cd = np.asarray(cd, dtype=np.int64)
+        nc, nd = cd.shape
+        n = nc * nd * nd
+        elem_maps.append(inv[off:off + n].reshape(nc, nd, nd).astype(np.int32))
+        off += n
+
+    # ELL layout
+    rowlen = np.diff(indptr)
+    kmax = int(rowlen.max()) if ndofs > 0 else 0
+    ell_cols = np.repeat(np.arange(ndofs, dtype=np.int32)[:, None], kmax, axis=1)
+    slot = np.arange(nnz, dtype=np.int64) - indptr[rows]
+    ell_pos = rows.astype(np.int64) * kmax + slot
+    ell_cols.ravel()[ell_pos] = cols
+    # true-diagonal ELL slots (needed to distinguish diag from pad slots,
+    # which also carry col == row)
+    isdiag = rows == cols
+    assert isdiag.sum() == ndofs, "diagonal missing from sparsity pattern"
+    ell_diag_pos = np.zeros(ndofs, dtype=np.int64)
+    ell_diag_pos[rows[isdiag]] = ell_pos[isdiag]
+    return SparsityPattern(ndofs, nnz, indptr, indices=cols, rows=rows,
+                           ell_cols=ell_cols, ell_pos=ell_pos,
+                           ell_diag_pos=ell_diag_pos, elem_maps=elem_maps)
+
+
+# ---------------------------------------------------------------------------
+# device-side sparse matrix (values on top of a shared pattern)
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_pytree_node_class
+class ELLMatrix:
+    """Square sparse matrix in padded ELL form (device-resident).
+
+    ``vals`` aligns with ``cols``; padded slots carry value 0 and column =
+    own row. Supports fused a*A + b*B combination for the backward-Euler
+    system A = M - dt*K (``src/solver/time/euler.jl:110-116``).
+    """
+
+    def __init__(self, cols, vals, diag_pos=None):
+        self.cols = cols
+        self.vals = vals
+        self.diag_pos = diag_pos  # int [n] flat slot of true diagonal
+
+    def tree_flatten(self):
+        return (self.cols, self.vals, self.diag_pos), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def shape(self):
+        n = self.cols.shape[0]
+        return (n, n)
+
+    def mv(self, x):
+        return jnp.sum(self.vals * x[self.cols], axis=1)
+
+    def __matmul__(self, x):
+        return self.mv(x)
+
+    def diagonal(self):
+        if self.diag_pos is not None:
+            return self.vals.reshape(-1)[self.diag_pos]
+        # pad slots carry value 0, so the masked sum is still exact
+        n = self.cols.shape[0]
+        rows = jnp.arange(n, dtype=self.cols.dtype)[:, None]
+        return jnp.sum(jnp.where(self.cols == rows, self.vals, 0.0), axis=1)
+
+    def set_diagonal_where(self, mask, value):
+        """vals[diag] = value where mask (row-wise); needs diag_pos."""
+        assert self.diag_pos is not None
+        flat = self.vals.reshape(-1)
+        cur = flat[self.diag_pos]
+        flat = flat.at[self.diag_pos].set(jnp.where(mask, value, cur))
+        return ELLMatrix(self.cols, flat.reshape(self.vals.shape),
+                         self.diag_pos)
+
+    def axpby(self, a, other: "ELLMatrix", b):
+        """a*self + b*other (same pattern)."""
+        return ELLMatrix(self.cols, a * self.vals + b * other.vals,
+                         self.diag_pos)
+
+
+def csr_to_ell(pattern: SparsityPattern, csr_vals, dtype=None) -> ELLMatrix:
+    """Scatter CSR-slot values into the padded ELL value array (jit-safe)."""
+    n, k = pattern.ell_cols.shape
+    if dtype is None:
+        dtype = csr_vals.dtype
+    flat = jnp.zeros((n * k,), dtype=dtype)
+    flat = flat.at[jnp.asarray(pattern.ell_pos)].set(csr_vals.astype(dtype))
+    return ELLMatrix(jnp.asarray(pattern.ell_cols), flat.reshape(n, k),
+                     jnp.asarray(pattern.ell_diag_pos))

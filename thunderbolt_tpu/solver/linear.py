@@ -1,0 +1,111 @@
+"""Matrix-free Krylov solvers (jit-safe, shardable).
+
+Replaces the reference's LinearSolve.jl front-end (``KrylovJL_CG``,
+``KrylovJL_GMRES``, SURVEY.md §2.8). Operators are closures x -> A x; on a
+device mesh the caller supplies dot products that ``psum`` over shards
+(SURVEY.md §5.8). Preconditioning: Jacobi (diagonal) to start; the
+multigrid-extension parity lands later as a Chebyshev/AMG-lite precond.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class KrylovInfo(NamedTuple):
+    iterations: jnp.ndarray
+    residual: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def _default_dot(a, b):
+    return jnp.sum(a * b)
+
+
+def cg(A: Callable, b, x0=None, *, Minv: Optional[Callable] = None,
+       rtol=1e-5, atol=1e-6, maxiter=1000, dot=_default_dot):
+    """Preconditioned conjugate gradients on an SPD operator closure.
+
+    Matches the role of ``KrylovJL_CG(atol, rtol)`` in the reference's
+    backward-Euler heat solve (``ep01_spiral-wave.jl:128``).
+    """
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    if Minv is None:
+        Minv = lambda r: r
+
+    r0 = b - A(x0)
+    z0 = Minv(r0)
+    bnorm = jnp.sqrt(dot(b, b))
+    tol2 = jnp.maximum(atol, rtol * bnorm) ** 2
+
+    def cond(state):
+        x, r, z, p, rz, k = state
+        return (dot(r, r) > tol2) & (k < maxiter)
+
+    def body(state):
+        x, r, z, p, rz, k = state
+        Ap = A(p)
+        alpha = rz / dot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = Minv(r)
+        rz_new = dot(r, z)
+        beta = rz_new / rz
+        p = z + beta * p
+        return (x, r, z, p, rz_new, k + 1)
+
+    init = (x0, r0, z0, z0, dot(r0, z0), jnp.asarray(0, jnp.int32))
+    x, r, z, p, rz, k = jax.lax.while_loop(cond, body, init)
+    rnorm = jnp.sqrt(dot(r, r))
+    return x, KrylovInfo(k, rnorm, rnorm * rnorm <= tol2)
+
+
+def bicgstab(A: Callable, b, x0=None, *, Minv: Optional[Callable] = None,
+             rtol=1e-5, atol=1e-6, maxiter=1000, dot=_default_dot):
+    """BiCGStab for nonsymmetric operators (interface-diffusion blocks,
+    Schur complements). GMRES parity for well-conditioned systems."""
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    if Minv is None:
+        Minv = lambda r: r
+    r0 = b - A(x0)
+    rhat = r0
+    bnorm = jnp.sqrt(dot(b, b))
+    tol2 = jnp.maximum(atol, rtol * bnorm) ** 2
+    one = jnp.asarray(1.0, b.dtype)
+
+    def cond(s):
+        x, r, p, v, rho, alpha, omega, k = s
+        return (dot(r, r) > tol2) & (k < maxiter)
+
+    def body(s):
+        x, r, p, v, rho, alpha, omega, k = s
+        rho_new = dot(rhat, r)
+        beta = (rho_new / rho) * (alpha / omega)
+        p = r + beta * (p - omega * v)
+        phat = Minv(p)
+        v = A(phat)
+        alpha = rho_new / dot(rhat, v)
+        s_vec = r - alpha * v
+        shat = Minv(s_vec)
+        t = A(shat)
+        omega = dot(t, s_vec) / jnp.maximum(dot(t, t), 1e-30)
+        x = x + alpha * phat + omega * shat
+        r = s_vec - omega * t
+        return (x, r, p, v, rho_new, alpha, omega, k + 1)
+
+    init = (x0, r0, jnp.zeros_like(b), jnp.zeros_like(b), one, one, one,
+            jnp.asarray(0, jnp.int32))
+    x, r, p, v, rho, alpha, omega, k = jax.lax.while_loop(cond, body, init)
+    rnorm = jnp.sqrt(dot(r, r))
+    return x, KrylovInfo(k, rnorm, rnorm * rnorm <= tol2)
+
+
+def jacobi_preconditioner(diag):
+    inv = jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 1.0)
+    return lambda r: inv * r
