@@ -1,0 +1,77 @@
+"""Benchmark: monodomain operator-splitting steps/sec on the TPU chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Config: the reference's EP01 spiral-wave setup (FHN monodomain,
+backward-Euler CG heat + adaptive forward-Euler reaction,
+``docs/src/literate-tutorials/ep01_spiral-wave.jl``) scaled to a 256x256
+quad grid (66,049 dofs, 2 states) in f32 — the BASELINE.md primary metric
+"monodomain steps/sec".
+
+vs_baseline: the reference publishes no numbers and Julia is unavailable in
+this container (BASELINE.md), so the denominator is the documented protocol
+estimate of reference-CPU throughput on a 16-core box for this config:
+200 steps/s (CG-dominated; see BASELINE.md "self-measured" protocol — to be
+replaced by a measured number when a Julia toolchain is present).
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+REFERENCE_CPU_STEPS_PER_SEC = 200.0  # documented estimate, see module docstring
+
+
+def main():
+    import thunderbolt_tpu as tb
+
+    N = 256
+    dtype = jnp.float32
+    mesh = tb.generate_mesh("quad4", (N, N), (0.0, 0.0), (2.5, 2.5))
+    kappa = np.array([[4.5e-5, 0.0], [0.0, 2.0e-5]])
+    model = tb.MonodomainModel(
+        chi=1.0, Cm=1.0, kappa=kappa,
+        stim=tb.NoStimulationProtocol(), ion=tb.FHNModel())
+    odeform = tb.semidiscretize(
+        tb.ReactionDiffusionSplit(model),
+        tb.FiniteElementDiscretization({"phi_m": 1}, dtype=dtype), mesh)
+    u0 = tb.create_initial_condition(odeform, dtype)
+    u0 = tb.setvariable(
+        u0, odeform, "phi_m",
+        lambda x: np.where((x[:, 0] <= 1.25) & (x[:, 1] <= 1.25), 1.0, 0.0))
+    u0 = tb.setvariable(
+        u0, odeform, "s", lambda x: np.where(x[:, 1] >= 1.25, 0.1, 0.0))
+    alg = tb.LieTrotterGodunov((
+        tb.BackwardEulerSolver(rtol=1e-5, atol=1e-6, maxiter=200),
+        tb.AdaptiveForwardEulerSubstepper(reaction_threshold=0.1)))
+
+    dt = 1.0
+    integ = tb.init(odeform, alg, u0, (0.0, 1e9), dt)
+
+    # warmup: compile + 20 steps
+    integ.step(20)
+    integ.u.block_until_ready()
+
+    nsteps = 300
+    t0 = time.perf_counter()
+    integ.step(nsteps)
+    integ.u.block_until_ready()
+    wall = time.perf_counter() - t0
+
+    phi = np.asarray(tb.getvariable(integ.u, odeform, "phi_m"))
+    assert np.isfinite(phi).all(), "benchmark produced non-finite state"
+
+    steps_per_sec = nsteps / wall
+    print(json.dumps({
+        "metric": "monodomain_steps_per_sec_256x256_fhn",
+        "value": round(steps_per_sec, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / REFERENCE_CPU_STEPS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

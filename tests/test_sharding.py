@@ -1,0 +1,65 @@
+"""Multi-chip EP step on a virtual 8-device CPU mesh: sharded result must
+match the single-device result bit-for-bit up to reduction order (SURVEY.md
+§4 "multi-node" analog; GPU-vs-CPU equivalence pattern of
+``test/gpu/diffusion-test.jl:23-45``)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import thunderbolt_tpu as tb
+from thunderbolt_tpu.parallel.sharding import (
+    make_device_mesh, make_sharded_step, pad_split_function)
+
+
+def _setup(N=16, dtype=jnp.float64):
+    mesh = tb.generate_mesh("quad4", (N, N), (0.0, 0.0), (2.5, 2.5))
+    kappa = np.array([[4.5e-5, 0.0], [0.0, 2.0e-5]])
+    model = tb.MonodomainModel(chi=1.0, Cm=1.0, kappa=kappa,
+                               stim=tb.NoStimulationProtocol(),
+                               ion=tb.FHNModel())
+    odeform = tb.semidiscretize(
+        tb.ReactionDiffusionSplit(model),
+        tb.FiniteElementDiscretization({"phi_m": 1}, dtype=dtype), mesh)
+    u0 = tb.create_initial_condition(odeform, dtype)
+    u0 = tb.setvariable(u0, odeform, "phi_m",
+                        lambda x: np.where(x[:, 0] <= 1.25, 1.0, 0.0))
+    alg = tb.LieTrotterGodunov((tb.BackwardEulerSolver(rtol=1e-10, atol=1e-12),
+                                tb.ForwardEulerCellSolver(substeps=4)))
+    return odeform, u0, alg
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_matches_single_device():
+    odeform, u0, alg = _setup()
+    # single-device reference
+    integ = tb.init(odeform, alg, u0, (0.0, 10.0), dt=1.0)
+    u_ref = np.asarray(integ.solve())
+
+    dmesh = make_device_mesh(8)
+    step, place = make_sharded_step(odeform, alg, 1.0, dmesh)
+    U = place(u0)
+    for i in range(10):
+        U = step(U, jnp.asarray(float(i), U.dtype))
+    nd = odeform.functions[1].npoints
+    u_shard = np.asarray(U)[:, :nd].reshape(-1)
+    assert np.allclose(u_shard, u_ref, atol=1e-9), \
+        np.abs(u_shard - u_ref).max()
+
+
+def test_padding_transparent():
+    """pad/unpad round-trips and the padded step reproduces the unpadded."""
+    odeform, u0, alg = _setup(N=7)  # 64 dofs -> pad to multiple of 24
+    fn_p, pad, unpad = pad_split_function(odeform, 24)
+    assert np.allclose(np.asarray(unpad(pad(u0))), np.asarray(u0))
+    step = alg.make_step(odeform, 1.0)
+    step_p = alg.make_step(fn_p, 1.0)
+    u1 = np.asarray(step(u0, 0.0))
+    u1p = np.asarray(unpad(step_p(pad(u0), 0.0)))
+    assert np.allclose(u1p, u1, atol=1e-12), np.abs(u1p - u1).max()
+    # padded tail stays finite over many steps
+    up = pad(u0)
+    for i in range(20):
+        up = step_p(up, float(i))
+    assert np.isfinite(np.asarray(up)).all()

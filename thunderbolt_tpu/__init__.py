@@ -34,8 +34,48 @@ from thunderbolt_tpu.models.coefficients import (
     SpectralTensorCoefficient,
     ConductivityToDiffusivityCoefficient,
     CoordinateSystemCoefficient,
+    SpatiallyHomogeneousDataField,
     evaluate_coefficient,
     setup_coefficient_cache,
 )
+from thunderbolt_tpu.models.ep import (
+    MonodomainModel,
+    ParabolicParabolicBidomainModel,
+    ParabolicEllipticBidomainModel,
+    ReactionDiffusionSplit,
+    TransientDiffusionModel,
+    SteadyDiffusionModel,
+    NoStimulationProtocol,
+    AnalyticalTransmembraneStimulationProtocol,
+)
+from thunderbolt_tpu.models.cells import (
+    CellModel,
+    FHNModel,
+    AlievPanfilovModel,
+    PCG2019Model,
+)
+from thunderbolt_tpu.disc.semidiscretize import semidiscretize
+from thunderbolt_tpu.disc.solution_variables import (
+    create_initial_condition,
+    getvariable,
+    setvariable,
+    solution_variable,
+    solution_variable_names,
+)
+from thunderbolt_tpu.solver.time.euler import (
+    BackwardEulerSolver,
+    ForwardEulerSolver,
+    ForwardEulerCellSolver,
+    AdaptiveForwardEulerSubstepper,
+    RushLarsenCellSolver,
+)
+from thunderbolt_tpu.solver.time.splitting import LieTrotterGodunov, StrangSplitting
+from thunderbolt_tpu.solver.time.integrator import (
+    init,
+    solve,
+    Integrator,
+    TimeChoiceIterator,
+)
+from thunderbolt_tpu.io.vtk import ParaViewWriter, write_vtu
 
 __version__ = "0.1.0"

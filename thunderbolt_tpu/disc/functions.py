@@ -1,0 +1,118 @@
+"""Semidiscrete function types — the lowered, device-ready problems.
+
+Parity: ``src/modeling/functions.jl`` — ``AffineODEFunction`` (M du/dt = K u
++ f, ``:79``), ``AffineSteadyStateFunction`` (``:90``),
+``PointwiseODEFunction`` (``:46``), ``NullFunction`` (``:35``), and the
+``GenericSplitFunction`` of OrdinaryDiffEqOperatorSplitting
+(``src/solver/time/integrator/operatorsplitting-interface.jl``).
+
+TPU-native state layout: one flat vector per problem. For the
+reaction-diffusion split the layout is SoA ("StateBlockedLayout",
+``src/modeling/solution_variables.jl:33-67``): ``u.reshape(nstates, nphi)``,
+and the transmembrane-potential block *is* the heat subproblem's solution —
+the reference's overlapping-index-ranges trick (``src/discretization/
+fem.jl:399-402,532-534``) expressed as a slice instead of a view.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from thunderbolt_tpu.fem.sparsity import ELLMatrix, SparsityPattern
+from thunderbolt_tpu.fem.dofs import DofHandler
+from thunderbolt_tpu.models.cells.base import CellModel
+
+
+@dataclass(frozen=True)
+class VariableInfo:
+    """Named view descriptor into the flat solution vector.
+
+    Parity: ``FieldVariable``/``LocalStateVariable`` named access
+    (``src/modeling/solution_variables.jl:334-392``)."""
+    offset: int
+    size: int
+    coords: Optional[np.ndarray] = None  # [size, sdim] dof locations
+
+    @property
+    def slice(self):
+        return slice(self.offset, self.offset + self.size)
+
+
+@dataclass
+class AffineODEFunction:
+    """M du/dt = K u + f(t) on one scalar FEM field."""
+    dh: DofHandler
+    field: str
+    pattern: SparsityPattern
+    M: ELLMatrix
+    K: ELLMatrix
+    source: Optional[Callable] = None       # t -> rhs vector (jit-traceable)
+    lumped_mass: Optional[Any] = None       # [n] row-sum mass (explicit path)
+    constraints: Optional[Any] = None
+
+    @property
+    def solution_size(self):
+        return self.dh.fields[self.field].ndofs
+
+    def variables(self) -> Dict[str, VariableInfo]:
+        fi = self.dh.fields[self.field]
+        return {self.field: VariableInfo(0, fi.ndofs, fi.entity_coords)}
+
+
+@dataclass
+class AffineSteadyStateFunction:
+    """0 = K u + f with constraints (``functions.jl:90``)."""
+    dh: DofHandler
+    field: str
+    pattern: SparsityPattern
+    K: ELLMatrix
+    rhs: Any
+    constraints: Any
+
+
+@dataclass
+class PointwiseODEFunction:
+    """npoints independent ODE systems du/dt = g(u, x, t), SoA layout.
+
+    Parity: ``PointwiseODEFunction`` (``functions.jl:46``) + the pointwise
+    solver kernels (``src/solver/time/partitioned_solver.jl``)."""
+    ion: CellModel
+    npoints: int
+    x: Optional[Any] = None          # [npoints, xdim] cell-model coordinates
+    dof_coords: Optional[np.ndarray] = None   # physical coords (for IC/IO)
+
+    @property
+    def solution_size(self):
+        return self.ion.nstates * self.npoints
+
+    def reshape(self, u):
+        return u.reshape(self.ion.nstates, self.npoints)
+
+
+@dataclass
+class NullFunction:
+    """Placeholder subproblem (``functions.jl:35``)."""
+    solution_size: int = 0
+
+
+@dataclass
+class GenericSplitFunction:
+    """An ordered tuple of subproblems sharing one flat solution vector.
+
+    functions[i] owns `ranges[i]` (a slice of the parent vector); ranges may
+    overlap — that is the point (fem.jl:532-534).
+    """
+    functions: Tuple
+    ranges: Tuple
+    variables_map: Dict[str, VariableInfo] = dfield(default_factory=dict)
+
+    @property
+    def solution_size(self):
+        return max(r.stop for r in self.ranges)
+
+    def variables(self):
+        return self.variables_map

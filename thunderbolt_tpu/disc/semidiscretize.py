@@ -1,0 +1,219 @@
+"""semidiscretize: lower a symbolic model to device-ready functions.
+
+Parity: the single generic entry point ``semidiscretize(model, disc, mesh)``
+(``src/discretization/interface.jl:1-34``) with the per-model-class methods
+of ``src/discretization/fem.jl``:
+
+* transient diffusion -> ``AffineODEFunction`` (``fem.jl:170-196``),
+* steady diffusion (``fem.jl:300,325``),
+* ``ReactionDiffusionSplit{MonodomainModel}`` -> split of (heat, pointwise
+  cell ODEs) with **overlapping** solution ranges — the phi block of the SoA
+  ionic state *is* the heat unknown (``fem.jl:371-419``, overlap note
+  ``:532-534``), conductivities folded as kappa/(Cm*chi) (``fem.jl:415``).
+
+Everything returned is setup-time-composed: static sparsity, materialized
+coefficient arrays, traced-time-only closures. No per-step host work.
+"""
+
+from __future__ import annotations
+
+from functools import singledispatch
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from thunderbolt_tpu.mesh.mesh import Mesh
+from thunderbolt_tpu.fem.dofs import DofHandler
+from thunderbolt_tpu.fem.discretization import FiniteElementDiscretization
+from thunderbolt_tpu.fem.constraints import close_constraints
+from thunderbolt_tpu.fem.forms import (
+    make_form_batch, element_mass, element_diffusion, element_load,
+    scatter_matrix, scatter_vector, lumped_mass,
+)
+from thunderbolt_tpu.fem.sparsity import build_sparsity, csr_to_ell
+from thunderbolt_tpu.models.coefficients import (
+    setup_coefficient_cache, evaluate_coefficient,
+    ConductivityToDiffusivityCoefficient,
+)
+from thunderbolt_tpu.models.ep import (
+    MonodomainModel, ReactionDiffusionSplit,
+    TransientDiffusionModel, SteadyDiffusionModel,
+    NoStimulationProtocol, AnalyticalTransmembraneStimulationProtocol,
+)
+from thunderbolt_tpu.disc.functions import (
+    AffineODEFunction, AffineSteadyStateFunction, PointwiseODEFunction,
+    GenericSplitFunction, VariableInfo,
+)
+
+
+def _assemble_heat(dh: DofHandler, field: str, kappa, disc, mesh,
+                   stim_source=None):
+    """Shared lowering for scalar diffusion fields: pattern, M, K, source."""
+    dtype = disc.dtype
+    subs = dh.subdata(field)
+    pattern = build_sparsity([s.cell_dofs for s in subs], dh.ndofs)
+    batches = [make_form_batch(dh, s, degree=disc.degree_for(field),
+                               dtype=dtype) for s in subs]
+    mvals = jnp.zeros(pattern.nnz, dtype)
+    kvals = jnp.zeros(pattern.nnz, dtype)
+    mlump = jnp.zeros(dh.ndofs, dtype)
+    kappa_caches = []
+    for batch, em in zip(batches, pattern.elem_maps):
+        em = jnp.asarray(em)
+        mvals = mvals + scatter_matrix(element_mass(batch), em, pattern.nnz)
+        kc = setup_coefficient_cache(kappa, batch)
+        kappa_caches.append(kc)
+        D = evaluate_coefficient(kc, 0.0)
+        kvals = kvals + scatter_matrix(element_diffusion(batch, D), em,
+                                       pattern.nnz)
+        mlump = mlump + lumped_mass(batch, dh.ndofs)
+    M = csr_to_ell(pattern, mvals)
+    K = csr_to_ell(pattern, kvals)
+
+    source = None
+    if stim_source is not None:
+        stim_caches = [stim_source(batch) for batch in batches]
+
+        def source(t):
+            b = jnp.zeros(dh.ndofs, dtype)
+            for batch, (fq_fn,) in zip(batches, stim_caches):
+                fe = element_load(batch, fq_fn(t))
+                b = b + scatter_vector(fe, batch.cell_dofs, dh.ndofs)
+            return b
+
+    return pattern, M, K, mlump, source, batches
+
+
+@singledispatch
+def semidiscretize(model, disc: FiniteElementDiscretization, mesh: Mesh):
+    raise NotImplementedError(
+        f"semidiscretize not implemented for {type(model).__name__}")
+
+
+# ---------------------------------------------------------------------------
+
+
+@semidiscretize.register
+def _(model: TransientDiffusionModel, disc, mesh):
+    sym = model.solution_variable_symbol
+    spec = disc.field_spec(sym)
+    dh = DofHandler(mesh).add_field(sym, order=spec.order,
+                                    subdomains=spec.subdomains).close()
+    stim_source = None
+    if model.source is not None:
+        def stim_source(batch):
+            cache = setup_coefficient_cache(model.source, batch)
+            def fq(t):
+                v = evaluate_coefficient(cache, t)
+                return jnp.broadcast_to(v, (batch.ncells, batch.nqp))
+            return (fq,)
+
+    pattern, M, K, mlump, source, _ = _assemble_heat(
+        dh, sym, model.kappa, disc, mesh, stim_source)
+    ch = close_constraints(dh, disc.dbcs, dtype=disc.dtype) if disc.dbcs \
+        else None
+    return AffineODEFunction(dh=dh, field=sym, pattern=pattern, M=M, K=K,
+                             source=source, lumped_mass=mlump,
+                             constraints=ch)
+
+
+@semidiscretize.register
+def _(model: SteadyDiffusionModel, disc, mesh):
+    sym = model.solution_variable_symbol
+    spec = disc.field_spec(sym)
+    dh = DofHandler(mesh).add_field(sym, order=spec.order,
+                                    subdomains=spec.subdomains).close()
+    stim_source = None
+    if model.source is not None:
+        def stim_source(batch):
+            cache = setup_coefficient_cache(model.source, batch)
+            def fq(t):
+                v = evaluate_coefficient(cache, t)
+                return jnp.broadcast_to(v, (batch.ncells, batch.nqp))
+            return (fq,)
+    pattern, M, K, mlump, source, _ = _assemble_heat(
+        dh, sym, model.kappa, disc, mesh, stim_source)
+    ch = close_constraints(dh, disc.dbcs, dtype=disc.dtype)
+    rhs = source(0.0) if source is not None else jnp.zeros(dh.ndofs, disc.dtype)
+    return AffineSteadyStateFunction(dh=dh, field=sym, pattern=pattern,
+                                     K=K, rhs=rhs, constraints=ch)
+
+
+# ---------------------------------------------------------------------------
+
+
+@semidiscretize.register
+def _(split: ReactionDiffusionSplit, disc, mesh):
+    model = split.model
+    if not isinstance(model, MonodomainModel):
+        raise NotImplementedError(
+            f"ReactionDiffusionSplit of {type(model).__name__}")
+
+    phisym = model.transmembrane_solution_symbol
+    ssym = model.internal_state_symbol
+    spec = disc.field_spec(phisym)
+    dh = DofHandler(mesh).add_field(phisym, order=spec.order,
+                                    subdomains=spec.subdomains).close()
+
+    # kappa / (Cm * chi) folding (fem.jl:415)
+    Dcoeff = ConductivityToDiffusivityCoefficient(model.kappa, model.Cm,
+                                                  model.chi)
+
+    stim_source = None
+    if isinstance(model.stim, AnalyticalTransmembraneStimulationProtocol):
+        stim = model.stim
+        Cm = model.Cm
+
+        def stim_source(batch):
+            cm_cache = setup_coefficient_cache(Cm, batch)
+            inv_cm = 1.0 / evaluate_coefficient(cm_cache, 0.0)
+            xq = batch.xq
+
+            def fq(t):
+                return stim.current(xq, t) * inv_cm
+            return (fq,)
+    elif not isinstance(model.stim, NoStimulationProtocol):
+        raise NotImplementedError(type(model.stim).__name__)
+
+    pattern, M, K, mlump, source, _ = _assemble_heat(
+        dh, phisym, Dcoeff, disc, mesh, stim_source)
+    heat = AffineODEFunction(dh=dh, field=phisym, pattern=pattern, M=M, K=K,
+                             source=source, lumped_mass=mlump)
+
+    # pointwise reaction at the phi dofs (nodal collocation — same dof
+    # aliasing as the reference, fem.jl:399-402)
+    fi = dh.fields[phisym]
+    nd = fi.ndofs
+    coords = fi.entity_coords
+    ion = model.ion
+    if model.cell_coordinates is None:
+        x = jnp.asarray(coords, disc.dtype)
+    elif hasattr(model.cell_coordinates, "at_dofs"):
+        x = jnp.asarray(model.cell_coordinates.at_dofs(coords), disc.dtype)
+    else:
+        x = jnp.asarray(coords, disc.dtype)
+    cells_fn = PointwiseODEFunction(ion=ion, npoints=nd, x=x,
+                                    dof_coords=coords)
+
+    # SoA layout: u.reshape(nstates, nd); heat owns the phi block.
+    p = ion.phi_index
+    nstates = ion.nstates
+    heat_range = slice(p * nd, (p + 1) * nd)
+    cell_range = slice(0, nstates * nd)
+
+    variables = {phisym: VariableInfo(p * nd, nd, coords)}
+    for i, name in enumerate(ion.state_symbols):
+        if i != p:
+            variables[name] = VariableInfo(i * nd, nd, coords)
+    non_phi = [i for i in range(nstates) if i != p]
+    if non_phi and (non_phi == list(range(min(non_phi), max(non_phi) + 1))):
+        variables.setdefault(
+            ssym, VariableInfo(min(non_phi) * nd,
+                               len(non_phi) * nd, None))
+
+    return GenericSplitFunction(
+        functions=(heat, cells_fn),
+        ranges=(heat_range, cell_range),
+        variables_map=variables,
+    )

@@ -77,7 +77,9 @@ def generate_mesh(celltype: str, dims, corner_min=None, corner_max=None) -> Mesh
     el = get_element(celltype)
     dim = el.dim
     dims = tuple(int(d) for d in np.atleast_1d(dims))
-    assert len(dims) == dim
+    if len(dims) != dim:
+        raise ValueError(
+            f"{celltype} is {dim}D but got {len(dims)} subdivision counts")
     cmin = np.zeros(dim) if corner_min is None else np.asarray(corner_min, float)
     cmax = np.ones(dim) if corner_max is None else np.asarray(corner_max, float)
 

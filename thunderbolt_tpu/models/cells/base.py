@@ -27,10 +27,12 @@ class CellModel:
     """Base class: frozen (hashable) so models are static under jit."""
 
     #: index of the transmembrane potential within the state vector
+    #: (plain class attributes, NOT dataclass fields — subclasses override
+    #: them at class level)
     phi_index = 0
     #: indices of Hodgkin-Huxley gating states (for Rush-Larsen); empty if
     #: the model does not expose gate structure.
-    gating_indices: Tuple[int, ...] = ()
+    gating_indices = ()
 
     @property
     def nstates(self) -> int:

@@ -1,0 +1,213 @@
+"""Multi-chip domain decomposition via jax.sharding.
+
+The reference is single-process shared-memory (SURVEY.md §2.9); multi-chip
+scale-out is new capability, built the TPU way (SURVEY.md §5.8): the mesh's
+dof axis is the parallel axis (the cardiac analog of data/sequence
+parallelism — millions of independent cell ODEs + row-partitioned SpMV), a
+1D ``jax.sharding.Mesh`` over axis "shard" partitions
+
+* the SoA ionic state ``[nstates, ndofs]`` along dofs (embarrassingly
+  parallel reaction kernels, zero communication),
+* the ELL matrix rows + the heat unknown (SpMV gathers remote columns —
+  GSPMD inserts the all-gather over ICI; CG dot products become psums).
+
+No NCCL/MPI layer exists — XLA collectives are the backend.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from thunderbolt_tpu.disc.functions import GenericSplitFunction, AffineODEFunction
+
+
+def make_device_mesh(n_devices: Optional[int] = None, axis: str = "shard"):
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+def pad_split_function(odeform: GenericSplitFunction, multiple: int):
+    """Pad the EP split's dof axis to a multiple (device count and/or TPU
+    lane width). Padded heat rows are identity rows decoupled from the
+    physics (M diag 1, K row 0); padded reaction points sit at the cell
+    model's rest state, evolving as isolated healthy cells. Returns
+    (padded_fn, pad_state, unpad_state); all variable descriptors are
+    rebuilt for the padded stride.
+    """
+    from thunderbolt_tpu.fem.sparsity import ELLMatrix
+    from thunderbolt_tpu.disc.functions import VariableInfo
+    import dataclasses
+
+    heat, cells = odeform.functions
+    ion = cells.ion
+    nd = cells.npoints
+    nd_pad = round_up(nd, multiple)
+    npad = nd_pad - nd
+    if npad == 0:
+        def ident(u):
+            return u
+        return odeform, ident, ident
+
+    def pad_ell(A, diag_val):
+        k = A.cols.shape[1]
+        cols = jnp.concatenate(
+            [A.cols, jnp.broadcast_to(
+                (nd + jnp.arange(npad, dtype=A.cols.dtype))[:, None],
+                (npad, k))])
+        pvals = jnp.zeros((npad, k), A.vals.dtype).at[:, 0].set(diag_val)
+        vals = jnp.concatenate([A.vals, pvals])
+        dpos = None
+        if A.diag_pos is not None:
+            extra = (nd + jnp.arange(npad, dtype=A.diag_pos.dtype)) * k
+            dpos = jnp.concatenate([A.diag_pos, extra])
+        return ELLMatrix(cols, vals, dpos)
+
+    source = heat.source
+    psource = None
+    if source is not None:
+        def psource(t):
+            return jnp.pad(source(t), (0, npad))
+
+    pch = heat.constraints
+    if pch is not None:
+        from thunderbolt_tpu.fem.constraints import ConstraintHandler
+        pch = ConstraintHandler(
+            jnp.pad(pch.free_mask, (0, npad), constant_values=True),
+            pch.cdofs, pch.cvals)
+
+    heat_p = AffineODEFunction(
+        dh=heat.dh, field=heat.field, pattern=heat.pattern,
+        M=pad_ell(heat.M, 1.0), K=pad_ell(heat.K, 0.0),
+        source=psource,
+        lumped_mass=None if heat.lumped_mass is None
+        else jnp.pad(heat.lumped_mass, (0, npad), constant_values=1.0),
+        constraints=pch,
+    )
+    xpad = None
+    if cells.x is not None:
+        xpad = jnp.concatenate(
+            [cells.x, jnp.broadcast_to(cells.x[-1:],
+                                       (npad,) + cells.x.shape[1:])])
+    cells_p = dataclasses.replace(cells, npoints=nd_pad, x=xpad)
+
+    p = ion.phi_index
+    heat_range = slice(p * nd_pad, p * nd_pad + nd_pad)
+    cell_range = slice(0, ion.nstates * nd_pad)
+    variables = {}
+    for name, vi in odeform.variables_map.items():
+        if vi.size != nd:
+            continue  # multi-block aliases are not contiguous once padded
+        blk = vi.offset // nd
+        variables[name] = VariableInfo(blk * nd_pad, nd, vi.coords)
+    fn_p = GenericSplitFunction((heat_p, cells_p), (heat_range, cell_range),
+                                variables)
+
+    rest = np.asarray(ion.default_initial_state(), dtype=np.float64)
+
+    def pad_state(u):
+        U = jnp.asarray(u).reshape(ion.nstates, nd)
+        P_ = jnp.broadcast_to(
+            jnp.asarray(rest, U.dtype)[:, None], (ion.nstates, npad))
+        return jnp.concatenate([U, P_], axis=1).reshape(-1)
+
+    def unpad_state(u):
+        U = jnp.asarray(u).reshape(ion.nstates, nd_pad)
+        return U[:, :nd].reshape(-1)
+
+    return fn_p, pad_state, unpad_state
+
+
+def shard_split_function(odeform: GenericSplitFunction, mesh: Mesh,
+                         axis: str = "shard") -> GenericSplitFunction:
+    """Place the heat operator's row-partitioned arrays on the device mesh.
+
+    ELL rows, lumped mass and the diagonal follow the dof partition; shape
+    tables and element batches stay replicated (they are only used at
+    assembly time, which already happened).
+    """
+    heat, cells = odeform.functions
+    row_sharded = NamedSharding(mesh, P(axis, None))
+    vec_sharded = NamedSharding(mesh, P(axis))
+
+    def shard_ell(A):
+        from thunderbolt_tpu.fem.sparsity import ELLMatrix
+        return ELLMatrix(
+            jax.device_put(A.cols, row_sharded),
+            jax.device_put(A.vals, row_sharded),
+            None if A.diag_pos is None
+            else jax.device_put(A.diag_pos, vec_sharded),
+        )
+
+    heat_sharded = AffineODEFunction(
+        dh=heat.dh, field=heat.field, pattern=heat.pattern,
+        M=shard_ell(heat.M), K=shard_ell(heat.K),
+        source=heat.source,
+        lumped_mass=None if heat.lumped_mass is None
+        else jax.device_put(heat.lumped_mass, vec_sharded),
+        constraints=heat.constraints,
+    )
+    import dataclasses
+    cells_sharded = dataclasses.replace(
+        cells, x=None if cells.x is None
+        else jax.device_put(cells.x, vec_sharded))
+    return GenericSplitFunction(
+        functions=(heat_sharded, cells_sharded),
+        ranges=odeform.ranges, variables_map=odeform.variables_map)
+
+
+def shard_state(u, odeform: GenericSplitFunction, mesh: Mesh,
+                axis: str = "shard"):
+    """Shard the SoA state [nstates, ndofs] along the dof axis. The sharded
+    hot path keeps the state 2D at program boundaries (the flat-vector view
+    is a single-chip convenience)."""
+    cells = odeform.functions[1]
+    U = jnp.asarray(u).reshape(cells.ion.nstates, cells.npoints)
+    return jax.device_put(U, NamedSharding(mesh, P(None, axis)))
+
+
+def make_sharded_step(odeform: GenericSplitFunction, alg, dt, mesh: Mesh,
+                      axis: str = "shard"):
+    """jit the reaction-diffusion split step on the device mesh.
+
+    Supports the 2-child EP split (heat, pointwise cells). The state is the
+    SoA block [nstates, nd] sharded P(None, axis); the heat sub-step slices
+    the phi row (P(axis)), its SpMV all-gathers remote columns over ICI and
+    the CG dots psum; the reaction sub-step is communication-free.
+
+    Returns (step, place): ``place(u_flat_or_2d)`` shards a state,
+    ``step(U, t) -> U`` advances one dt.
+    """
+    n_devices = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    fn_p, pad_state, unpad_state = pad_split_function(odeform, n_devices)
+    fn = shard_split_function(fn_p, mesh, axis)
+    heat_s, cells_s = fn.functions
+    ion = cells_s.ion
+    p = ion.phi_index
+    heat_step = alg.algorithms[0].make_step(heat_s, dt)
+    cell_step = alg.algorithms[1].make_step(cells_s, dt)
+
+    def step(U, t):
+        phi = heat_step(U[p], t)
+        U = U.at[p].set(phi)
+        u = cell_step(U.reshape(-1), t)
+        return u.reshape(ion.nstates, cells_s.npoints)
+
+    state_sharding = NamedSharding(mesh, P(None, axis))
+    jstep = jax.jit(step, in_shardings=(state_sharding, None),
+                    out_shardings=state_sharding)
+
+    def place(u):
+        return shard_state(pad_state(u), fn_p, mesh, axis)
+
+    return jstep, place

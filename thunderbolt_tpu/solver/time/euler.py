@@ -1,0 +1,178 @@
+"""First-order time steppers: backward Euler (heat) and pointwise cell
+solvers (forward Euler / adaptive substepping / Rush-Larsen).
+
+Parity: ``BackwardEulerSolver`` with its A = M - dt*K stage re-formed only
+when dt changes (``src/solver/time/euler.jl:4-179``), and
+``ForwardEulerCellSolver`` / ``AdaptiveForwardEulerSubstepper``
+(``src/solver/time/partitioned_solver.jl:57-324``).
+
+TPU-native design: a solver is a *factory* — ``make_step(fn, dt)`` composes
+a jit-safe ``step(u, t) -> u`` closure at setup time. dt is static per
+compiled step (re-making on dt change mirrors the reference's cheap A
+re-forming, euler.jl:110-116). Pointwise kernels are fused SoA array ops —
+per-point adaptivity becomes compute-both-and-select, which on the VPU is
+cheaper than divergent control flow.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from thunderbolt_tpu.disc.functions import AffineODEFunction, PointwiseODEFunction
+from thunderbolt_tpu.solver.linear import cg, jacobi_preconditioner
+
+
+@dataclass(frozen=True)
+class BackwardEulerSolver:
+    """(M - dt K) u_{n+1} = M u_n + dt f(t_{n+1}); CG inner solve.
+
+    Parity: ``BackwardEulerSolver`` + ``perform_backward_euler_step!``
+    (``euler.jl:4-179``); the inner solver spec mirrors
+    ``KrylovJL_CG(atol, rtol)`` (``ep01_spiral-wave.jl:128``)."""
+
+    rtol: float = 1e-5
+    atol: float = 1e-6
+    maxiter: int = 500
+    preconditioner: str = "jacobi"
+
+    def make_step(self, fn: AffineODEFunction, dt):
+        A_raw = fn.M.axpby(1.0, fn.K, -dt)
+        ch = fn.constraints
+        A = ch.apply_operator(A_raw) if ch is not None else A_raw
+        Minv = jacobi_preconditioner(A.diagonal()) \
+            if self.preconditioner == "jacobi" else None
+        source = fn.source
+
+        def step(u, t):
+            b = fn.M.mv(u)
+            if source is not None:
+                b = b + dt * source(t + dt)
+            if ch is not None:
+                b = ch.apply_rhs(A_raw, b)
+            x, info = cg(A.mv, b, x0=u, Minv=Minv, rtol=self.rtol,
+                         atol=self.atol, maxiter=self.maxiter)
+            return x
+
+        return step
+
+
+@dataclass(frozen=True)
+class ForwardEulerSolver:
+    """Explicit heat step with row-sum lumped mass:
+    u += dt * (K u + f) / m_lumped."""
+
+    def make_step(self, fn: AffineODEFunction, dt):
+        ml = fn.lumped_mass
+        source = fn.source
+
+        def step(u, t):
+            r = fn.K.mv(u)
+            if source is not None:
+                r = r + source(t)
+            return u + dt * r / ml
+
+        return step
+
+
+# ---------------------------------------------------------------------------
+# pointwise (cell-ODE) solvers
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class ForwardEulerCellSolver:
+    """Fixed-substep explicit Euler on the SoA cell-state block.
+
+    Parity: ``ForwardEulerCellSolver`` (``partitioned_solver.jl:57``)."""
+
+    substeps: int = 1
+
+    def make_step(self, fn: PointwiseODEFunction, dt):
+        ion, x, n = fn.ion, fn.x, self.substeps
+        h = dt / n
+
+        def step(u, t):
+            U = fn.reshape(u)
+
+            def body(i, U):
+                return U + h * ion.rhs(U, x, t + i * h)
+
+            U = jax.lax.fori_loop(0, n, body, U)
+            return U.reshape(-1)
+
+        return step
+
+
+@dataclass(frozen=True)
+class AdaptiveForwardEulerSubstepper:
+    """Per-point adaptive substepping: points whose |dphi/dt| exceeds
+    `reaction_threshold` take `substeps` fine steps, the rest one coarse
+    step. Parity: ``AdaptiveForwardEulerSubstepper``
+    (``partitioned_solver.jl:169-234``) — the per-point branch becomes a
+    vectorized compute-both-and-select (SURVEY.md §7)."""
+
+    reaction_threshold: float = 0.1
+    substeps: int = 8
+
+    def make_step(self, fn: PointwiseODEFunction, dt):
+        ion, x = fn.ion, fn.x
+        n = self.substeps
+        h = dt / n
+        p = ion.phi_index
+
+        def step(u, t):
+            U = fn.reshape(u)
+            dU = ion.rhs(U, x, t)
+            coarse = U + dt * dU
+            need_fine = jnp.abs(dU[p]) > self.reaction_threshold  # [npoints]
+
+            def body(i, Uf):
+                # reuse the already-computed slope on the first substep
+                dUf = jax.lax.cond(i == 0, lambda: dU,
+                                   lambda: ion.rhs(Uf, x, t + i * h))
+                return Uf + h * dUf
+
+            fine = jax.lax.fori_loop(0, n, body, U)
+            out = jnp.where(need_fine[None, :], fine, coarse)
+            return out.reshape(-1)
+
+        return step
+
+
+@dataclass(frozen=True)
+class RushLarsenCellSolver:
+    """Exponential (Rush-Larsen 1978) update for Hodgkin-Huxley gates,
+    forward Euler for the rest. The reference lacks this solver; it is
+    required for the stiff ten Tusscher model at EP-benchmark step sizes
+    (BASELINE.md config 2)."""
+
+    substeps: int = 1
+
+    def make_step(self, fn: PointwiseODEFunction, dt):
+        ion, x = fn.ion, fn.x
+        gidx = jnp.asarray(ion.gating_indices)
+        if len(ion.gating_indices) == 0:
+            raise ValueError(f"{type(ion).__name__} exposes no gate structure")
+        n = self.substeps
+        h = dt / n
+
+        def substep(U, ti):
+            dU = ion.rhs(U, x, ti)
+            inf, tau = ion.gating_inf_tau(U, x, ti)
+            euler = U + h * dU
+            gates = inf + (U[gidx] - inf) * jnp.exp(-h / tau)
+            return euler.at[gidx].set(gates)
+
+        def step(u, t):
+            U = fn.reshape(u)
+
+            def body(i, U):
+                return substep(U, t + i * h)
+
+            U = jax.lax.fori_loop(0, n, body, U)
+            return U.reshape(-1)
+
+        return step
