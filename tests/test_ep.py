@@ -158,7 +158,13 @@ def test_variable_access_roundtrip():
 def test_paraview_writer(tmp_path):
     mesh, odeform, u0, alg = _spiral_setup(N=8)
     io = tb.ParaViewWriter("ep_test", directory=str(tmp_path))
-    phi = np.asarray(tb.getvariable(u0, odeform, "phi_m"))
+    # VTU point data must be in mesh-node order, not dof order
+    phi = tb.nodal_values(u0, odeform, "phi_m", mesh)
+    assert np.isfinite(phi).all()
+    # round-trip: node values match the initial condition at node coords
+    expect = np.where((mesh.nodes[:, 0] <= 1.25) & (mesh.nodes[:, 1] <= 1.25),
+                      1.0, 0.0)
+    assert np.allclose(phi, expect)
     io.store_timestep(0.0, mesh, {"phi": phi})
     io.store_timestep(1.0, mesh, {"phi": phi * 0.5})
     io.finalize()

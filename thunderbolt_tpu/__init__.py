@@ -53,6 +53,10 @@ from thunderbolt_tpu.models.cells import (
     FHNModel,
     AlievPanfilovModel,
     PCG2019Model,
+    TenTusscherPanfilov2006Model,
+    TenTusscherPanfilov2006EpiModel,
+    TenTusscherPanfilov2006EndoModel,
+    TenTusscherPanfilov2006MModel,
 )
 from thunderbolt_tpu.disc.semidiscretize import semidiscretize
 from thunderbolt_tpu.disc.solution_variables import (
@@ -61,6 +65,7 @@ from thunderbolt_tpu.disc.solution_variables import (
     setvariable,
     solution_variable,
     solution_variable_names,
+    nodal_values,
 )
 from thunderbolt_tpu.solver.time.euler import (
     BackwardEulerSolver,

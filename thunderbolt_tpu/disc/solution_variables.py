@@ -45,6 +45,37 @@ def getvariable(u, fn, name):
     return u[vi.slice]
 
 
+def nodal_values(u, fn, name, mesh, fill=np.nan):
+    """Reorder a named variable from dof-entity order to mesh-node order
+    (for VTU point data / probes). Nodes without a dof get `fill`."""
+    vi = solution_variable(fn, name)
+    # find the owning field's entity->node map
+    for f in _leaf_functions(fn):
+        dh = getattr(f, "dh", None)
+        if dh is not None and name in dh.fields:
+            fi = dh.fields[name]
+            break
+    else:
+        # fall back: split functions publish phi under the model's symbol;
+        # use the heat child's (single) field
+        heat = _leaf_functions(fn)[0]
+        fi = heat.dh.fields[heat.field]
+    vals = np.asarray(u[vi.slice])
+    out = np.full(mesh.nnodes, fill, dtype=vals.dtype)
+    mask = fi.entity_nodes >= 0
+    out[fi.entity_nodes[mask]] = vals[mask]
+    return out
+
+
+def _leaf_functions(fn):
+    if isinstance(fn, GenericSplitFunction):
+        out = []
+        for f in fn.functions:
+            out.extend(_leaf_functions(f))
+        return out
+    return [fn]
+
+
 def setvariable(u, fn, name, value: Union[Callable, float, np.ndarray]):
     """Set a named variable; `value` may be an array, a scalar, or a callable
     f(x[n, sdim]) -> [n] evaluated at the variable's dof coordinates."""

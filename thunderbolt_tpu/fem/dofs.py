@@ -48,6 +48,7 @@ class FieldInfo:
     offset: int = 0          # first global dof of this field
     nentities: int = 0       # entities carrying dofs
     entity_coords: np.ndarray = None  # [nentities, sdim] representative coords
+    entity_nodes: np.ndarray = None   # [nentities] mesh node id or -1
 
     @property
     def ndofs(self):
@@ -182,6 +183,12 @@ class DofHandler:
             fi.nentities = len(entity_ids)
             fi.entity_coords = (np.vstack(entity_coords)
                                 if entity_coords else np.zeros((0, mesh.sdim)))
+            # mesh-node id of each vertex entity (-1 for edge/face/interior
+            # entities) — the dof <-> node permutation for IO and probes
+            fi.entity_nodes = np.full(fi.nentities, -1, dtype=np.int64)
+            for key, eid in entity_ids.items():
+                if key[0] == "n":
+                    fi.entity_nodes[eid] = key[1]
             offset += fi.ndofs
         self.ndofs = offset
         self._closed = True
