@@ -1,0 +1,128 @@
+"""Coordinate systems + microstructure. Parity with the reference's
+``test_coordinate_systems.jl`` (ranges/monotonicity of transmural/
+apicobasal/rotational) and ``test_microstructures.jl`` (SURVEY.md §4)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import thunderbolt_tpu as tb
+from thunderbolt_tpu.models.coordinates import (
+    CartesianCoordinateSystem, compute_lv_coordinate_system,
+    compute_midmyocardial_section_coordinate_system, solve_laplace_nodal,
+    compute_long_axis)
+from thunderbolt_tpu.models.microstructure import (
+    create_microstructure_model, OrthotropicMicrostructureModel,
+    ODB25LTMicrostructureParameters)
+from thunderbolt_tpu.models.coefficients import (
+    setup_coefficient_cache, evaluate_coefficient, SpectralTensorCoefficient)
+from thunderbolt_tpu.fem.dofs import DofHandler
+from thunderbolt_tpu.fem.forms import make_form_batch
+from thunderbolt_tpu.fem.constraints import Dirichlet
+
+
+def test_laplace_nodal_linear_profile():
+    """Laplace on a box with opposite-face BCs gives a linear profile."""
+    mesh = tb.generate_mesh("hex8", (4, 3, 3))
+    u = solve_laplace_nodal(mesh, [Dirichlet("u", "left", 0.0),
+                                   Dirichlet("u", "right", 1.0)])
+    assert np.allclose(u, mesh.nodes[:, 0], atol=1e-8)
+
+
+@pytest.fixture(scope="module")
+def ring_cs():
+    mesh = tb.generate_ring_mesh(16, 4, 3, inner_radius=0.75,
+                                 outer_radius=1.0, longitudinal_upper=0.3)
+    return mesh, compute_midmyocardial_section_coordinate_system(mesh)
+
+
+def test_ring_coordinates(ring_cs):
+    mesh, cs = ring_cs
+    r = np.linalg.norm(mesh.nodes[:, :2], axis=1)
+    # the radial Laplace solution on an annulus is logarithmic, not linear
+    t_exact = np.log(r / 0.75) / np.log(1.0 / 0.75)
+    assert np.abs(cs.nodal["transmural"] - t_exact).max() < 0.02
+    # monotone with radius
+    order = np.argsort(r)
+    assert (np.diff(cs.nodal["transmural"][order]) > -1e-6).all()
+    assert cs.nodal["apicobasal"].min() == 0.0
+    assert cs.nodal["apicobasal"].max() == 1.0
+    rot = cs.nodal["rotational"]
+    assert rot.min() >= -np.pi - 1e-9 and rot.max() <= np.pi + 1e-9
+
+
+def test_lv_coordinate_system():
+    mesh = tb.generate_ideal_lv_mesh(12, 3, 6)
+    cs = compute_lv_coordinate_system(mesh)
+    t = cs.nodal["transmural"]
+    ab = cs.nodal["apicobasal"]
+    endo = mesh.nodes_of_facetset("Endocardium")
+    epi = mesh.nodes_of_facetset("Epicardium")
+    base = mesh.nodes_of_facetset("Base")
+    assert np.allclose(t[endo], 0.0, atol=1e-8)
+    assert np.allclose(t[epi], 1.0, atol=1e-8)
+    assert (t >= -1e-6).all() and (t <= 1 + 1e-6).all()
+    assert np.allclose(ab[base], 1.0, atol=1e-8)
+    apex = mesh.nodeset("Apex")
+    assert np.allclose(ab[apex], 0.0, atol=1e-8)
+    assert (ab >= -1e-6).all() and (ab <= 1 + 1e-6).all()
+    axis, apex_pt, base_pt = compute_long_axis(mesh)
+    assert axis @ np.array([0, 0, 1.0]) > 0.99  # long axis is z
+
+
+def test_rule_based_fibers_orthonormal(ring_cs):
+    mesh, cs = ring_cs
+    micro = create_microstructure_model(
+        cs, endo_helix_angle=np.deg2rad(60.0),
+        epi_helix_angle=np.deg2rad(-60.0))
+    dh = DofHandler(mesh).add_field("u").close()
+    batch = make_form_batch(dh, dh.subdofs[0], dtype=jnp.float64)
+    basis = np.asarray(evaluate_coefficient(
+        setup_coefficient_cache(micro, batch), 0.0))
+    f, s, n = basis[..., 0, :], basis[..., 1, :], basis[..., 2, :]
+    # orthonormal frame
+    assert np.allclose(np.linalg.norm(f, axis=-1), 1.0, atol=1e-10)
+    assert np.allclose(np.linalg.norm(s, axis=-1), 1.0, atol=1e-10)
+    assert np.allclose((f * s).sum(-1), 0.0, atol=1e-10)
+    assert np.allclose((f * n).sum(-1), 0.0, atol=1e-10)
+    assert np.allclose(np.cross(f, s), n, atol=1e-10)
+    # helix: fiber z-component flips sign from endo to epi
+    xq = np.asarray(batch.xq)
+    gc = np.asarray(cs.at_qps(batch))
+    endo_mask = gc[..., 0] < 0.1
+    epi_mask = gc[..., 0] > 0.9
+    assert f[..., 2][endo_mask].mean() > 0.5     # +60 deg at endo
+    assert f[..., 2][epi_mask].mean() < -0.5     # -60 deg at epi
+    # sheet is radial-ish: points outward
+    r_hat = xq[..., :2] / np.linalg.norm(xq[..., :2], axis=-1, keepdims=True)
+    assert ((s[..., :2] * r_hat).sum(-1) > 0.9).all()
+
+
+def test_spectral_conductivity_from_fibers(ring_cs):
+    """SpectralTensorCoefficient(micro, eigvals) builds a valid SPD tensor
+    field aligned with the fibers (ep01 tutorial tip block)."""
+    mesh, cs = ring_cs
+    micro = create_microstructure_model(cs)
+    dh = DofHandler(mesh).add_field("u").close()
+    batch = make_form_batch(dh, dh.subdofs[0], dtype=jnp.float64)
+    D = np.asarray(evaluate_coefficient(setup_coefficient_cache(
+        SpectralTensorCoefficient(micro, np.array([3e-4, 1e-4, 5e-5])),
+        batch), 0.0))
+    assert D.shape == (batch.ncells, batch.nqp, 3, 3)
+    assert np.allclose(D, np.swapaxes(D, -1, -2), atol=1e-18)
+    eig = np.linalg.eigvalsh(D.reshape(-1, 3, 3))
+    assert np.allclose(np.sort(eig, axis=-1),
+                       np.sort([3e-4, 1e-4, 5e-5]), atol=1e-12)
+
+
+def test_cartesian_cs_in_monodomain():
+    """cell_coordinates plumbed through to the pointwise function."""
+    mesh = tb.generate_mesh("quad4", (4, 4))
+    model = tb.MonodomainModel(
+        chi=1.0, Cm=1.0, kappa=1e-4, stim=tb.NoStimulationProtocol(),
+        ion=tb.FHNModel(), cell_coordinates=CartesianCoordinateSystem())
+    ode = tb.semidiscretize(tb.ReactionDiffusionSplit(model),
+                            tb.FiniteElementDiscretization({"phi_m": 1}),
+                            mesh)
+    cells = ode.functions[1]
+    assert cells.x.shape == (25, 2)

@@ -58,6 +58,23 @@ from thunderbolt_tpu.models.cells import (
     TenTusscherPanfilov2006EndoModel,
     TenTusscherPanfilov2006MModel,
 )
+from thunderbolt_tpu.models.coordinates import (
+    CartesianCoordinateSystem,
+    CellIndexCoordinateSystem,
+    LVCoordinateSystem,
+    BiVCoordinateSystem,
+    compute_lv_coordinate_system,
+    compute_midmyocardial_section_coordinate_system,
+    solve_laplace_nodal,
+    compute_long_axis,
+)
+from thunderbolt_tpu.models.microstructure import (
+    OrthotropicMicrostructureModel,
+    TransverselyIsotropicMicrostructureModel,
+    AnisotropicPlanarMicrostructureModel,
+    ODB25LTMicrostructureParameters,
+    create_microstructure_model,
+)
 from thunderbolt_tpu.disc.semidiscretize import semidiscretize
 from thunderbolt_tpu.disc.solution_variables import (
     create_initial_condition,

@@ -1,0 +1,225 @@
+"""Generalized coordinate systems: Cartesian, LV, BiV, cell-index.
+
+Parity: ``src/modeling/core/coordinate_systems.jl`` —
+``CartesianCoordinateSystem`` (``:43``), ``LVCoordinateSystem``/
+``LVCoordinate`` (transmural/apicobasal/rotational, ``:89,111``),
+``CellIndexCoordinateSystem`` (``:74``), ``BiVCoordinateSystem`` (``:1079``),
+built by solving Laplace problems on the mesh (``_assemble_laplacian``
+``:145``, ``compute_lv_coordinate_system`` ``:886``,
+``apicobasal_from_laplace`` ``:255``).
+
+TPU-native: the Laplace solves reuse the assembled ELL operator + CG; the
+resulting coordinates are *nodal arrays* interpolated into quadrature points
+with the geometric shape tables (a FieldCoefficient in the reference's
+vocabulary).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+from typing import Dict, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from thunderbolt_tpu.mesh.mesh import Mesh
+from thunderbolt_tpu.fem.dofs import DofHandler
+from thunderbolt_tpu.fem.forms import (
+    make_form_batch, element_diffusion, scatter_matrix)
+from thunderbolt_tpu.fem.sparsity import build_sparsity, csr_to_ell
+from thunderbolt_tpu.fem.constraints import Dirichlet, close_constraints
+from thunderbolt_tpu.solver.linear import cg, jacobi_preconditioner
+
+
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class CartesianCoordinateSystem:
+    """The identity coordinate system (``coordinate_systems.jl:43``)."""
+
+    def at_qps(self, batch):
+        return batch.xq
+
+    def at_dofs(self, coords):
+        return coords
+
+
+@dataclass(frozen=True)
+class CellIndexCoordinateSystem:
+    """Hands models the (global) cell index (``coordinate_systems.jl:74``)."""
+
+    def at_qps(self, batch):
+        nc, nqp = batch.xq.shape[:2]
+        return jnp.broadcast_to(batch.cells[:, None, None].astype(batch.xq.dtype),
+                                (nc, nqp, 1))
+
+
+class NodalCoordinateSystem:
+    """Base for coordinate systems stored as per-mesh-node arrays.
+
+    `nodal` is a dict name -> [nnodes] array; interpolation into batches
+    uses the geometric basis. Subclasses define `component_names`."""
+
+    component_names = ()
+
+    def __init__(self, mesh: Mesh, nodal: Dict[str, np.ndarray], axis=None):
+        self.mesh = mesh
+        self.nodal = {k: np.asarray(v) for k, v in nodal.items()}
+        #: apex->base unit vector (the anatomical long axis); set by builders
+        self.axis = None if axis is None else np.asarray(axis, float)
+
+    def stacked(self):
+        return np.stack([self.nodal[k] for k in self.component_names], axis=-1)
+
+    def at_qps(self, batch):
+        """[nc, nqp, ncomp] generalized coordinates at quadrature points."""
+        data = self.stacked()  # [nnodes, ncomp]
+        # gather through the *geometry* connectivity of the batch's block
+        conn = self._batch_conn(batch)
+        loc = data[conn]  # [nc, nbg, ncomp]
+        Ngeo = np.asarray(batch.Ngeo)
+        return jnp.asarray(np.einsum("qb,cbk->cqk", Ngeo, loc),
+                           batch.xq.dtype)
+
+    def _batch_conn(self, batch):
+        # locate the element block by cell ids
+        cells = np.asarray(batch.cells)
+        bi, lc0 = self.mesh.block_of_cell(int(cells[0]))
+        block = self.mesh.blocks[bi]
+        return block.connectivity[cells - block.cell_offset]
+
+    def at_dofs(self, coords):
+        """Generalized coordinates at arbitrary points given as the dof
+        coordinates — nearest-node lookup (dof sites coincide with nodes for
+        isoparametric fields)."""
+        from scipy.spatial import cKDTree  # scipy ships with the image
+        tree = cKDTree(self.mesh.nodes)
+        _, idx = tree.query(coords)
+        return self.stacked()[idx]
+
+
+class LVCoordinateSystem(NodalCoordinateSystem):
+    """(transmural, apicobasal, rotational) ventricular coordinates
+    (``coordinate_systems.jl:89``)."""
+
+    component_names = ("transmural", "apicobasal", "rotational")
+
+
+class BiVCoordinateSystem(NodalCoordinateSystem):
+    """(transmural, apicobasal, rotational, transventricular)
+    (``coordinate_systems.jl:1079``)."""
+
+    component_names = ("transmural", "apicobasal", "rotational",
+                       "transventricular")
+
+
+# ---------------------------------------------------------------------------
+# Laplace solves
+# ---------------------------------------------------------------------------
+
+
+def solve_laplace_nodal(mesh: Mesh, dbcs, order=None, rtol=1e-8,
+                        atol=1e-10) -> np.ndarray:
+    """Solve div(grad u) = 0 with Dirichlet specs; return mesh-node-ordered
+    values (the reference's ``_assemble_laplacian`` + solve,
+    ``coordinate_systems.jl:145``)."""
+    if order is None:
+        order = mesh.blocks[0].element.order
+    dh = DofHandler(mesh).add_field("u", order=order).close()
+    subs = dh.subdofs
+    pattern = build_sparsity([s.cell_dofs for s in subs], dh.ndofs)
+    kvals = jnp.zeros(pattern.nnz, jnp.float64)
+    for s, em in zip(subs, pattern.elem_maps):
+        batch = make_form_batch(dh, s, dtype=jnp.float64)
+        Ke = element_diffusion(batch, D=1.0)
+        kvals = kvals + scatter_matrix(Ke, jnp.asarray(em), pattern.nnz)
+    A_raw = csr_to_ell(pattern, -kvals)
+    ch = close_constraints(dh, dbcs, dtype=jnp.float64)
+    A = ch.apply_operator(A_raw)
+    b = ch.apply_rhs(A_raw, jnp.zeros(dh.ndofs, jnp.float64))
+    x, info = cg(A.mv, b, Minv=jacobi_preconditioner(A.diagonal()),
+                 rtol=rtol, atol=atol, maxiter=5000)
+    if not bool(info.converged):
+        raise RuntimeError(f"Laplace solve did not converge: {info}")
+    fi = dh.fields["u"]
+    out = np.full(mesh.nnodes, np.nan)
+    mask = fi.entity_nodes >= 0
+    out[fi.entity_nodes[mask]] = np.asarray(x)[mask]
+    return out
+
+
+def compute_long_axis(mesh: Mesh):
+    """Apex->base unit vector. Uses the Base facetset + Apex nodeset when
+    present (generated LV meshes), else the dominant PCA axis
+    (parity: ``src/mesh/long_axis.jl``)."""
+    if "Base" in mesh.facetsets and "Apex" in mesh.nodesets:
+        base_c = mesh.nodes[mesh.nodes_of_facetset("Base")].mean(axis=0)
+        apex = mesh.nodes[mesh.nodeset("Apex")].mean(axis=0)
+        v = base_c - apex
+        return v / np.linalg.norm(v), apex, base_c
+    x = mesh.nodes - mesh.nodes.mean(axis=0)
+    _, _, Vt = np.linalg.svd(x, full_matrices=False)
+    v = Vt[0]
+    lo = mesh.nodes[np.argmin(mesh.nodes @ v)]
+    hi = mesh.nodes[np.argmax(mesh.nodes @ v)]
+    return v, lo, hi
+
+
+def compute_lv_coordinate_system(mesh: Mesh) -> LVCoordinateSystem:
+    """LV coordinates on a mesh with Endocardium/Epicardium/Base facetsets
+    (``compute_lv_coordinate_system``, ``coordinate_systems.jl:886``):
+
+    * transmural: Laplace, endo=0 -> epi=1;
+    * apicobasal: Laplace, base=1, apex=0 (``apicobasal_from_laplace:255``);
+    * rotational: atan2 angle about the long axis in [-pi, pi].
+    """
+    transmural = solve_laplace_nodal(mesh, [
+        Dirichlet("u", "Endocardium", 0.0),
+        Dirichlet("u", "Epicardium", 1.0),
+    ])
+    apex_bc = ("Apex" if "Apex" in mesh.nodesets else None)
+    dbcs = [Dirichlet("u", "Base", 1.0)]
+    if apex_bc:
+        dbcs.append(Dirichlet("u", apex_bc, 0.0))
+    apicobasal = solve_laplace_nodal(mesh, dbcs)
+    if not apex_bc:
+        # normalize so min is 0 (pure-base Laplace is constant otherwise)
+        lo, hi = np.nanmin(apicobasal), np.nanmax(apicobasal)
+        apicobasal = (apicobasal - lo) / max(hi - lo, 1e-30)
+
+    axis, apex, base_c = compute_long_axis(mesh)
+    rel = mesh.nodes - apex
+    # orthonormal frame (e1, e2) spanning the short-axis plane
+    tmp = np.array([1.0, 0.0, 0.0])
+    if abs(axis @ tmp) > 0.9:
+        tmp = np.array([0.0, 1.0, 0.0])
+    e1 = np.cross(axis, tmp)
+    e1 /= np.linalg.norm(e1)
+    e2 = np.cross(axis, e1)
+    rotational = np.arctan2(rel @ e2, rel @ e1)
+    return LVCoordinateSystem(mesh, {
+        "transmural": transmural,
+        "apicobasal": apicobasal,
+        "rotational": rotational,
+    }, axis=axis)
+
+
+def compute_midmyocardial_section_coordinate_system(mesh: Mesh) \
+        -> LVCoordinateSystem:
+    """Ring/section variant (``coordinate_systems.jl:971``): transmural via
+    endo/epi Laplace, apicobasal normalized along the ring axis (z),
+    rotational about z."""
+    transmural = solve_laplace_nodal(mesh, [
+        Dirichlet("u", "Endocardium", 0.0),
+        Dirichlet("u", "Epicardium", 1.0),
+    ])
+    z = mesh.nodes[:, 2]
+    lo, hi = z.min(), z.max()
+    apicobasal = (z - lo) / max(hi - lo, 1e-30)
+    rotational = np.arctan2(mesh.nodes[:, 1], mesh.nodes[:, 0])
+    return LVCoordinateSystem(mesh, {
+        "transmural": transmural,
+        "apicobasal": apicobasal,
+        "rotational": rotational,
+    }, axis=np.array([0.0, 0.0, 1.0]))

@@ -1,0 +1,157 @@
+"""Cardiac microstructure: fiber / sheet / normal direction fields.
+
+Parity: ``src/modeling/microstructure.jl`` —
+``OrthotropicMicrostructureModel`` (``:140``),
+``TransverselyIsotropicMicrostructureModel``,
+``AnisotropicPlanarMicrostructureModel`` (``:28-156``),
+``ODB25LTMicrostructureParameters`` + ``create_microstructure_model``
+(helix-angle rule, ``:192,280``) — the rule-based fiber architecture of
+Ogiermann/Dual-Balzani-style idealized ventricles: the fiber direction is
+the circumferential direction rotated toward the long axis by a helix angle
+interpolated transmurally between endo and epi values; the sheet direction
+is (approximately) transmural; normal completes the frame.
+
+TPU-native: a microstructure model is a Coefficient producing the
+orthonormal eigenbasis [..., 3, 3] at quadrature points, materialized at
+setup; ``SpectralTensorCoefficient`` then folds it with eigenvalues into
+conductivity/stiffness tensors.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+import jax.numpy as jnp
+
+from thunderbolt_tpu.models.coefficients import Coefficient, _EvalCache
+from thunderbolt_tpu.models.coordinates import (
+    NodalCoordinateSystem, compute_long_axis)
+
+
+def _normalize(v, axis=-1):
+    return v / np.maximum(np.linalg.norm(v, axis=axis, keepdims=True), 1e-30)
+
+
+@dataclass(frozen=True)
+class OrthotropicMicrostructureModel(Coefficient):
+    """Full (f, s, n) frame; each direction is a coefficient-like object
+    yielding [..., 3] (``microstructure.jl:140``). Evaluates to the stacked
+    eigenbasis [..., 3, 3] (rows f, s, n)."""
+    fiber: Any
+    sheet: Any
+    normal: Any
+
+    def setup(self, batch):
+        from thunderbolt_tpu.models.coefficients import (
+            setup_coefficient_cache, evaluate_coefficient)
+        f = evaluate_coefficient(setup_coefficient_cache(self.fiber, batch), 0.0)
+        s = evaluate_coefficient(setup_coefficient_cache(self.sheet, batch), 0.0)
+        n = evaluate_coefficient(setup_coefficient_cache(self.normal, batch), 0.0)
+        basis = jnp.stack(jnp.broadcast_arrays(f, s, n), axis=-2)
+        return _EvalCache("data" if basis.ndim > 2 else "const", basis)
+
+
+@dataclass(frozen=True)
+class TransverselyIsotropicMicrostructureModel(Coefficient):
+    """Only the fiber direction (``microstructure.jl:28``); evaluates to
+    [..., 1, 3]."""
+    fiber: Any
+
+    def setup(self, batch):
+        from thunderbolt_tpu.models.coefficients import (
+            setup_coefficient_cache, evaluate_coefficient)
+        f = evaluate_coefficient(setup_coefficient_cache(self.fiber, batch), 0.0)
+        basis = f[..., None, :]
+        return _EvalCache("data" if basis.ndim > 2 else "const", basis)
+
+
+@dataclass(frozen=True)
+class AnisotropicPlanarMicrostructureModel(Coefficient):
+    """(f, s) without normal (``microstructure.jl:80``); [..., 2, 3]."""
+    fiber: Any
+    sheet: Any
+
+    def setup(self, batch):
+        from thunderbolt_tpu.models.coefficients import (
+            setup_coefficient_cache, evaluate_coefficient)
+        f = evaluate_coefficient(setup_coefficient_cache(self.fiber, batch), 0.0)
+        s = evaluate_coefficient(setup_coefficient_cache(self.sheet, batch), 0.0)
+        basis = jnp.stack(jnp.broadcast_arrays(f, s), axis=-2)
+        return _EvalCache("data" if basis.ndim > 2 else "const", basis)
+
+
+@dataclass(frozen=True)
+class ODB25LTMicrostructureParameters:
+    """Helix-angle rule parameters (``microstructure.jl:192``)."""
+    endo_helix_angle: float = np.deg2rad(60.0)
+    epi_helix_angle: float = np.deg2rad(-60.0)
+    endo_transversal_angle: float = 0.0
+    epi_transversal_angle: float = 0.0
+    sheetlet_pseudo_angle: float = 0.0
+    make_endo_epi_arcs: bool = False
+
+
+def _rule_based_frame(x, transmural, axis, params):
+    """Compute (f, s, n) at points x given transmural coordinate.
+
+    Frame construction: radial r = transmural gradient proxy (from the
+    short-axis projection), circumferential c = axis x r, fiber = c rotated
+    by helix angle alpha(t) toward the axis, sheet = r, n = f x s.
+    """
+    t = np.clip(transmural, 0.0, 1.0)
+    axis = np.asarray(axis, dtype=np.float64)
+    rel = x - (x @ axis)[:, None] * axis[None]
+    r = _normalize(rel)                       # radial (short-axis plane)
+    c = _normalize(np.cross(axis[None], r))   # circumferential
+    alpha = (params.endo_helix_angle
+             + (params.epi_helix_angle - params.endo_helix_angle) * t)
+    beta = (params.endo_transversal_angle
+            + (params.epi_transversal_angle
+               - params.endo_transversal_angle) * t)
+    f = (np.cos(alpha)[:, None] * c
+         + np.sin(alpha)[:, None] * axis[None])
+    if np.any(beta != 0.0):
+        f = _normalize(np.cos(beta)[:, None] * f
+                       + np.sin(beta)[:, None] * r)
+    s = r
+    # re-orthogonalize the sheet against the fiber
+    s = _normalize(s - (np.sum(s * f, axis=-1, keepdims=True)) * f)
+    n = np.cross(f, s)
+    return f, s, n
+
+
+@dataclass(frozen=True)
+class RuleBasedMicrostructure(Coefficient):
+    """Coefficient form of the helix-angle rule: evaluates (f, s, n) at
+    quadrature points from a coordinate system's transmural coordinate.
+
+    Parity: ``create_microstructure_model`` (``microstructure.jl:280``)."""
+    coordinate_system: Any
+    params: ODB25LTMicrostructureParameters
+
+    def setup(self, batch):
+        cs = self.coordinate_system
+        gc = np.asarray(cs.at_qps(batch))     # [nc, nqp, >=1] (transmural first)
+        nc, nqp = gc.shape[:2]
+        xq = np.asarray(batch.xq).reshape(-1, 3)
+        axis = getattr(cs, "axis", None)
+        if axis is None:
+            axis, _, _ = compute_long_axis(cs.mesh)
+        f, s, n = _rule_based_frame(xq, gc[..., 0].reshape(-1), axis,
+                                    self.params)
+        basis = np.stack([f, s, n], axis=-2).reshape(nc, nqp, 3, 3)
+        return _EvalCache("data", jnp.asarray(basis, batch.xq.dtype))
+
+
+def create_microstructure_model(coordinate_system,
+                                params: ODB25LTMicrostructureParameters = None,
+                                **kw) -> RuleBasedMicrostructure:
+    """Build the rule-based (f, s, n) microstructure coefficient.
+
+    kwargs accept the reference's keyword API: endo_helix_angle,
+    epi_helix_angle, ... (``microstructure.jl:280``)."""
+    if params is None:
+        params = ODB25LTMicrostructureParameters(**kw)
+    return RuleBasedMicrostructure(coordinate_system, params)
