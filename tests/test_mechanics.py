@@ -1,0 +1,221 @@
+"""Nonlinear solid mechanics: energy catalog sanity, FD-consistent
+Jacobians, patch tests, weak BCs, active contraction.
+Parity with the reference's ``test_elements.jl`` (FD checks of K_e vs r_e)
+and ``test/integration/test_solid_mechanics.jl`` material x solver matrix."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import thunderbolt_tpu as tb
+
+DT = jnp.float64
+
+ENERGIES = [
+    tb.NeoHookeanModel(),
+    tb.BioNeoHookean(),
+    tb.HolzapfelOgden2009Model(),
+    tb.Guccione1991PassiveModel(),
+    tb.LinYinPassiveModel(),
+    tb.HumphreyStrumpfYinModel(),
+    tb.TransverseIsotopicNeoHookeanModel(),
+]
+
+FRAME = jnp.eye(3, dtype=DT)
+
+
+@pytest.mark.parametrize("energy", ENERGIES, ids=lambda e: type(e).__name__)
+def test_stress_free_reference(energy):
+    """P(I) = 0 and psi(I) = 0 for every passive energy."""
+    F0 = jnp.eye(3, dtype=DT)
+    psi0 = energy.psi(F0, FRAME)
+    assert np.isfinite(float(psi0))  # Guccione carries a C0/2 offset
+    P0 = jax.grad(lambda F: energy.psi(F, FRAME))(F0)
+    assert np.abs(np.asarray(P0)).max() < 1e-10, P0
+
+
+STABLE_AT_REST = [
+    tb.NeoHookeanModel(),
+    tb.BioNeoHookean(),
+    tb.HolzapfelOgden2009Model(),
+    tb.Guccione1991PassiveModel(),
+]
+# LinYin / HumphreyStrumpfYin are Fung polynomials that are NOT positive
+# definite at F = I, and TransverseIsotopicNeoHookean has power exponents
+# > 2 (zero deviatoric curvature at rest) — properties of the published
+# formulas, shared with the reference.
+
+
+@pytest.mark.parametrize("energy", STABLE_AT_REST, ids=lambda e: type(e).__name__)
+def test_tangent_symmetric_and_stable(energy):
+    """The tangent at the reference state is symmetric (hyperelastic) and
+    positive semidefinite up to the 3 rotational zero modes (material frame
+    indifference makes rotations zero-curvature directions at F = I)."""
+    F = jnp.eye(3, dtype=DT)
+    A = jax.jacfwd(jax.grad(lambda Fad: energy.psi(Fad, FRAME)))(F)
+    A = np.asarray(A).reshape(9, 9)
+    assert np.allclose(A, A.T, atol=1e-8 * max(1.0, np.abs(A).max()))
+    eig = np.linalg.eigvalsh(0.5 * (A + A.T))
+    assert eig.min() > -1e-8 * max(1.0, abs(eig).max()), eig
+    # at most 3 (rotational) zero modes; the rest strictly positive
+    scale = abs(eig).max()
+    assert (eig > 1e-8 * scale).sum() >= 6, eig
+
+
+def _cube_fn(material=None, wbcs=(), dbcs=(), n=(2, 2, 2), order=1):
+    mesh = tb.generate_mesh("hex8", n)
+    if material is None:
+        material = tb.PK1Model(tb.NeoHookeanModel(mu=1.0, lam=1.0))
+    model = tb.QuasiStaticModel("d", material, tuple(wbcs))
+    disc = tb.FiniteElementDiscretization(
+        {"d": tb.FieldSpec(order=order, ncomponents=3)},
+        dbcs=list(dbcs), dtype=DT)
+    fn = tb.semidiscretize(model, disc, mesh)
+    return mesh, fn
+
+
+def test_jacobian_matches_fd():
+    """Assembled tangent matches finite differences of the residual
+    (the reference's ConsistencyCheck / test_elements.jl pattern)."""
+    mesh, fn = _cube_fn(wbcs=[tb.ConstantPressureBC(0.1, "top"),
+                              tb.NormalSpringBC(0.5, "right"),
+                              tb.RobinBC(0.3, "front")])
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(0.05 * rng.normal(size=fn.solution_size))
+    v = jnp.asarray(rng.normal(size=fn.solution_size))
+    kvals, r = fn.assemble(u, 1.0)
+    A = fn.jacobian_matrix(kvals)
+    Av = np.asarray(A.mv(v))
+    eps = 1e-6
+    r_p = np.asarray(fn.residual(u + eps * v, 1.0))
+    r_m = np.asarray(fn.residual(u - eps * v, 1.0))
+    fd = (r_p - r_m) / (2 * eps)
+    assert np.allclose(Av, fd, atol=1e-6 * max(1.0, np.abs(fd).max())), \
+        np.abs(Av - fd).max()
+
+
+def test_patch_uniaxial_stretch():
+    """Dirichlet-driven homogeneous stretch: interior displacement linear
+    (patch test) and deformation gradient constant."""
+    lam = 1.1
+    dbcs = [
+        tb.Dirichlet("d", "left", 0.0, components=[0]),
+        tb.Dirichlet("d", "right", lambda x: np.full(len(x), 0.1),
+                     components=[0]),
+        tb.Dirichlet("d", "front", 0.0, components=[1]),
+        tb.Dirichlet("d", "bottom", 0.0, components=[2]),
+    ]
+    mesh, fn = _cube_fn(dbcs=dbcs, n=(3, 3, 3))
+    newton = tb.NewtonRaphsonSolver(tol=1e-10, inner="lu")
+    u, stats = newton.solve(fn, jnp.zeros(fn.solution_size, DT), 0.0)
+    assert stats.converged, stats
+    coords = fn.dh.field_dof_coords("d")
+    ux = np.asarray(u).reshape(-1, 3)[:, 0]
+    # u_x must be affine in x: u_x = 0.1 * x
+    assert np.allclose(ux, 0.1 * coords[:, 0], atol=1e-8)
+
+
+def test_pressure_bends_beam_up():
+    """Follower pressure on the bottom face pushes the clamped beam up."""
+    mesh = tb.generate_mesh("hex8", (6, 2, 2), (0, 0, 0), (4.0, 1.0, 1.0))
+    material = tb.PK1Model(tb.NeoHookeanModel(mu=2.0, lam=10.0))
+    model = tb.QuasiStaticModel(
+        "d", material, (tb.ConstantPressureBC(0.005, "bottom"),))
+    disc = tb.FiniteElementDiscretization(
+        {"d": tb.FieldSpec(order=1, ncomponents=3)},
+        dbcs=[tb.Dirichlet("d", "left", 0.0)], dtype=DT)
+    fn = tb.semidiscretize(model, disc, mesh)
+    newton = tb.NewtonRaphsonSolver(tol=1e-9, inner="lu")
+    u, stats = newton.solve(fn, jnp.zeros(fn.solution_size, DT), 1.0)
+    assert stats.converged
+    coords = fn.dh.field_dof_coords("d")
+    tip = np.argmin(np.linalg.norm(coords - [4.0, 0.5, 0.5], axis=1))
+    uz = float(np.asarray(u).reshape(-1, 3)[tip, 2])
+    assert uz > 0.002, uz
+
+
+def test_robin_and_spring_bound_displacement():
+    """Springs on the loaded face resist: deflection with springs < without."""
+    def solve(wbcs):
+        mesh, fn = _cube_fn(
+            wbcs=[tb.ConstantPressureBC(0.05, "top")] + wbcs,
+            dbcs=[tb.Dirichlet("d", "bottom", 0.0)], n=(2, 2, 2))
+        newton = tb.NewtonRaphsonSolver(tol=1e-9, inner="lu")
+        u, stats = newton.solve(fn, jnp.zeros(fn.solution_size, DT), 1.0)
+        assert stats.converged
+        return np.abs(np.asarray(u)).max()
+
+    free = solve([])
+    sprung = solve([tb.NormalSpringBC(20.0, "top")])
+    robined = solve([tb.RobinBC(20.0, "top")])
+    assert sprung < free
+    assert robined < free
+
+
+def test_active_stress_contracts_fiber():
+    """ActiveStressModel with activation shortens the cube along x."""
+    material = tb.ActiveStressModel(
+        material_model=tb.NeoHookeanModel(mu=1.0, lam=5.0),
+        active_stress_model=tb.SimpleActiveStress(Tmax=0.5),
+        contraction_model=tb.CaDrivenInternalSarcomereModel(
+            tb.PelceSunLangeveld1995Model(),
+            tb.ConstantCoefficient(1.0)),  # Ca = 1 (full activation scale)
+    )
+    dbcs = [tb.Dirichlet("d", "left", 0.0, components=[0]),
+            tb.Dirichlet("d", "front", 0.0, components=[1]),
+            tb.Dirichlet("d", "bottom", 0.0, components=[2])]
+    mesh, fn = _cube_fn(material=material, dbcs=dbcs)
+    newton = tb.NewtonRaphsonSolver(tol=1e-9, inner="lu")
+    u, stats = newton.solve(fn, jnp.zeros(fn.solution_size, DT), 0.0)
+    assert stats.converged
+    coords = fn.dh.field_dof_coords("d")
+    right = coords[:, 0] > 1 - 1e-9
+    ux_right = np.asarray(u).reshape(-1, 3)[right, 0]
+    assert ux_right.mean() < -1e-3, ux_right.mean()  # contraction
+
+
+def test_extended_hill_active_strain():
+    """ExtendedHillModel (active strain) also contracts along the fiber."""
+    material = tb.ExtendedHillModel(
+        passive_model=tb.NeoHookeanModel(mu=1.0, lam=5.0),
+        active_model=tb.ActiveMaterialAdapter(tb.LinearSpringModel(eta=2.0)),
+        active_deformation_gradient_model=tb.GMKActiveDeformationGradientModel(),
+        contraction_model=tb.CaDrivenInternalSarcomereModel(
+            tb.ConstantStretchModel(lam=0.9), tb.ConstantCoefficient(1.0)),
+    )
+    dbcs = [tb.Dirichlet("d", "left", 0.0, components=[0]),
+            tb.Dirichlet("d", "front", 0.0, components=[1]),
+            tb.Dirichlet("d", "bottom", 0.0, components=[2])]
+    mesh, fn = _cube_fn(material=material, dbcs=dbcs)
+    newton = tb.NewtonRaphsonSolver(tol=1e-9, inner="lu")
+    u, stats = newton.solve(fn, jnp.zeros(fn.solution_size, DT), 0.0)
+    assert stats.converged
+    coords = fn.dh.field_dof_coords("d")
+    right = coords[:, 0] > 1 - 1e-9
+    ux_right = np.asarray(u).reshape(-1, 3)[right, 0]
+    assert ux_right.mean() < -1e-3, ux_right.mean()
+
+
+def test_homotopy_ramps_pressure():
+    """HomotopyPathSolver marches a pressure ramp that direct Newton from
+    zero cannot jump to in one step."""
+    mesh = tb.generate_mesh("hex8", (6, 2, 2), (0, 0, 0), (4.0, 1.0, 1.0))
+    material = tb.PK1Model(tb.NeoHookeanModel(mu=1.0, lam=5.0))
+    press = tb.PressureFieldBC(
+        tb.AnalyticalCoefficient(lambda x, t: jnp.minimum(t, 1.0) * 0.08),
+        "bottom")
+    model = tb.QuasiStaticModel("d", material, (press,))
+    disc = tb.FiniteElementDiscretization(
+        {"d": tb.FieldSpec(order=1, ncomponents=3)},
+        dbcs=[tb.Dirichlet("d", "left", 0.0)], dtype=DT)
+    fn = tb.semidiscretize(model, disc, mesh)
+    solver = tb.HomotopyPathSolver(
+        tb.NewtonRaphsonSolver(tol=1e-7, max_iter=12, inner="lu"))
+    u, rep = solver.solve(fn, jnp.zeros(fn.solution_size, DT), (0.0, 1.0),
+                          dt=0.25)
+    assert rep.converged, rep
+    coords = fn.dh.field_dof_coords("d")
+    tip = np.argmin(np.linalg.norm(coords - [4.0, 0.5, 0.5], axis=1))
+    uz = float(np.asarray(u).reshape(-1, 3)[tip, 2])
+    assert uz > 0.1, uz

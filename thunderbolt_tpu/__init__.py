@@ -98,6 +98,62 @@ from thunderbolt_tpu.solver.time.integrator import (
     Integrator,
     TimeChoiceIterator,
 )
+from thunderbolt_tpu.models.solid_mechanics import (
+    QuasiStaticModel,
+    ElastodynamicsModel,
+)
+from thunderbolt_tpu.models.solid.energies import (
+    NullEnergyModel,
+    NeoHookeanModel,
+    BioNeoHookean,
+    HolzapfelOgden2009Model,
+    Guccione1991PassiveModel,
+    LinYinPassiveModel,
+    LinYinActiveModel,
+    HumphreyStrumpfYinModel,
+    TransverseIsotopicNeoHookeanModel,
+    LinearSpringModel,
+    SimpleActiveSpring,
+    SimpleCompressionPenalty,
+    HartmannNeffCompressionPenalty1,
+    HartmannNeffCompressionPenalty2,
+    HartmannNeffCompressionPenalty3,
+    NullCompressionPenalty,
+)
+from thunderbolt_tpu.models.solid.materials import (
+    PK1Model,
+    ActiveStressModel,
+    GeneralizedHillModel,
+    ExtendedHillModel,
+    PrestressedMechanicalModel,
+)
+from thunderbolt_tpu.models.solid.active import (
+    ActiveMaterialAdapter,
+    GMKActiveDeformationGradientModel,
+    GMKIncompressibleActiveDeformationGradientModel,
+    RLRSQActiveDeformationGradientModel,
+    SimpleActiveStress,
+    PiersantiActiveStress,
+    Guccione1993ActiveModel,
+)
+from thunderbolt_tpu.models.solid.contraction import (
+    PelceSunLangeveld1995Model,
+    ConstantStretchModel,
+    CaDrivenInternalSarcomereModel,
+)
+from thunderbolt_tpu.models.solid.boundary import (
+    RobinBC,
+    NormalSpringBC,
+    BendingSpringBC,
+    ConstantPressureBC,
+    PressureFieldBC,
+)
+from thunderbolt_tpu.solver.nonlinear.newton import (
+    NewtonRaphsonSolver,
+    EisenstatWalkerForcing,
+)
+from thunderbolt_tpu.solver.time.homotopy import HomotopyPathSolver
+import thunderbolt_tpu.disc.mechanics  # registers semidiscretize(QuasiStaticModel)
 from thunderbolt_tpu.io.vtk import ParaViewWriter, write_vtu
 
 __version__ = "0.1.0"

@@ -1,0 +1,206 @@
+"""Quasi-static mechanics semidiscretization: element kernels + assembly.
+
+Parity: ``semidiscretize(QuasiStaticModel, ...)``
+(``src/discretization/fem.jl:583-608``) and the element quadrature loops of
+``src/modeling/solid/elements.jl:177-225`` (load element unknowns -> per-qp
+F -> material routine -> scatter K_e, r_e) — here as one vmapped kernel per
+element batch with AD stress/tangents, scattered by segment_sum.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from thunderbolt_tpu.mesh.mesh import Mesh
+from thunderbolt_tpu.fem.dofs import DofHandler
+from thunderbolt_tpu.fem.discretization import FiniteElementDiscretization
+from thunderbolt_tpu.fem.constraints import close_constraints
+from thunderbolt_tpu.fem.forms import make_form_batch, scatter_matrix, scatter_vector
+from thunderbolt_tpu.fem.sparsity import build_sparsity, csr_to_ell, ELLMatrix
+from thunderbolt_tpu.models.solid_mechanics import QuasiStaticModel
+from thunderbolt_tpu.disc.functions import VariableInfo
+from thunderbolt_tpu.disc.semidiscretize import semidiscretize
+
+
+def element_kinematics(batch, ue):
+    """F at each qp from element displacements ue [nc, nb, dim].
+
+    Returns (F [nc, nqp, dim, dim], dNdx [nc, nqp, nb, dim],
+    detJw [nc, nqp])."""
+    dNdx, detJw = batch.geometry()
+    gradu = jnp.einsum("cqbK,cbi->cqiK", dNdx, ue)
+    dim = gradu.shape[-1]
+    F = gradu + jnp.eye(dim, dtype=gradu.dtype)
+    return F, dNdx, detJw
+
+
+def make_material_kernels(material, frames, aux_keys):
+    """(P, A) at every (cell, qp) via vmapped AD.
+
+    Returns f(F [nc,nqp,3,3], aux dict) -> (P, A [..,3,3,3,3])."""
+
+    def per_qp(F, frame, *aux_vals):
+        aux = dict(zip(aux_keys, aux_vals))
+        P = material.first_piola(F, frame, aux)
+        return P
+
+    def per_qp_both(F, frame, *aux_vals):
+        P = per_qp(F, frame, *aux_vals)
+        A = jax.jacfwd(lambda Fad: per_qp(Fad, frame, *aux_vals))(F)
+        return P, A
+
+    def stress_only(F, aux):
+        nc, nqp = F.shape[:2]
+        flatF = F.reshape(nc * nqp, 3, 3)
+        flat_frames = jnp.broadcast_to(
+            frames, (nc, nqp) + frames.shape[-2:]).reshape(
+                nc * nqp, *frames.shape[-2:])
+        flat_aux = [jnp.broadcast_to(aux[k], (nc, nqp) + aux[k].shape[2:]
+                                     ).reshape((nc * nqp,) + aux[k].shape[2:])
+                    for k in aux_keys]
+        P = jax.vmap(per_qp)(flatF, flat_frames, *flat_aux)
+        return P.reshape(nc, nqp, 3, 3)
+
+    def stress_and_tangent(F, aux):
+        nc, nqp = F.shape[:2]
+        flatF = F.reshape(nc * nqp, 3, 3)
+        flat_frames = jnp.broadcast_to(
+            frames, (nc, nqp) + frames.shape[-2:]).reshape(
+                nc * nqp, *frames.shape[-2:])
+        flat_aux = [jnp.broadcast_to(aux[k], (nc, nqp) + aux[k].shape[2:]
+                                     ).reshape((nc * nqp,) + aux[k].shape[2:])
+                    for k in aux_keys]
+        P, A = jax.vmap(per_qp_both)(flatF, flat_frames, *flat_aux)
+        return (P.reshape(nc, nqp, 3, 3),
+                A.reshape(nc, nqp, 3, 3, 3, 3))
+
+    return stress_only, stress_and_tangent
+
+
+@dataclass
+class QuasiStaticFunction:
+    """Nonlinear structural problem: residual r(u, t) and Jacobian.
+
+    Parity: ``QuasiStaticFunction`` (``src/modeling/functions.jl:133``)."""
+
+    dh: DofHandler
+    field: str
+    pattern: Any
+    batches: List
+    material: Any
+    mat_caches: List
+    wbc_kernels: List            # list of (residual, tangent, dofs, elem_map)
+    constraints: Any
+    volume_elem_maps: List
+
+    @property
+    def solution_size(self):
+        return self.dh.ndofs
+
+    def variables(self):
+        fi = self.dh.fields[self.field]
+        return {self.field: VariableInfo(fi.offset, fi.ndofs,
+                                         fi.entity_coords)}
+
+    # -- jit-safe closures --------------------------------------------------
+
+    def residual(self, u, t):
+        ncomp = self.dh.fields[self.field].ncomponents
+        r = jnp.zeros(self.dh.ndofs, u.dtype)
+        for batch, cache in zip(self.batches, self.mat_caches):
+            stress_only, _ = cache["kernels"]
+            ue = batch.gather(u).reshape(batch.ncells, batch.nb, ncomp)
+            F, dNdx, detJw = element_kinematics(batch, ue)
+            aux = self.material.aux(cache, t)
+            P = stress_only(F, aux)
+            re = jnp.einsum("cqiK,cqaK,cq->cai", P, dNdx, detJw)
+            r = r + scatter_vector(re.reshape(batch.ncells, -1),
+                                   batch.cell_dofs, self.dh.ndofs)
+        for (res_fn, tan_fn, dofs, em) in self.wbc_kernels:
+            nf, nd = dofs.shape
+            U = u[dofs].reshape(nf, nd // ncomp, ncomp)
+            rf = res_fn(U, t)
+            r = r + scatter_vector(rf.reshape(nf, -1), dofs, self.dh.ndofs)
+        return r
+
+    def assemble(self, u, t):
+        """(K csr values, r) — the analog of ``update_linearization!``."""
+        ncomp = self.dh.fields[self.field].ncomponents
+        r = jnp.zeros(self.dh.ndofs, u.dtype)
+        kvals = jnp.zeros(self.pattern.nnz, u.dtype)
+        for batch, cache, em in zip(self.batches, self.mat_caches,
+                                    self.volume_elem_maps):
+            _, stress_tangent = cache["kernels"]
+            ue = batch.gather(u).reshape(batch.ncells, batch.nb, ncomp)
+            F, dNdx, detJw = element_kinematics(batch, ue)
+            aux = self.material.aux(cache, t)
+            P, A = stress_tangent(F, aux)
+            re = jnp.einsum("cqiK,cqaK,cq->cai", P, dNdx, detJw)
+            Ke = jnp.einsum("cqaK,cqiKjL,cqbL,cq->caibj", dNdx, A, dNdx,
+                            detJw)
+            nd = batch.nb * ncomp
+            r = r + scatter_vector(re.reshape(batch.ncells, -1),
+                                   batch.cell_dofs, self.dh.ndofs)
+            kvals = kvals + scatter_matrix(
+                Ke.reshape(batch.ncells, nd, nd), em, self.pattern.nnz)
+        for (res_fn, tan_fn, dofs, em) in self.wbc_kernels:
+            nf, nd = dofs.shape
+            U = u[dofs].reshape(nf, nd // ncomp, ncomp)
+            rf = res_fn(U, t)
+            Kf = tan_fn(U, t)
+            r = r + scatter_vector(rf.reshape(nf, -1), dofs, self.dh.ndofs)
+            kvals = kvals + scatter_matrix(Kf, em, self.pattern.nnz)
+        return kvals, r
+
+    def jacobian_matrix(self, kvals) -> ELLMatrix:
+        return csr_to_ell(self.pattern, kvals)
+
+
+@semidiscretize.register
+def _(model: QuasiStaticModel, disc: FiniteElementDiscretization, mesh: Mesh):
+    sym = model.displacement_symbol
+    spec = disc.field_spec(sym)
+    ncomp = mesh.sdim
+    dh = DofHandler(mesh).add_field(sym, order=spec.order, ncomponents=ncomp,
+                                    subdomains=spec.subdomains).close()
+    dtype = disc.dtype
+    subs = dh.subdata(sym)
+    batches = [make_form_batch(dh, s, degree=disc.degree_for(sym),
+                               dtype=dtype) for s in subs]
+
+    material = model.material_model
+    mat_caches = []
+    for batch in batches:
+        cache = material.setup(batch)
+        aux0 = material.aux(cache, 0.0)
+        cache["kernels"] = make_material_kernels(
+            material, cache["frames"], tuple(aux0.keys()))
+        mat_caches.append(cache)
+
+    # weak BCs: facet batches + their dof tables feed the sparsity union
+    wbc_setups = []
+    for bc in model.face_models:
+        wcache = bc.setup(dh, sym, dtype)
+        wbc_setups.append((bc, wcache))
+
+    cell_dof_tables = [s.cell_dofs for s in subs] + \
+        [np.asarray(wc["batch"].facet_dofs) for _, wc in wbc_setups]
+    pattern = build_sparsity(cell_dof_tables, dh.ndofs)
+    volume_elem_maps = [jnp.asarray(em)
+                        for em in pattern.elem_maps[: len(subs)]]
+    wbc_kernels = []
+    for (bc, wcache), em in zip(wbc_setups, pattern.elem_maps[len(subs):]):
+        res_fn, tan_fn = bc.make_kernels(wcache)
+        wbc_kernels.append((res_fn, tan_fn, wcache["batch"].facet_dofs,
+                            jnp.asarray(em)))
+
+    ch = close_constraints(dh, disc.dbcs, dtype=dtype)
+    return QuasiStaticFunction(
+        dh=dh, field=sym, pattern=pattern, batches=batches,
+        material=material, mat_caches=mat_caches, wbc_kernels=wbc_kernels,
+        constraints=ch, volume_elem_maps=volume_elem_maps)

@@ -90,27 +90,57 @@ class ConstraintHandler:
         return u.at[self.cdofs].set(self.cvals.astype(u.dtype))
 
 
+def _boundary_entities(dh: DofHandler, field: str, facetset: str):
+    """All dof entities (vertex + edge + face + any higher-order) of `field`
+    on a facetset — NOT just mesh-node entities; a P2 field on a P1 mesh has
+    generated midside/face entities on the boundary that must be constrained
+    too."""
+    from thunderbolt_tpu.fem.facets import facet_basis_indices
+    from thunderbolt_tpu.mesh.elements import get_element
+    mesh = dh.mesh
+    ents = set()
+    for gc, lf in mesh.facetset(facetset):
+        bi, lc = mesh.block_of_cell(int(gc))
+        subs = dh.subdata(field, bi)
+        if not subs:
+            continue
+        sub = subs[0]
+        hit = np.nonzero(sub.local_cells == lc)[0]
+        if hit.size == 0:
+            continue
+        fel = get_element(sub.field_celltype)
+        fidx = facet_basis_indices(fel, int(lf))
+        ents.update(int(e) for e in sub.cell_entities[hit[0]][fidx])
+    return np.asarray(sorted(ents), dtype=np.int64)
+
+
 def close_constraints(dh: DofHandler, dbcs: Sequence[Dirichlet],
                       dtype=jnp.float32) -> ConstraintHandler:
     """Resolve Dirichlet specs to (dof, value) pairs (host side)."""
     mesh = dh.mesh
     cdofs, cvals = [], []
     for bc in dbcs:
-        if bc.boundary in mesh.facetsets:
-            nids = mesh.nodes_of_facetset(bc.boundary)
-        elif bc.boundary in mesh.nodesets:
-            nids = mesh.nodeset(bc.boundary)
-        else:
-            raise KeyError(f"no facetset/nodeset named {bc.boundary!r}")
         fi = dh.fields[bc.field]
         comps = bc.components if bc.components is not None \
             else range(fi.ncomponents)
+        if bc.boundary in mesh.facetsets:
+            ents = _boundary_entities(dh, bc.field, bc.boundary)
+            ent_by_comp = {c: ents for c in comps}
+        elif bc.boundary in mesh.nodesets:
+            nids = mesh.nodeset(bc.boundary)
+            # node -> entity via the entity_nodes map
+            lut = {int(n): e for e, n in enumerate(fi.entity_nodes)
+                   if n >= 0}
+            ents = np.asarray(sorted(lut[int(n)] for n in nids
+                                     if int(n) in lut), dtype=np.int64)
+            ent_by_comp = {c: ents for c in comps}
+        else:
+            raise KeyError(f"no facetset/nodeset named {bc.boundary!r}")
         for comp in comps:
-            dofs = dh.node_dofs(bc.field, nids, component=comp)
+            ents = ent_by_comp[comp]
+            dofs = fi.offset + ents * fi.ncomponents + comp
             if callable(bc.value):
-                # evaluate at the entity coordinates of those dofs
-                coords = fi.entity_coords[
-                    (dofs - fi.offset - comp) // fi.ncomponents]
+                coords = fi.entity_coords[ents]
                 vals = np.asarray(bc.value(coords), dtype=np.float64)
                 vals = np.broadcast_to(np.atleast_1d(vals), (dofs.size,))
             else:

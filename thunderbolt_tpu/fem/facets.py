@@ -1,0 +1,154 @@
+"""Facet (surface) batches for boundary weak forms.
+
+TPU-native analog of Ferrite ``FacetValues`` as used by the reference's
+facet assembly (``src/modeling/core/weak_boundary_conditions.jl:102-634``):
+a facetset becomes one dense batch of facets with static shape tables of the
+facet restriction of the volume basis; normals and area elements are
+computed in-kernel from gathered (possibly deformed) facet node coordinates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from typing import Optional
+
+from thunderbolt_tpu.mesh.mesh import Mesh
+from thunderbolt_tpu.mesh.elements import get_element, FACET_TYPE
+from thunderbolt_tpu.mesh.quadrature import quadrature_rule, default_degree
+from thunderbolt_tpu.fem.dofs import DofHandler
+
+
+def facet_basis_indices(el, lf: int):
+    """Local basis-function indices of `el` on facet `lf`, ordered to match
+    the facet element's own node ordering (corners in facet order, then
+    midside nodes in the facet element's edge order, then face center)."""
+    fac = el.facets[lf]
+    idx = list(fac)
+    if el.order == 2:
+        facet_el = get_element(FACET_TYPE_OF(el))
+        nv = len(el.vertices)
+        # for each facet-element edge (a,b), find the matching cell edge
+        for (a, b) in facet_el.edges:
+            pair = {fac[a], fac[b]}
+            for k, (ca, cb) in enumerate(el.edges):
+                if {ca, cb} == pair:
+                    idx.append(nv + k)
+                    break
+            else:
+                raise RuntimeError("facet edge not found in cell edges")
+        if el.faces:
+            fset = set(fac)
+            for k, f in enumerate(el.faces):
+                if set(f) <= fset:
+                    idx.append(nv + len(el.edges) + k)
+    return idx
+
+
+def FACET_TYPE_OF(el):
+    return FACET_TYPE[el.name]
+
+
+@jax.tree_util.register_pytree_node_class
+class FacetBatch:
+    """Static tables for one facetset on one block/field."""
+
+    def __init__(self, Xf, facet_dofs, N, dN, Ngeo, dNgeo, wq, xq, ncomp,
+                 sdim):
+        self.Xf = Xf                  # [nf, nbg, sdim] geometry facet nodes
+        self.facet_dofs = facet_dofs  # int32 [nf, nbf*ncomp]
+        self.N = N                    # [nqp, nbf] field facet basis
+        self.dN = dN                  # [nqp, nbf, fdim]
+        self.Ngeo = Ngeo              # [nqp, nbg]
+        self.dNgeo = dNgeo            # [nqp, nbg, fdim]
+        self.wq = wq                  # [nqp]
+        self.xq = xq                  # [nf, nqp, sdim]
+        self.ncomp = ncomp
+        self.sdim = sdim
+
+    def tree_flatten(self):
+        return ((self.Xf, self.facet_dofs, self.N, self.dN, self.Ngeo,
+                 self.dNgeo, self.wq, self.xq), (self.ncomp, self.sdim))
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, *aux)
+
+    @property
+    def nfacets(self):
+        return self.Xf.shape[0]
+
+    @property
+    def nbf(self):
+        return self.N.shape[1]
+
+    def normal_da(self, Xf, uf=None):
+        """Non-unit outward normal scaled by the area element, per qp.
+
+        Xf: [nbg, sdim] geometry facet nodes of ONE facet; uf (optional):
+        [nbf, sdim] field displacement dofs — the deformed surface tangents
+        add the field-basis contribution (supports P2 fields on P1 meshes).
+        Returns [nqp, sdim]. 3D: cross of the two tangents (facet orderings
+        give outward orientation); 2D: CCW-rotated tangent."""
+        T = jnp.einsum("qbr,bs->qsr", self.dNgeo, Xf)  # [nqp, sdim, fdim]
+        if uf is not None:
+            T = T + jnp.einsum("qbr,bs->qsr", self.dN, uf)
+        if self.sdim == 3:
+            t1, t2 = T[:, :, 0], T[:, :, 1]
+            return jnp.cross(t1, t2)
+        t = T[:, :, 0]
+        return jnp.stack([t[:, 1], -t[:, 0]], axis=-1)
+
+
+def make_facet_batch(dh: DofHandler, field: str, facetset: str,
+                     degree: Optional[int] = None,
+                     dtype=jnp.float32) -> FacetBatch:
+    """Build the surface batch of `facetset` for `field` (single-block)."""
+    mesh = dh.mesh
+    fi = dh.fields[field]
+    fs = mesh.facetset(facetset)
+    # group facets by (block, local facet); gather per-facet tables
+    Xf_list, dofs_list, x_rows = [], [], []
+    N = dN = Ngeo = dNgeo = wq = None
+    for gc, lf in fs:
+        bi, lc = mesh.block_of_cell(int(gc))
+        block = mesh.blocks[bi]
+        gel = block.element
+        sub = [s for s in dh.subdata(field, bi)][0]
+        fel = get_element(sub.field_celltype)
+        # facet element tables (shared across facets of same type)
+        if N is None:
+            f_geo_el = get_element(FACET_TYPE_OF(gel))
+            f_fld_el = get_element(FACET_TYPE_OF(fel))
+            deg = degree if degree is not None \
+                else default_degree(f_fld_el.order)
+            qr = quadrature_rule(f_geo_el.name, deg)
+            N = f_fld_el.shape(qr.points)
+            dN = f_fld_el.grad(qr.points)
+            Ngeo = f_geo_el.shape(qr.points)
+            dNgeo = f_geo_el.grad(qr.points)
+            wq = qr.weights
+        # geometry nodes of the facet
+        from thunderbolt_tpu.mesh.mesh import facet_nodes
+        gnodes = facet_nodes(gel, int(lf), block.connectivity[lc])
+        Xf_list.append(mesh.nodes[gnodes])
+        # field dofs on the facet
+        lcell = np.nonzero(sub.local_cells == lc)[0]
+        if lcell.size == 0:
+            raise ValueError(
+                f"facet cell {gc} is outside the subdomain of {field!r}")
+        row = sub.cell_dofs[lcell[0]].reshape(-1, fi.ncomponents)
+        fidx = facet_basis_indices(fel, int(lf))
+        dofs_list.append(row[fidx].reshape(-1))
+        x_rows.append(np.einsum("qb,bs->qs", Ngeo, Xf_list[-1]))
+
+    return FacetBatch(
+        Xf=jnp.asarray(np.stack(Xf_list), dtype),
+        facet_dofs=jnp.asarray(np.stack(dofs_list), jnp.int32),
+        N=jnp.asarray(N, dtype), dN=jnp.asarray(dN, dtype),
+        Ngeo=jnp.asarray(Ngeo, dtype), dNgeo=jnp.asarray(dNgeo, dtype),
+        wq=jnp.asarray(wq, dtype),
+        xq=jnp.asarray(np.stack(x_rows), dtype),
+        ncomp=fi.ncomponents, sdim=mesh.sdim,
+    )

@@ -161,3 +161,17 @@ def csr_to_ell(pattern: SparsityPattern, csr_vals, dtype=None) -> ELLMatrix:
     flat = flat.at[jnp.asarray(pattern.ell_pos)].set(csr_vals.astype(dtype))
     return ELLMatrix(jnp.asarray(pattern.ell_cols), flat.reshape(n, k),
                      jnp.asarray(pattern.ell_diag_pos))
+
+
+def ell_to_scipy(A: ELLMatrix):
+    """Convert to scipy CSR (host direct solves — UMFPACK-parity path for
+    small/ill-conditioned systems, cf. reference LinearSolve UMFPACK)."""
+    import numpy as _np
+    import scipy.sparse as _sp
+    cols = _np.asarray(A.cols)
+    vals = _np.asarray(A.vals)
+    n, k = cols.shape
+    rows = _np.repeat(_np.arange(n), k)
+    mat = _sp.csr_matrix((vals.ravel(), (rows, cols.ravel())), shape=(n, n))
+    mat.sum_duplicates()
+    return mat

@@ -1,0 +1,189 @@
+"""Material composites: stress = AD of energy (+ active parts).
+
+Parity: ``src/modeling/solid/materials.jl`` — ``PK1Model`` (``:993``),
+``GeneralizedHillModel`` (``:1054``), ``ExtendedHillModel`` (``:1126``),
+``ActiveStressModel`` (``:1200``), ``PrestressedMechanicalModel`` (``:789``)
+and the AD-first ``material_routine`` design (``:302-573``): stresses come
+from ``jax.grad`` of scalar energies, tangents from ``jax.jacfwd`` of the
+stress map — the JAX analog of ``Tensors.hessian``.
+
+Per-qp protocol consumed by the element kernels (disc/mechanics.py):
+
+* ``setup(batch)`` -> cache (microstructure frames materialized, coefficient
+  caches for calcium etc.),
+* ``aux(cache, t)`` -> dict of per-(cell, qp) driving arrays (traced in t),
+* ``first_piola(F, frame, aux_q)`` -> P at one qp (vmapped outside).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from thunderbolt_tpu.models.coefficients import (
+    setup_coefficient_cache, evaluate_coefficient)
+from thunderbolt_tpu.models.solid.energies import NullEnergyModel
+
+
+def _frames_for(batch, microstructure, dtype):
+    """Materialize the (f, s, n) frame array [nc, nqp, k, 3] (or a default
+    Cartesian frame when no microstructure is given)."""
+    if microstructure is None:
+        eye = np.eye(3)
+        nc, nqp = batch.xq.shape[:2]
+        return jnp.broadcast_to(jnp.asarray(eye, dtype), (nc, nqp, 3, 3))
+    cache = setup_coefficient_cache(microstructure, batch)
+    basis = evaluate_coefficient(cache, 0.0)
+    nc, nqp = batch.xq.shape[:2]
+    return jnp.broadcast_to(basis, (nc, nqp) + basis.shape[-2:]).astype(dtype)
+
+
+class MaterialModel:
+    """Base composite; subclasses define `first_piola`."""
+
+    microstructure_model: Any = None
+
+    def setup(self, batch):
+        frames = _frames_for(batch, self.microstructure_model,
+                             batch.xq.dtype)
+        return {"frames": frames}
+
+    def aux(self, cache, t):
+        """Per-(cell, qp) driving values at time t (empty by default)."""
+        return {}
+
+    def first_piola(self, F, frame, aux):
+        raise NotImplementedError
+
+
+@dataclass(frozen=True)
+class PK1Model(MaterialModel):
+    """Passive hyperelastic material: P = dPsi/dF (``materials.jl:993``)."""
+    material_model: Any
+    microstructure_model: Any = None
+
+    def first_piola(self, F, frame, aux):
+        return jax.grad(lambda Fad: self.material_model.psi(Fad, frame))(F)
+
+
+def _steady_ca(contraction_model, batch, t_independent_ok=True):
+    """Coefficient cache for the calcium/activation field of a
+    CaDrivenInternalSarcomereModel (or a bare steady-state model driven
+    externally)."""
+    field = getattr(contraction_model, "calcium_field", None)
+    if field is None:
+        return None
+    return setup_coefficient_cache(field, batch)
+
+
+@dataclass(frozen=True)
+class ActiveStressModel(MaterialModel):
+    """P = dPsi_passive/dF + N(Ca) T^a(F, frame) (``materials.jl:1200``,
+    ``stress_and_tangent:1255``)."""
+    material_model: Any
+    active_stress_model: Any
+    contraction_model: Any
+    microstructure_model: Any = None
+
+    def setup(self, batch):
+        cache = super().setup(batch)
+        cache["ca"] = _steady_ca(self.contraction_model, batch)
+        return cache
+
+    def aux(self, cache, t):
+        if cache["ca"] is None:
+            return {}
+        nc, nqp = cache["frames"].shape[:2]
+        ca = evaluate_coefficient(cache["ca"], t)
+        return {"Ca": jnp.broadcast_to(ca, (nc, nqp))}
+
+    def first_piola(self, F, frame, aux):
+        P = jax.grad(lambda Fad: self.material_model.psi(Fad, frame))(F)
+        Ca = aux.get("Ca", 0.0)
+        scale = self.contraction_model.activation_scale(Ca, F, frame)
+        return P + scale * self.active_stress_model.stress(F, frame)
+
+
+@dataclass(frozen=True)
+class GeneralizedHillModel(MaterialModel):
+    """Active strain: psi = psi_p(F) + psi_a(F, F^a)
+    (``materials.jl:1054``). `active_model` is an ActiveMaterialAdapter."""
+    passive_model: Any
+    active_model: Any
+    active_deformation_gradient_model: Any
+    contraction_model: Any
+    microstructure_model: Any = None
+
+    def setup(self, batch):
+        cache = super().setup(batch)
+        cache["ca"] = _steady_ca(self.contraction_model, batch)
+        return cache
+
+    def aux(self, cache, t):
+        if cache["ca"] is None:
+            return {}
+        nc, nqp = cache["frames"].shape[:2]
+        ca = evaluate_coefficient(cache["ca"], t)
+        return {"Ca": jnp.broadcast_to(ca, (nc, nqp))}
+
+    def _psi(self, F, frame, aux):
+        Ca = aux.get("Ca", 0.0)
+        lam_a = self.contraction_model.compute_lambda_a(Ca)
+        Fa = self.active_deformation_gradient_model.compute_Fa(lam_a, frame)
+        return (self.passive_model.psi(F, frame)
+                + self.active_model.psi(F, Fa, frame))
+
+    def first_piola(self, F, frame, aux):
+        return jax.grad(lambda Fad: self._psi(Fad, frame, aux))(F)
+
+
+@dataclass(frozen=True)
+class ExtendedHillModel(GeneralizedHillModel):
+    """psi = psi_p(F) + N(Ca) psi_a(F, F^a) (``materials.jl:1126``)."""
+
+    def _psi(self, F, frame, aux):
+        Ca = aux.get("Ca", 0.0)
+        lam_a = self.contraction_model.compute_lambda_a(Ca)
+        Fa = self.active_deformation_gradient_model.compute_Fa(lam_a, frame)
+        scale = self.contraction_model.activation_scale(Ca, F, frame)
+        return (self.passive_model.psi(F, frame)
+                + scale * self.active_model.psi(F, Fa, frame))
+
+
+@dataclass(frozen=True)
+class PrestressedMechanicalModel(MaterialModel):
+    """Multiplicative prestress: the inner model sees F_total = F F0
+    (``materials.jl:789``). `prestress_field` is a coefficient yielding
+    [3, 3] per qp (default identity)."""
+    inner_model: Any
+    prestress_field: Any = None
+
+    @property
+    def microstructure_model(self):
+        return self.inner_model.microstructure_model
+
+    def setup(self, batch):
+        cache = self.inner_model.setup(batch)
+        if self.prestress_field is not None:
+            c0 = setup_coefficient_cache(self.prestress_field, batch)
+            nc, nqp = cache["frames"].shape[:2]
+            cache["F0"] = jnp.broadcast_to(
+                evaluate_coefficient(c0, 0.0), (nc, nqp, 3, 3))
+        return cache
+
+    def aux(self, cache, t):
+        out = dict(self.inner_model.aux(cache, t))
+        if "F0" in cache:
+            out["F0"] = cache["F0"]
+        return out
+
+    def first_piola(self, F, frame, aux):
+        F0 = aux.get("F0", jnp.eye(3, dtype=F.dtype))
+        inner_aux = {k: v for k, v in aux.items() if k != "F0"}
+        # chain rule: P = P_inner(F F0) F0^T
+        P_in = self.inner_model.first_piola(F @ F0, frame, inner_aux)
+        return P_in @ F0.T
