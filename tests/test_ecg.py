@@ -1,0 +1,98 @@
+"""ECG forward models. Parity with ``test/integration/test_ecg.jl``:
+dipole symmetry/sign physics for all three methods + cross-method
+consistency of lead polarity."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import thunderbolt_tpu as tb
+from thunderbolt_tpu.models.ecg import (
+    Plonsey1964ECGGaussCache, Geselowitz1989ECGLeadCache,
+    PoissonECGReconstructionCache)
+
+
+@pytest.fixture(scope="module")
+def heart():
+    mesh = tb.generate_mesh("hex8", (8, 4, 4), (0, 0, 0), (2.0, 1.0, 1.0))
+    model = tb.MonodomainModel(chi=1.0, Cm=1.0, kappa=1e-3,
+                               stim=tb.NoStimulationProtocol(),
+                               ion=tb.FHNModel())
+    ode = tb.semidiscretize(
+        tb.ReactionDiffusionSplit(model),
+        tb.FiniteElementDiscretization({"phi_m": 1}, dtype=jnp.float64),
+        mesh)
+    heat = ode.functions[0]
+    coords = heat.dh.fields["phi_m"].entity_coords
+    # a wavefront along x: phi = tanh((x0 - x)/w) -> dipole pointing +x
+    phi = jnp.asarray(np.tanh((1.0 - coords[:, 0]) / 0.2))
+    return mesh, ode, heat, phi
+
+
+def test_plonsey_dipole_sign_and_symmetry(heart):
+    mesh, ode, heat, phi = heart
+    cache = Plonsey1964ECGGaussCache(heat, kappa_i=1e-3)
+    cache.update_ecg(phi)
+    # electrodes in front of / behind the wavefront along x
+    e = np.array([[4.0, 0.5, 0.5], [-2.0, 0.5, 0.5]])
+    v = cache.evaluate_ecg(e, kappa_t=1.0)
+    assert v.shape == (2,)
+    # potentials have opposite sign and similar magnitude (symmetric probes)
+    assert v[0] * v[1] < 0, v
+    assert abs(abs(v[0]) / abs(v[1]) - 1.0) < 0.5
+    # uniform phi -> zero ECG
+    cache.update_ecg(jnp.ones_like(phi))
+    v0 = cache.evaluate_ecg(e, kappa_t=1.0)
+    assert np.abs(v0).max() < 1e-10
+
+
+def test_geselowitz_lead(heart):
+    mesh, ode, heat, phi = heart
+    pairs = [((2.0, 0.5, 0.5), (0.0, 0.5, 0.5)),
+             ((0.0, 0.5, 0.5), (2.0, 0.5, 0.5))]
+    cache = Geselowitz1989ECGLeadCache(heat, kappa=1e-3, kappa_i=1e-3,
+                                       electrode_pairs=pairs)
+    cache.update_ecg(phi)
+    V = cache.evaluate_ecg()
+    assert V.shape == (2,)
+    # swapping the electrode pair flips the lead signal
+    assert np.isclose(V[0], -V[1], rtol=1e-8)
+    assert abs(V[0]) > 1e-8
+    # uniform potential -> zero lead signal
+    cache.update_ecg(jnp.ones_like(phi))
+    assert np.abs(cache.evaluate_ecg()).max() < 1e-10
+
+
+def test_poisson_reconstruction(heart):
+    mesh, ode, heat, phi = heart
+    electrodes = [(2.0, 0.5, 0.5), (0.0, 0.5, 0.5)]
+    cache = PoissonECGReconstructionCache(
+        heat, kappa=1e-3, kappa_i=1e-3, electrodes=electrodes,
+        ground=(0.0, 0.0, 0.0))
+    cache.update_ecg(phi)
+    V = cache.evaluate_ecg()
+    assert V.shape == (2,)
+    assert np.isfinite(V).all()
+    # the two electrodes see different potentials across the dipole
+    assert abs(V[0] - V[1]) > 1e-6
+    # uniform phi -> (numerically) constant phi_e -> zero difference
+    cache.update_ecg(jnp.zeros_like(phi))
+    V0 = cache.evaluate_ecg()
+    assert abs(V0[0] - V0[1]) < 1e-7  # CG tolerance floor (warm start)
+
+
+def test_geselowitz_poisson_polarity_agree(heart):
+    """Both volume-conductor methods agree on lead polarity."""
+    mesh, ode, heat, phi = heart
+    p_plus, p_minus = (2.0, 0.5, 0.5), (0.0, 0.5, 0.5)
+    ges = Geselowitz1989ECGLeadCache(heat, 1e-3, 1e-3,
+                                     [(p_plus, p_minus)])
+    ges.update_ecg(phi)
+    poi = PoissonECGReconstructionCache(heat, 1e-3, 1e-3,
+                                        [p_plus, p_minus],
+                                        ground=(0.0, 0.0, 0.0))
+    poi.update_ecg(phi)
+    V_ges = ges.evaluate_ecg()[0]
+    Vp = poi.evaluate_ecg()
+    V_poi = Vp[0] - Vp[1]
+    assert V_ges * V_poi > 0, (V_ges, V_poi)

@@ -1,0 +1,106 @@
+"""3D-0D coupling: chamber volume surrogate, volume tying via multipliers,
+coupled heartbeat stepping. Parity with ``test/integration/test_fsi.jl``."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import thunderbolt_tpu as tb
+from thunderbolt_tpu.models.coupling import (
+    RSAFDQ2022SurrogateVolume, ChamberVolumeCoupling, LumpedFluidSolidCoupler,
+    RSAFDQ2022Model, RSAFDQ2022Split)
+from thunderbolt_tpu.models.fluid.lumped import (
+    RSAFDQ2022LumpedCircuitModel, DummyLumpedCircuitModel)
+from thunderbolt_tpu.disc.coupled import BlockedNewtonSolver, Coupled3D0DSolver
+
+DT = jnp.float64
+
+
+def _lv_setup(circuit, scale=1.0):
+    mesh = tb.generate_ideal_lv_mesh(8, 2, 4)
+    if scale != 1.0:
+        mesh.nodes[:] = mesh.nodes * scale
+    material = tb.PK1Model(tb.NeoHookeanModel(mu=2.0, lam=10.0))
+    model = tb.QuasiStaticModel("displacement", material, ())
+    coupler = LumpedFluidSolidCoupler(
+        (ChamberVolumeCoupling("Endocardium", "lv"),),
+        "displacement",
+        # b on the base plane kills the open-cap contribution, making the
+        # surrogate equal the true cavity volume
+        volume_method=RSAFDQ2022SurrogateVolume(h=(0.0, 0.0, 1.0),
+                                                b=(0.0, 0.0, 0.2 * scale)))
+    coupled = RSAFDQ2022Model(model, circuit, coupler)
+    disc = tb.FiniteElementDiscretization(
+        {"displacement": tb.FieldSpec(order=1, ncomponents=3)},
+        dbcs=[tb.Dirichlet("displacement", "Base", 0.0)], dtype=DT)
+    fn3d, circ = tb.semidiscretize(RSAFDQ2022Split(coupled), disc, mesh)
+    return mesh, fn3d, circ
+
+
+def test_surrogate_volume_monotone():
+    """Uniform inflation increases the surrogate chamber volume ~cubically."""
+    mesh, fn3d, circ = _lv_setup(DummyLumpedCircuitModel(lambda t: 1.0))
+    n = fn3d.nmech
+    V0 = float(fn3d.volumes(jnp.zeros(n, DT))[0])
+    # analytic truncated sphere r=0.7 up to z=0.2 gives 1.0179; the
+    # 8-segment circumferential polygonization eats ~12% of the area
+    assert 0.8 < V0 < 1.05, V0
+    coords = fn3d.mech.dh.field_dof_coords("displacement")
+    u_inflate = jnp.asarray((0.05 * coords).reshape(-1))  # x -> 1.05 x
+    V1 = float(fn3d.volumes(u_inflate)[0])
+    assert V1 > V0 * 1.08, V1 / V0  # inflation grows the cavity ~cubically
+    u_deflate = jnp.asarray((-0.05 * coords).reshape(-1))
+    assert float(fn3d.volumes(u_deflate)[0]) < V0
+
+
+def test_volume_tying_tracks_target():
+    """DummyLumpedCircuitModel locks the chamber volume; the blocked Newton
+    drives V3D(u) to the target with a positive inflation pressure."""
+    mesh, fn3d, _ = _lv_setup(DummyLumpedCircuitModel(lambda t: 1.0))
+    n = fn3d.nmech
+    V0 = float(fn3d.volumes(jnp.zeros(n, DT))[0])
+    newton = BlockedNewtonSolver(tol=1e-8, max_iter=30)
+    w0 = jnp.zeros(fn3d.solution_size, DT)
+    Vt = jnp.asarray([1.05 * V0])
+    w, stats = newton.solve(fn3d, w0, 0.0, Vt)
+    assert stats.converged, stats
+    V = float(fn3d.volumes(w[:n])[0])
+    assert abs(V - 1.05 * V0) < 1e-6 * V0
+    p = float(w[n])
+    assert p > 0, p  # inflation needs positive chamber pressure
+    # deflation needs negative pressure
+    w2, stats2 = newton.solve(fn3d, w0, 0.0, jnp.asarray([0.95 * V0]))
+    assert stats2.converged
+    assert float(w2[n]) < 0
+
+
+def test_coupled_heartbeat_steps():
+    """Full RSAFDQ2022 circuit coupled to the LV: a few steps stay finite,
+    the 3D volume follows the circuit volume, pressures are sane."""
+    circuit = RSAFDQ2022LumpedCircuitModel(lv_pressure_given=False)
+    # scale the unit LV to physiologic size: cavity ~0.88 -> ~120 mL (cm units)
+    mesh, fn3d, circ = _lv_setup(circuit, scale=5.14)
+    solver = Coupled3D0DSolver(newton=BlockedNewtonSolver(tol=1e-7,
+                                                          max_iter=30))
+    w, c = solver.init(fn3d, circ, DT)
+    # start the circuit's LV volume at the 3D cavity volume
+    V0 = float(fn3d.volumes(w[: fn3d.nmech])[0])
+    c = c.at[circ.volume_index("lv")].set(V0)
+    ts, Vs, ps = [], [], []
+    t, dt = 0.0, 2.0
+    for k in range(5):
+        w, c, stats = solver.step(fn3d, circ, w, c, t, dt)
+        assert stats.converged, (k, stats)
+        t += dt
+        V3d = float(fn3d.volumes(w[: fn3d.nmech])[0])
+        Vc = float(c[circ.volume_index("lv")])
+        assert np.isfinite(V3d) and np.isfinite(Vc)
+        # tying: 3D volume equals the circuit volume it was solved against
+        ts.append(t)
+        Vs.append((V3d, Vc))
+        ps.append(float(w[fn3d.nmech]))
+    assert np.isfinite(ps).all()
+    # the tied volumes stay within a lag of one step of each other
+    v3, vc = np.asarray(Vs).T
+    assert np.abs(v3[:-1] - vc[1:]).max() < np.abs(vc).max()

@@ -153,7 +153,26 @@ from thunderbolt_tpu.solver.nonlinear.newton import (
     EisenstatWalkerForcing,
 )
 from thunderbolt_tpu.solver.time.homotopy import HomotopyPathSolver
+from thunderbolt_tpu.solver.time.newmark import NewmarkSolver, NewmarkState
 import thunderbolt_tpu.disc.mechanics  # registers semidiscretize(QuasiStaticModel)
+from thunderbolt_tpu.models.coupling import (
+    RSAFDQ2022SurrogateVolume,
+    ChamberVolumeCoupling,
+    LumpedFluidSolidCoupler,
+    RSAFDQ2022Model,
+    RSAFDQ2022Split,
+)
+from thunderbolt_tpu.models.fluid.lumped import (
+    RSAFDQ2022LumpedCircuitModel,
+    DummyLumpedCircuitModel,
+)
+from thunderbolt_tpu.models.ecg import (
+    Plonsey1964ECGGaussCache,
+    Geselowitz1989ECGLeadCache,
+    PoissonECGReconstructionCache,
+)
+import thunderbolt_tpu.disc.coupled  # registers semidiscretize(RSAFDQ2022Split)
+from thunderbolt_tpu.disc.coupled import BlockedNewtonSolver, Coupled3D0DSolver
 from thunderbolt_tpu.io.vtk import ParaViewWriter, write_vtu
 
 __version__ = "0.1.0"

@@ -22,7 +22,11 @@ from thunderbolt_tpu.fem.discretization import FiniteElementDiscretization
 from thunderbolt_tpu.fem.constraints import close_constraints
 from thunderbolt_tpu.fem.forms import make_form_batch, scatter_matrix, scatter_vector
 from thunderbolt_tpu.fem.sparsity import build_sparsity, csr_to_ell, ELLMatrix
-from thunderbolt_tpu.models.solid_mechanics import QuasiStaticModel
+from thunderbolt_tpu.models.solid_mechanics import (
+    QuasiStaticModel, ElastodynamicsModel)
+from thunderbolt_tpu.fem.forms import element_mass
+from thunderbolt_tpu.models.coefficients import (
+    setup_coefficient_cache, evaluate_coefficient)
 from thunderbolt_tpu.disc.functions import VariableInfo
 from thunderbolt_tpu.disc.semidiscretize import semidiscretize
 
@@ -109,7 +113,7 @@ class QuasiStaticFunction:
 
     # -- jit-safe closures --------------------------------------------------
 
-    def residual(self, u, t):
+    def residual(self, u, t, *extra):
         ncomp = self.dh.fields[self.field].ncomponents
         r = jnp.zeros(self.dh.ndofs, u.dtype)
         for batch, cache in zip(self.batches, self.mat_caches):
@@ -128,7 +132,7 @@ class QuasiStaticFunction:
             r = r + scatter_vector(rf.reshape(nf, -1), dofs, self.dh.ndofs)
         return r
 
-    def assemble(self, u, t):
+    def assemble(self, u, t, *extra):
         """(K csr values, r) — the analog of ``update_linearization!``."""
         ncomp = self.dh.fields[self.field].ncomponents
         r = jnp.zeros(self.dh.ndofs, u.dtype)
@@ -159,6 +163,50 @@ class QuasiStaticFunction:
 
     def jacobian_matrix(self, kvals) -> ELLMatrix:
         return csr_to_ell(self.pattern, kvals)
+
+
+@dataclass
+class ElastodynamicsFunction(QuasiStaticFunction):
+    """Quasi-static residual + consistent mass (rho d2u/dt2 term).
+
+    Parity: ``ElastodynamicsFunction`` (``src/modeling/functions.jl:157``)
+    + the mass integrator wiring of ``fem.jl:610-731``."""
+    M: Any = None           # vector-field mass, ELLMatrix
+    mass_vals: Any = None   # its CSR values (for J = K + c M fusion)
+    rho: Any = 1.0
+
+
+def _vector_mass(batches, elem_maps, pattern, rho, ncomp, dtype):
+    mvals = jnp.zeros(pattern.nnz, dtype)
+    for batch, em in zip(batches, elem_maps):
+        rho_val = rho
+        if hasattr(rho, "setup"):
+            rho_val = evaluate_coefficient(
+                setup_coefficient_cache(rho, batch), 0.0)
+        Me = element_mass(batch, rho_val)                  # [nc, nb, nb]
+        eye = jnp.eye(ncomp, dtype=Me.dtype)
+        Mv = jnp.einsum("cab,ij->caibj", Me, eye)
+        nd = Me.shape[1] * ncomp
+        mvals = mvals + scatter_matrix(Mv.reshape(-1, nd, nd), em,
+                                       pattern.nnz)
+    return mvals
+
+
+@semidiscretize.register
+def _(model: ElastodynamicsModel, disc: FiniteElementDiscretization,
+      mesh: Mesh):
+    qs = QuasiStaticModel(model.displacement_symbol, model.material_model,
+                          model.face_models)
+    fn = semidiscretize(qs, disc, mesh)
+    ncomp = mesh.sdim
+    mvals = _vector_mass(fn.batches, fn.volume_elem_maps, fn.pattern,
+                         model.rho, ncomp, disc.dtype)
+    return ElastodynamicsFunction(
+        dh=fn.dh, field=fn.field, pattern=fn.pattern, batches=fn.batches,
+        material=fn.material, mat_caches=fn.mat_caches,
+        wbc_kernels=fn.wbc_kernels, constraints=fn.constraints,
+        volume_elem_maps=fn.volume_elem_maps,
+        M=csr_to_ell(fn.pattern, mvals), mass_vals=mvals, rho=model.rho)
 
 
 @semidiscretize.register

@@ -1,0 +1,74 @@
+"""3D-0D fluid-solid coupling descriptors (chamber volume tying).
+
+Parity: ``src/modeling/coupler/fsi.jl`` (``ChamberVolumeCoupling:4``,
+``LumpedFluidSolidCoupler:28``) and ``src/modeling/rsafdq2022.jl``
+(``RSAFDQ2022Model:125``, ``RSAFDQ2022Split:138``, surrogate volume
+integral ``:75-87``): each chamber surface gets a Lagrange-multiplier
+pressure dof tying the 3D cavity volume to the 0D circuit volume; the
+multiplier is simultaneously the chamber pressure driving the circuit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+from typing import Any, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class RSAFDQ2022SurrogateVolume:
+    """V = -integral det(F) ((h (x) h)(x + d - b)) . (F^-T N) dGamma —
+    the axis-projected volume surrogate of Regazzoni et al. 2022
+    (``rsafdq2022.jl:75-87``). `h`: the measuring axis; `b`: a base point
+    below the chamber."""
+    h: Tuple[float, float, float] = (0.0, 1.0, 0.0)
+    b: Tuple[float, float, float] = (0.0, 0.0, -0.1)
+
+    def facet_volume(self, batch, uf, Xf):
+        """Volume contribution of ONE facet (differentiable in uf)."""
+        h = jnp.asarray(self.h, batch.N.dtype)
+        b = jnp.asarray(self.b, batch.N.dtype)
+        nda = batch.normal_da(Xf, uf)              # deformed normal*area
+        x = jnp.einsum("qb,bs->qs", batch.Ngeo, Xf)
+        d = jnp.einsum("qb,bs->qs", batch.N, uf)
+        proj = (x + d - b[None]) @ h               # [nqp]
+        return -jnp.sum(proj * (nda @ h) * batch.wq)
+
+
+@dataclass(frozen=True)
+class ChamberVolumeCoupling:
+    """Couple a chamber surface facetset to a 0D chamber
+    (``fsi.jl:4``)."""
+    chamber_surface_setname: str
+    lumped_model_symbol: str     # "lv" / "rv" / "la" / "ra"
+    pressure_symbol: str = None  # published name of the multiplier
+
+    @property
+    def psym(self):
+        return self.pressure_symbol or f"p_{self.lumped_model_symbol}"
+
+
+@dataclass(frozen=True)
+class LumpedFluidSolidCoupler:
+    """Bundle of chamber couplings + the solid field they act on
+    (``fsi.jl:28``)."""
+    chamber_couplings: Tuple
+    displacement_symbol: str = "displacement"
+    volume_method: Any = RSAFDQ2022SurrogateVolume()
+
+
+@dataclass(frozen=True)
+class RSAFDQ2022Model:
+    """structural model + 0D circuit + coupler (``rsafdq2022.jl:125``)."""
+    structural_model: Any
+    circuit_model: Any
+    coupler: LumpedFluidSolidCoupler
+
+
+@dataclass(frozen=True)
+class RSAFDQ2022Split:
+    """Solve the coupled model with the 3D/0D operator split
+    (``rsafdq2022.jl:138``)."""
+    model: RSAFDQ2022Model

@@ -56,22 +56,44 @@ class NewtonRaphsonSolver:
     max_growth_iters: int = 6
 
     def solve(self, fn, u0, t, monitor=None):
-        """Solve fn.residual(u, t) = 0 from u0; returns (u, NewtonStats)."""
+        """Solve fn.residual(u, t) = 0 from u0; returns (u, NewtonStats).
+
+        The jitted assembly closures are cached ON the function object and
+        take (u, t, extra) as traced arguments, so repeated solves across
+        load/time steps never recompile. Stage functions (Newmark etc.)
+        thread their per-step parameters through ``fn.newton_extra()``."""
         ch = fn.constraints
+        extra = fn.newton_extra() if hasattr(fn, "newton_extra") else ()
 
-        @jax.jit
+        jits = fn.__dict__.get("_newton_jits") if hasattr(fn, "__dict__") \
+            else None
+        if jits is None:
+            @jax.jit
+            def assemble_j(u, t, extra):
+                kvals, r = fn.assemble(u, t, *extra)
+                A_raw = fn.jacobian_matrix(kvals)
+                A = ch.apply_operator(A_raw) if ch is not None else A_raw
+                r = ch.apply_zero(r) if ch is not None else r
+                return A, r
+
+            @jax.jit
+            def rnorm_j(u, t, extra):
+                r = fn.residual(u, t, *extra)
+                r = ch.apply_zero(r) if ch is not None else r
+                return jnp.linalg.norm(r)
+
+            jits = (assemble_j, rnorm_j)
+            try:
+                fn.__dict__["_newton_jits"] = jits
+            except (AttributeError, TypeError):
+                pass
+        assemble_j, rnorm_j = jits
+
         def assemble(u):
-            kvals, r = fn.assemble(u, t)
-            A_raw = fn.jacobian_matrix(kvals)
-            A = ch.apply_operator(A_raw) if ch is not None else A_raw
-            r = ch.apply_zero(r) if ch is not None else r
-            return A, r
+            return assemble_j(u, t, extra)
 
-        @jax.jit
         def rnorm_only(u):
-            r = fn.residual(u, t)
-            r = ch.apply_zero(r) if ch is not None else r
-            return jnp.linalg.norm(r)
+            return rnorm_j(u, t, extra)
 
         if self.inner == "lu":
             from thunderbolt_tpu.fem.sparsity import ell_to_scipy

