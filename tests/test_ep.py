@@ -173,3 +173,24 @@ def test_paraview_writer(tmp_path):
     assert os.path.exists(tmp_path / "ep_test" / "ep_test_00001.vtu")
     txt = open(tmp_path / "ep_test" / "ep_test_00000.vtu").read()
     assert "UnstructuredGrid" in txt and 'Name="phi"' in txt
+
+
+def test_reaction_tangent_controller():
+    """RTC adapts dt: fewer steps than fixed fine-dt, more than fixed
+    coarse-dt, and the solution agrees with fixed stepping to tolerance
+    (parity: test_electrophysiology.jl RTC block)."""
+    _, odeform, u0, _ = _spiral_setup(N=16, dtype=jnp.float64)
+    be = tb.BackwardEulerSolver(rtol=1e-8, atol=1e-10)
+    fe = tb.ForwardEulerCellSolver(substeps=8)
+    T = 40.0
+    # fixed fine reference
+    u_fix = tb.init(odeform, tb.LieTrotterGodunov((be, fe)), u0, (0, T),
+                    dt=0.25).solve()
+    rtc = tb.ReactionTangentController((be, fe), sigma_s=20.0, sigma_c=0.1,
+                                       dt_bounds=(0.25, 1.0))
+    integ = tb.init(odeform, rtc, u0, (0.0, T), 1.0)
+    u_rtc = integ.solve()
+    nsteps = integ.stats.naccept
+    assert T / 1.0 < nsteps < T / 0.25, nsteps  # genuinely adaptive
+    err = np.abs(np.asarray(u_rtc) - np.asarray(u_fix)).max()
+    assert err < 5e-2, err

@@ -154,6 +154,10 @@ from thunderbolt_tpu.solver.nonlinear.newton import (
 )
 from thunderbolt_tpu.solver.time.homotopy import HomotopyPathSolver
 from thunderbolt_tpu.solver.time.newmark import NewmarkSolver, NewmarkState
+from thunderbolt_tpu.solver.time.controllers import (
+    PIDController,
+    ReactionTangentController,
+)
 import thunderbolt_tpu.disc.mechanics  # registers semidiscretize(QuasiStaticModel)
 from thunderbolt_tpu.models.coupling import (
     RSAFDQ2022SurrogateVolume,

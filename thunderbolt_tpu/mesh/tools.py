@@ -1,0 +1,308 @@
+"""Mesh tools: uniform refinement, hexahedralization, external loaders.
+
+Parity: ``src/mesh/tools.jl`` — ``hexahedralize`` (``:1-5``),
+``uniform_refinement`` (``:257``), ``load_voom2_grid``/``load_mfem_grid``/
+``load_carp_grid`` (``:491,502,660``).
+
+Refinement design: reuse the quadratic-elevation entity machinery
+(generators.elevate_to_quadratic) — the P2 nodes of a cell are exactly the
+new vertices of its children; child connectivity is derived programmatically
+by matching sub-cell corner positions against the P2 reference nodes, so one
+code path covers every cell type. Facetsets transfer by the subset rule: a
+child boundary facet belongs to a parent facetset iff all its corners are
+nodes generated from that parent facet (corners, its edge midpoints, its
+face center).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from functools import lru_cache
+from typing import Dict, List
+
+from thunderbolt_tpu.mesh.mesh import Mesh, ElementBlock, facet_nodes
+from thunderbolt_tpu.mesh.elements import get_element
+from thunderbolt_tpu.mesh.generators import elevate_to_quadratic
+
+
+_P2_OF = {"line2": "line3", "tri3": "tri6", "quad4": "quad9",
+          "tet4": "tet10", "hex8": "hex27"}
+
+
+@lru_cache(maxsize=None)
+def _child_templates(celltype: str):
+    """Children of a refined cell as index tuples into the P2 cell's nodes."""
+    el = get_element(celltype)
+    p2 = get_element(_P2_OF[celltype])
+    ref = p2.ref_nodes
+
+    def find(pt):
+        d = np.linalg.norm(ref - pt[None], axis=1)
+        i = int(np.argmin(d))
+        assert d[i] < 1e-12, (celltype, pt)
+        return i
+
+    corners = el.ref_nodes
+    children = []
+    if celltype in ("line2", "quad4", "hex8"):
+        # octant sub-cells: shrink toward each corner by 1/2
+        for c in corners:
+            sub = corners * 0.5 + c * 0.5
+            children.append(tuple(find(p) for p in sub))
+    elif celltype == "tri3":
+        m01 = (corners[0] + corners[1]) / 2
+        m12 = (corners[1] + corners[2]) / 2
+        m20 = (corners[2] + corners[0]) / 2
+        for tri in ([corners[0], m01, m20], [m01, corners[1], m12],
+                    [m20, m12, corners[2]], [m01, m12, m20]):
+            children.append(tuple(find(p) for p in tri))
+    elif celltype == "tet4":
+        c = corners
+        m = {(i, j): (c[i] + c[j]) / 2 for i in range(4) for j in range(4)
+             if i < j}
+        # 4 corner tets
+        tets = [
+            [c[0], m[(0, 1)], m[(0, 2)], m[(0, 3)]],
+            [m[(0, 1)], c[1], m[(1, 2)], m[(1, 3)]],
+            [m[(0, 2)], m[(1, 2)], c[2], m[(2, 3)]],
+            [m[(0, 3)], m[(1, 3)], m[(2, 3)], c[3]],
+        ]
+        # central octahedron (m01, m02, m03, m12, m13, m23) split along the
+        # m01-m23 diagonal into 4 tets
+        a, b = m[(0, 1)], m[(2, 3)]
+        ring = [m[(0, 2)], m[(1, 2)], m[(1, 3)], m[(0, 3)]]
+        for k in range(4):
+            tets.append([a, b, ring[k], ring[(k + 1) % 4]])
+        for tet in tets:
+            idx = [find(p) for p in tet]
+            vol = np.linalg.det(np.asarray([ref[idx[1]] - ref[idx[0]],
+                                            ref[idx[2]] - ref[idx[0]],
+                                            ref[idx[3]] - ref[idx[0]]]))
+            if vol < 0:
+                idx[1], idx[2] = idx[2], idx[1]
+            children.append(tuple(idx))
+    else:
+        raise KeyError(celltype)
+    return tuple(children)
+
+
+def uniform_refinement(mesh: Mesh, n: int = 1) -> Mesh:
+    """Refine each cell into 2^dim (tri/tet: 4/8) children, n times
+    (``tools.jl:257``)."""
+    for _ in range(n):
+        mesh = _refine_once(mesh)
+    return mesh
+
+
+def _refine_once(mesh: Mesh) -> Mesh:
+    p2 = elevate_to_quadratic(mesh)
+    new_blocks = []
+    cellset_children: Dict[int, List[int]] = {}
+    gchild = 0
+    for b, b2 in zip(mesh.blocks, p2.blocks):
+        tpl = _child_templates(b.celltype)
+        conns = []
+        for c in range(b.ncells):
+            row = b2.connectivity[c]
+            for t in tpl:
+                conns.append(row[list(t)])
+                cellset_children.setdefault(b.cell_offset + c, []).append(
+                    gchild)
+                gchild += 1
+        new_blocks.append(ElementBlock(b.celltype,
+                                       np.asarray(conns, np.int32)))
+    out = Mesh(p2.nodes, new_blocks)
+
+    # facetset transfer by the allowed-node subset rule
+    if mesh.facetsets:
+        allowed: Dict[str, set] = {}
+        for name in mesh.facetsets:
+            nodes = set()
+            for gc, lf in mesh.facetset(name):
+                bi, lc = mesh.block_of_cell(int(gc))
+                b2 = p2.blocks[bi]
+                el2 = b2.element
+                nodes.update(facet_nodes(el2, int(lf), b2.connectivity[lc]))
+            allowed[name] = nodes
+        fsets = {name: [] for name in mesh.facetsets}
+        for gc, lf in out.boundary_facets():
+            bi, lc = out.block_of_cell(int(gc))
+            bb = out.blocks[bi]
+            fac = bb.element.facets[lf]
+            fnodes = set(int(v) for v in bb.connectivity[lc, list(fac)])
+            for name, ok in allowed.items():
+                if fnodes <= ok:
+                    fsets[name].append((gc, lf))
+                    break
+        out.facetsets = {k: np.asarray(v, np.int64)
+                         for k, v in fsets.items() if v}
+        for k in out.facetsets:
+            out.nodesets[k] = out.nodes_of_facetset(k)
+    for k, v in mesh.nodesets.items():
+        out.nodesets.setdefault(k, v)  # parent node ids persist
+    for k, cells in mesh.cellsets.items():
+        out.cellsets[k] = np.asarray(sorted(
+            ch for c in cells for ch in cellset_children[int(c)]), np.int64)
+    return out
+
+
+def hexahedralize(mesh: Mesh) -> Mesh:
+    """Convert every cell to hexahedra (2D: quadrilaterals) by barycentric
+    subdivision through the P2 entity points (``tools.jl:1-5``):
+    tri -> 3 quads, quad -> 4 quads, tet -> 4 hexes, hex -> 8 hexes."""
+    p2 = elevate_to_quadratic(mesh)
+    new_blocks = []
+    quads, hexes = [], []
+    for b, b2 in zip(mesh.blocks, p2.blocks):
+        ct = b.celltype
+        for c in range(b.ncells):
+            r = b2.connectivity[c]
+            if ct == "quad4":
+                # corners 0-3, edge mids 4-7 (b,r,t,l), center 8
+                quads += [[r[0], r[4], r[8], r[7]], [r[4], r[1], r[5], r[8]],
+                          [r[8], r[5], r[2], r[6]], [r[7], r[8], r[6], r[3]]]
+            elif ct == "tri3":
+                # corners 0-2, mids 3(01),4(12),5(20); centroid = center? tri6
+                # has no center node — create via quad of corner/mid/centroid:
+                raise NotImplementedError(
+                    "tri hexahedralization requires centroid nodes; "
+                    "use quad meshes or refine first")
+            elif ct == "hex8":
+                for t in _child_templates("hex8"):
+                    hexes.append(r[list(t)])
+            elif ct == "tet4":
+                # corner hexes: corner, 3 edge mids, 3 face centroids, cell
+                # centroid — tet10 lacks face/cell points, so build them here
+                raise NotImplementedError(
+                    "tet hexahedralization lands with face/cell entity "
+                    "generation; refine hex meshes directly instead")
+            else:
+                raise NotImplementedError(ct)
+    if quads:
+        new_blocks.append(ElementBlock("quad4", np.asarray(quads, np.int32)))
+    if hexes:
+        new_blocks.append(ElementBlock("hex8", np.asarray(hexes, np.int32)))
+    out = Mesh(p2.nodes, new_blocks)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# external loaders
+# ---------------------------------------------------------------------------
+
+_MFEM_TYPES = {1: ("line2", 2), 2: ("tri3", 3), 3: ("quad4", 4),
+               4: ("tet4", 4), 5: ("hex8", 8)}
+
+
+def load_mfem_grid(filename: str) -> Mesh:
+    """MFEM v1.0 ascii meshes (``tools.jl:502``); boundary attributes become
+    facetsets named by their attribute id."""
+    with open(filename) as f:
+        lines = [ln.strip() for ln in f]
+    assert lines[0] == "MFEM mesh v1.0", lines[0]
+
+    def section(name):
+        i = lines.index(name)
+        return i + 1
+
+    i = section("dimension")
+    dim = int(lines[i])
+    i = section("elements")
+    ne = int(lines[i])
+    blocks: Dict[str, List] = {}
+    for k in range(ne):
+        vals = [int(v) for v in lines[i + 1 + k].split()]
+        attr, etype, conn = vals[0], vals[1], vals[2:]
+        if etype not in _MFEM_TYPES:
+            raise NotImplementedError(f"MFEM geometry type {etype}")
+        name, nn = _MFEM_TYPES[etype]
+        if etype == 2:
+            conn = [conn[1], conn[2], conn[0]]  # reference rotation
+        blocks.setdefault(name, []).append(conn[:nn])
+    i = section("vertices")
+    nv = int(lines[i])
+    sdim = int(lines[i + 1])
+    verts = np.asarray([[float(v) for v in lines[i + 2 + k].split()]
+                        for k in range(nv)])
+    mesh = Mesh(verts, [ElementBlock(n, np.asarray(c, np.int32))
+                        for n, c in blocks.items()])
+    # boundary section -> facetsets by attribute
+    try:
+        i = section("boundary")
+        nb = int(lines[i])
+        bnd: Dict[int, List[frozenset]] = {}
+        for k in range(nb):
+            vals = [int(v) for v in lines[i + 1 + k].split()]
+            bnd.setdefault(vals[0], []).append(frozenset(vals[2:]))
+        lookup = {}
+        for gc, lf in mesh.boundary_facets():
+            bi, lc = mesh.block_of_cell(int(gc))
+            b = mesh.blocks[bi]
+            key = frozenset(int(v) for v in
+                            b.connectivity[lc, list(b.element.facets[lf])])
+            lookup[key] = (gc, lf)
+        for attr, keys in bnd.items():
+            fs = [lookup[k] for k in keys if k in lookup]
+            if fs:
+                mesh.facetsets[str(attr)] = np.asarray(fs, np.int64)
+    except ValueError:
+        pass
+    return mesh
+
+
+_CARP_TYPES = {"Ln": ("line2", 2), "Tr": ("tri3", 3), "Qd": ("quad4", 4),
+               "Tt": ("tet4", 4), "Hx": ("hex8", 8)}
+
+
+def load_carp_grid(basename: str) -> Mesh:
+    """openCARP .pts/.elem pair (``tools.jl:660``); the trailing element tag
+    becomes a cellset."""
+    pts = open(basename + ".pts").read().split()
+    npts = int(pts[0])
+    nodes = np.asarray(pts[1:1 + 3 * npts], dtype=float).reshape(npts, 3)
+    lines = open(basename + ".elem").read().splitlines()
+    ne = int(lines[0].split()[0])
+    blocks: Dict[str, List] = {}
+    tags: Dict[str, List] = {}
+    order = []
+    for k in range(ne):
+        parts = lines[1 + k].split()
+        name, nn = _CARP_TYPES[parts[0]]
+        conn = [int(v) for v in parts[1:1 + nn]]
+        tag = parts[1 + nn] if len(parts) > 1 + nn else "0"
+        blocks.setdefault(name, []).append(conn)
+        tags.setdefault(name, []).append(tag)
+        order.append(name)
+    mesh = Mesh(nodes, [ElementBlock(n, np.asarray(c, np.int32))
+                        for n, c in blocks.items()])
+    off = 0
+    cellsets: Dict[str, List] = {}
+    for b in mesh.blocks:
+        for i, tag in enumerate(tags[b.celltype]):
+            cellsets.setdefault(tag, []).append(b.cell_offset + i)
+    mesh.cellsets.update({k: np.asarray(v, np.int64)
+                          for k, v in cellsets.items()})
+    return mesh
+
+
+def load_voom2_grid(basename: str) -> Mesh:
+    """voom2 legacy .nodes/.ele pair (``tools.jl:491``); 1-based indices."""
+    toks = open(basename + ".nodes").read().split()
+    npts, sdim = int(toks[0]), int(toks[1])
+    data = np.asarray(toks[4:4 + npts * (1 + sdim)], dtype=float
+                      ).reshape(npts, 1 + sdim)
+    ids = data[:, 0].astype(int)
+    nodes = np.zeros((int(ids.max()), sdim))
+    nodes[ids - 1] = data[:, 1:]
+    lines = [ln for ln in open(basename + ".ele").read().splitlines()
+             if ln.strip()]
+    ne = int(lines[0].split()[0])
+    blocks: Dict[str, List] = {}
+    for k in range(ne):
+        parts = [int(v) for v in lines[1 + k].split()]
+        nn = parts[1]
+        conn = [v - 1 for v in parts[2:2 + nn]]
+        name = {2: "line2", 3: "tri3", 4: "tet4", 8: "hex8"}[nn]
+        blocks.setdefault(name, []).append(conn)
+    return Mesh(nodes, [ElementBlock(n, np.asarray(c, np.int32))
+                        for n, c in blocks.items()])

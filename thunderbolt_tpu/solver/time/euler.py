@@ -59,6 +59,30 @@ class BackwardEulerSolver:
 
         return step
 
+    def make_step_dt(self, fn: AffineODEFunction):
+        """Variant with dt as a TRACED argument (adaptive splitting):
+        A = M - dt K is re-formed in-kernel each step — the same cheap
+        O(nnz) re-forming the reference does on dt change
+        (euler.jl:110-116)."""
+        ch = fn.constraints
+        source = fn.source
+
+        def step(u, t, dt):
+            A_raw = fn.M.axpby(1.0, fn.K, -dt)
+            A = ch.apply_operator(A_raw) if ch is not None else A_raw
+            Minv = jacobi_preconditioner(A.diagonal()) \
+                if self.preconditioner == "jacobi" else None
+            b = fn.M.mv(u)
+            if source is not None:
+                b = b + dt * source(t + dt)
+            if ch is not None:
+                b = ch.apply_rhs(A_raw, b)
+            x, info = cg(A.mv, b, x0=u, Minv=Minv, rtol=self.rtol,
+                         atol=self.atol, maxiter=self.maxiter)
+            return x
+
+        return step
+
 
 @dataclass(frozen=True)
 class ForwardEulerSolver:
@@ -105,6 +129,21 @@ class ForwardEulerCellSolver:
 
         return step
 
+    def make_step_dt(self, fn: PointwiseODEFunction):
+        ion, x, n = fn.ion, fn.x, self.substeps
+
+        def step(u, t, dt):
+            h = dt / n
+            U = fn.reshape(u)
+
+            def body(i, U):
+                return U + h * ion.rhs(U, x, t + i * h)
+
+            U = jax.lax.fori_loop(0, n, body, U)
+            return U.reshape(-1)
+
+        return step
+
 
 @dataclass(frozen=True)
 class AdaptiveForwardEulerSubstepper:
@@ -131,6 +170,29 @@ class AdaptiveForwardEulerSubstepper:
 
             def body(i, Uf):
                 # reuse the already-computed slope on the first substep
+                dUf = jax.lax.cond(i == 0, lambda: dU,
+                                   lambda: ion.rhs(Uf, x, t + i * h))
+                return Uf + h * dUf
+
+            fine = jax.lax.fori_loop(0, n, body, U)
+            out = jnp.where(need_fine[None, :], fine, coarse)
+            return out.reshape(-1)
+
+        return step
+
+    def make_step_dt(self, fn: PointwiseODEFunction):
+        ion, x = fn.ion, fn.x
+        n = self.substeps
+        p = ion.phi_index
+
+        def step(u, t, dt):
+            h = dt / n
+            U = fn.reshape(u)
+            dU = ion.rhs(U, x, t)
+            coarse = U + dt * dU
+            need_fine = jnp.abs(dU[p]) > self.reaction_threshold
+
+            def body(i, Uf):
                 dUf = jax.lax.cond(i == 0, lambda: dU,
                                    lambda: ion.rhs(Uf, x, t + i * h))
                 return Uf + h * dUf
@@ -171,6 +233,30 @@ class RushLarsenCellSolver:
 
             def body(i, U):
                 return substep(U, t + i * h)
+
+            U = jax.lax.fori_loop(0, n, body, U)
+            return U.reshape(-1)
+
+        return step
+
+    def make_step_dt(self, fn: PointwiseODEFunction):
+        ion, x = fn.ion, fn.x
+        gidx = jnp.asarray(ion.gating_indices)
+        if len(ion.gating_indices) == 0:
+            raise ValueError(f"{type(ion).__name__} exposes no gate structure")
+        n = self.substeps
+
+        def step(u, t, dt):
+            h = dt / n
+            U = fn.reshape(u)
+
+            def body(i, U):
+                ti = t + i * h
+                dU = ion.rhs(U, x, ti)
+                inf, tau = ion.gating_inf_tau(U, x, ti)
+                euler = U + h * dU
+                gates = inf + (U[gidx] - inf) * jnp.exp(-h / tau)
+                return euler.at[gidx].set(gates)
 
             U = jax.lax.fori_loop(0, n, body, U)
             return U.reshape(-1)

@@ -81,8 +81,14 @@ class Integrator:
         return self.u
 
 
-def init(fn, alg, u0, tspan, dt) -> Integrator:
-    """SciML-style entry (``type.jl:253`` __init)."""
+def init(fn, alg, u0, tspan, dt) -> "Integrator":
+    """SciML-style entry (``type.jl:253`` __init). A
+    ReactionTangentController algorithm yields the adaptive split
+    integrator."""
+    from thunderbolt_tpu.solver.time.controllers import (
+        ReactionTangentController)
+    if isinstance(alg, ReactionTangentController):
+        return AdaptiveSplitIntegrator(fn, alg, u0, tspan, dt)
     return Integrator(fn, alg, u0, tspan, dt)
 
 
@@ -103,3 +109,65 @@ def TimeChoiceIterator(integ: Integrator, ts):
     for t in ts:
         integ.advance_to(float(t))
         yield integ.t, integ.u
+
+
+class AdaptiveSplitIntegrator:
+    """Reaction-tangent-controlled operator splitting: the entire adaptive
+    march (variable dt in the carry, sigma(R) step-size law) runs inside one
+    jitted ``lax.while_loop`` — the TPU-native form of the reference's
+    controller-driven split integrator (``src/solver/time/rtc.jl``;
+    SURVEY.md §7 "adaptive dt under jit").
+    """
+
+    def __init__(self, fn, rtc, u0, tspan, dt0=None):
+        from thunderbolt_tpu.disc.functions import GenericSplitFunction
+        assert isinstance(fn, GenericSplitFunction)
+        self.fn = fn
+        self.rtc = rtc
+        self.u = u0
+        self.t = float(tspan[0])
+        self.tspan = tspan
+        self.dt = float(dt0 if dt0 is not None else rtc.dt_bounds[1])
+        self.stats = IntegratorStats()
+
+        heat, cells = fn.functions
+        hr, cr = fn.ranges
+        heat_step = rtc.algorithms[0].make_step_dt(heat)
+        cell_step = rtc.algorithms[1].make_step_dt(cells)
+        ion = cells.ion
+        p = ion.phi_index
+
+        def advance(u, t, dt, t_target):
+            def cond(s):
+                u, t, dt, n = s
+                return t < t_target - 1e-9
+
+            def body(s):
+                u, t, dt, n = s
+                dtc = jnp.minimum(dt, t_target - t)
+                u = u.at[hr].set(heat_step(u[hr], t, dtc))
+                u = u.at[cr].set(cell_step(u[cr], t, dtc))
+                U = cells.reshape(u[cr])
+                # reaction tangent: max d(phi)/dt after the step (rtc.jl:52)
+                R = jnp.max(ion.rhs(U, cells.x, t + dtc)[p])
+                return (u, t + dtc, rtc.next_dt(R), n + 1)
+
+            return jax.lax.while_loop(
+                cond, body,
+                (u, jnp.asarray(t, u.dtype), jnp.asarray(dt, u.dtype),
+                 jnp.asarray(0, jnp.int32)))
+
+        self._advance = jax.jit(advance)
+
+    def advance_to(self, t_target):
+        u, t, dt, n = self._advance(self.u, self.t, self.dt,
+                                    float(t_target))
+        self.u = u
+        self.t = float(t)
+        self.dt = float(dt)
+        self.stats.naccept += int(n)
+        return self
+
+    def solve(self):
+        self.advance_to(self.tspan[1])
+        return self.u
