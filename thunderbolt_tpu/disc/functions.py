@@ -93,6 +93,63 @@ class PointwiseODEFunction:
         return u.reshape(self.ion.nstates, self.npoints)
 
 
+@dataclass(frozen=True)
+class MultiODEPart:
+    """One subdomain's pointwise system within a PointwiseMultiODEFunction:
+    its ionic model, the global dofs of its phi points, and where its non-phi
+    state block lives in the flat solution vector."""
+    ion: Any
+    phi_dofs: Any            # int32 [n_k] global dofs of the phi points
+    state_offset: int        # start of the (nstates-1)*n_k SoA state block
+    x: Any = None            # per-point coordinates
+
+    @property
+    def npoints(self):
+        return self.phi_dofs.shape[0]
+
+    @property
+    def state_size(self):
+        return (self.ion.nstates - 1) * self.npoints
+
+    def gather(self, u):
+        """[nstates, n_k] SoA state with phi inserted at ion.phi_index."""
+        import jax.numpy as jnp
+        ion = self.ion
+        phi = u[self.phi_dofs]
+        ns = ion.nstates
+        S = u[self.state_offset:self.state_offset + self.state_size
+              ].reshape(ns - 1, self.npoints)
+        rows = []
+        k = 0
+        for i in range(ns):
+            if i == ion.phi_index:
+                rows.append(phi)
+            else:
+                rows.append(S[k])
+                k += 1
+        return jnp.stack(rows)
+
+    def scatter(self, u, U):
+        import jax.numpy as jnp
+        ion = self.ion
+        ns = ion.nstates
+        u = u.at[self.phi_dofs].set(U[ion.phi_index])
+        rows = [U[i] for i in range(ns) if i != ion.phi_index]
+        if rows:
+            u = u.at[self.state_offset:self.state_offset + self.state_size
+                     ].set(jnp.stack(rows).reshape(-1))
+        return u
+
+
+@dataclass
+class PointwiseMultiODEFunction:
+    """Per-subdomain pointwise ODE systems sharing the global phi dofs
+    (parity: ``PointwiseMultiODEFunction``, ``functions.jl:72`` + the
+    multi-subdomain EP packing of ``fem.jl:434-542``)."""
+    parts: Tuple
+    solution_size: int
+
+
 @dataclass
 class NullFunction:
     """Placeholder subproblem (``functions.jl:35``)."""

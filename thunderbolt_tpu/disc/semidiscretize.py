@@ -43,7 +43,8 @@ from thunderbolt_tpu.models.ep import (
 )
 from thunderbolt_tpu.disc.functions import (
     AffineODEFunction, AffineSteadyStateFunction, PointwiseODEFunction,
-    GenericSplitFunction, VariableInfo,
+    PointwiseMultiODEFunction, MultiODEPart, GenericSplitFunction,
+    VariableInfo,
 )
 
 
@@ -146,6 +147,8 @@ def _(model: SteadyDiffusionModel, disc, mesh):
 @semidiscretize.register
 def _(split: ReactionDiffusionSplit, disc, mesh):
     model = split.model
+    if isinstance(model, dict):
+        return _semidiscretize_multidomain_split(model, disc, mesh)
     if not isinstance(model, MonodomainModel):
         raise NotImplementedError(
             f"ReactionDiffusionSplit of {type(model).__name__}")
@@ -217,3 +220,111 @@ def _(split: ReactionDiffusionSplit, disc, mesh):
         ranges=(heat_range, cell_range),
         variables_map=variables,
     )
+
+
+def _semidiscretize_multidomain_split(models: dict, disc, mesh):
+    """Dict of per-subdomain MonodomainModels -> one heat problem over the
+    union + PointwiseMultiODEFunction (parity: ``fem.jl:434-542``). Each phi
+    dof is owned by the FIRST subdomain (dict order) that touches it; the
+    state layout is [phi(all); states_sub1; states_sub2; ...] with explicit
+    gather/scatter index maps replacing the reference's overlapping views."""
+    names = list(models.keys())
+    first = models[names[0]]
+    phisym = first.transmembrane_solution_symbol
+    spec = disc.field_spec(phisym)
+    dh = DofHandler(mesh).add_field(
+        phisym, order=spec.order, subdomains=tuple(names)).close()
+    dtype = disc.dtype
+    nd = dh.fields[phisym].ndofs
+
+    pattern = build_sparsity([s.cell_dofs for s in dh.subdata(phisym)],
+                             dh.ndofs)
+    # the subdata list covers the union; re-derive PER-SUBDOMAIN batches
+    mvals = jnp.zeros(pattern.nnz, dtype)
+    kvals = jnp.zeros(pattern.nnz, dtype)
+    mlump = jnp.zeros(dh.ndofs, dtype)
+    stim_parts = []
+    dof_owner = np.full(nd, -1, dtype=np.int64)
+    part_dofs = []
+    for si, name in enumerate(names):
+        m = models[name]
+        cells_in = set(mesh.cellset(name).tolist())
+        sub_entities = set()
+        Dcoeff = ConductivityToDiffusivityCoefficient(m.kappa, m.Cm, m.chi)
+        for s in dh.subdata(phisym):
+            mask = np.isin(np.asarray(s.cells), list(cells_in))
+            if not mask.any():
+                continue
+            import dataclasses as _dc
+            s_sub = _dc.replace(
+                s, cells=s.cells[mask], local_cells=s.local_cells[mask],
+                cell_dofs=s.cell_dofs[mask], cell_entities=s.cell_entities[mask])
+            batch = make_form_batch(dh, s_sub, degree=disc.degree_for(phisym),
+                                    dtype=dtype)
+            # element map for the restricted batch: rebuild via pair lookup
+            em_full = None
+            for sf, emf in zip(dh.subdata(phisym), pattern.elem_maps):
+                if sf is s:
+                    em_full = emf[mask]
+            em = jnp.asarray(em_full)
+            mvals = mvals + scatter_matrix(element_mass(batch), em,
+                                           pattern.nnz)
+            kc = setup_coefficient_cache(Dcoeff, batch)
+            D = evaluate_coefficient(kc, 0.0)
+            kvals = kvals + scatter_matrix(element_diffusion(batch, D), em,
+                                           pattern.nnz)
+            mlump = mlump + lumped_mass(batch, dh.ndofs)
+            if isinstance(m.stim, AnalyticalTransmembraneStimulationProtocol):
+                cm_cache = setup_coefficient_cache(m.Cm, batch)
+                inv_cm = 1.0 / evaluate_coefficient(cm_cache, 0.0)
+                stim_parts.append((batch, m.stim, inv_cm))
+            ents = np.unique(np.asarray(s_sub.cell_entities))
+            free = ents[dof_owner[ents] < 0]
+            dof_owner[free] = si
+            sub_entities.update(ents.tolist())
+        part_dofs.append(sub_entities)
+
+    source = None
+    if stim_parts:
+        def source(t):
+            b = jnp.zeros(dh.ndofs, dtype)
+            for batch, stim, inv_cm in stim_parts:
+                fe = element_load(batch, stim.current(batch.xq, t) * inv_cm)
+                b = b + scatter_vector(fe, batch.cell_dofs, dh.ndofs)
+            return b
+
+    heat = AffineODEFunction(
+        dh=dh, field=phisym, pattern=pattern, M=csr_to_ell(pattern, mvals),
+        K=csr_to_ell(pattern, kvals), source=source,
+        lumped_mass=mlump)
+
+    fi = dh.fields[phisym]
+    coords = fi.entity_coords
+    parts = []
+    offset = nd
+    variables = {phisym: VariableInfo(0, nd, coords)}
+    for si, name in enumerate(names):
+        m = models[name]
+        dofs = np.asarray(sorted(e for e in part_dofs[si]
+                                 if dof_owner[e] == si), dtype=np.int32)
+        ion = m.ion
+        xk = jnp.asarray(coords[dofs], dtype)
+        part = MultiODEPart(ion=ion, phi_dofs=jnp.asarray(dofs),
+                            state_offset=offset, x=xk)
+        parts.append(part)
+        nk = dofs.shape[0]
+        k = 0
+        for i, symname in enumerate(ion.state_symbols):
+            if i == ion.phi_index:
+                continue
+            variables[f"{name}/{symname}"] = VariableInfo(
+                offset + k * nk, nk, coords[dofs])
+            k += 1
+        offset += (ion.nstates - 1) * nk
+
+    cells_fn = PointwiseMultiODEFunction(parts=tuple(parts),
+                                         solution_size=offset)
+    return GenericSplitFunction(
+        functions=(heat, cells_fn),
+        ranges=(slice(0, nd), slice(0, offset)),
+        variables_map=variables)

@@ -14,8 +14,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from thunderbolt_tpu.disc.functions import (
-    AffineODEFunction, PointwiseODEFunction, GenericSplitFunction,
-    VariableInfo,
+    AffineODEFunction, PointwiseODEFunction, PointwiseMultiODEFunction,
+    GenericSplitFunction, VariableInfo,
 )
 
 
@@ -36,6 +36,18 @@ def create_initial_condition(fn, dtype=jnp.float32):
             if isinstance(sub, PointwiseODEFunction):
                 init = sub.ion.initial_state_array(sub.npoints, np.float64)
                 u0[rng] = init.reshape(-1)
+            elif isinstance(sub, PointwiseMultiODEFunction):
+                for part in sub.parts:
+                    ion = part.ion
+                    rest = np.asarray(ion.default_initial_state())
+                    u0[np.asarray(part.phi_dofs)] = rest[ion.phi_index]
+                    rows = [rest[i] for i in range(ion.nstates)
+                            if i != ion.phi_index]
+                    if rows:
+                        blk = np.repeat(np.asarray(rows)[:, None],
+                                        part.npoints, axis=1)
+                        u0[part.state_offset:
+                           part.state_offset + part.state_size] = blk.reshape(-1)
         return jnp.asarray(u0, dtype)
     return jnp.zeros(fn.solution_size, dtype)
 

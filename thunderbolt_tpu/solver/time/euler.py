@@ -22,7 +22,27 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from thunderbolt_tpu.disc.functions import AffineODEFunction, PointwiseODEFunction
+from thunderbolt_tpu.disc.functions import (
+    AffineODEFunction, PointwiseODEFunction, PointwiseMultiODEFunction)
+
+
+def _make_multi_step(solver, fn: PointwiseMultiODEFunction, dt):
+    """Compose per-part SoA kernels over a PointwiseMultiODEFunction."""
+    substeps = []
+    for part in fn.parts:
+        sub_fn = PointwiseODEFunction(ion=part.ion, npoints=part.npoints,
+                                      x=part.x)
+        kernel = solver.make_step(sub_fn, dt)
+        substeps.append((part, kernel))
+
+    def step(u, t):
+        for part, kernel in substeps:
+            U = part.gather(u)
+            U2 = kernel(U.reshape(-1), t).reshape(U.shape)
+            u = part.scatter(u, U2)
+        return u
+
+    return step
 from thunderbolt_tpu.solver.linear import cg, jacobi_preconditioner
 
 
@@ -114,7 +134,9 @@ class ForwardEulerCellSolver:
 
     substeps: int = 1
 
-    def make_step(self, fn: PointwiseODEFunction, dt):
+    def make_step(self, fn, dt):
+        if isinstance(fn, PointwiseMultiODEFunction):
+            return _make_multi_step(self, fn, dt)
         ion, x, n = fn.ion, fn.x, self.substeps
         h = dt / n
 
@@ -156,7 +178,9 @@ class AdaptiveForwardEulerSubstepper:
     reaction_threshold: float = 0.1
     substeps: int = 8
 
-    def make_step(self, fn: PointwiseODEFunction, dt):
+    def make_step(self, fn, dt):
+        if isinstance(fn, PointwiseMultiODEFunction):
+            return _make_multi_step(self, fn, dt)
         ion, x = fn.ion, fn.x
         n = self.substeps
         h = dt / n
@@ -213,7 +237,9 @@ class RushLarsenCellSolver:
 
     substeps: int = 1
 
-    def make_step(self, fn: PointwiseODEFunction, dt):
+    def make_step(self, fn, dt):
+        if isinstance(fn, PointwiseMultiODEFunction):
+            return _make_multi_step(self, fn, dt)
         ion, x = fn.ion, fn.x
         gidx = jnp.asarray(ion.gating_indices)
         if len(ion.gating_indices) == 0:
