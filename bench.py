@@ -51,11 +51,11 @@ def main():
     dt = 1.0
     integ = tb.init(odeform, alg, u0, (0.0, 1e9), dt)
 
-    # warmup: compile + 20 steps
-    integ.step(20)
+    # warmup: compile + spin up the spiral so CG sees live dynamics
+    integ.step(150)
     integ.u.block_until_ready()
 
-    nsteps = 300
+    nsteps = 2000
     t0 = time.perf_counter()
     integ.step(nsteps)
     integ.u.block_until_ready()

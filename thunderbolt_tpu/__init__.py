@@ -18,6 +18,14 @@ Reference parity is documented per-module with ``file:line`` citations into
 the reference tree.
 """
 
+import jax as _jax
+
+# FEM geometry Jacobians involve catastrophic cancellation at element scale
+# (detJ ~ h^dim); TPU's default bf16 MXU passes zero them out and poison the
+# assembly with NaNs. Our matmuls are tiny, so full-f32 einsums cost little.
+# Users can relax this per-region with jax.default_matmul_precision(...).
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from thunderbolt_tpu.mesh.mesh import Mesh, ElementBlock
 from thunderbolt_tpu.mesh.generators import (
     generate_mesh,

@@ -53,6 +53,10 @@ class AffineODEFunction:
     source: Optional[Callable] = None       # t -> rhs vector (jit-traceable)
     lumped_mass: Optional[Any] = None       # [n] row-sum mass (explicit path)
     constraints: Optional[Any] = None
+    #: DIA fast-path operators (None when the dof ordering is too scattered
+    #: or on sharded/padded copies) — see fem/sparsity.DIAMatrix
+    M_dia: Optional[Any] = None
+    K_dia: Optional[Any] = None
 
     @property
     def solution_size(self):

@@ -31,7 +31,7 @@ from thunderbolt_tpu.fem.forms import (
     make_form_batch, element_mass, element_diffusion, element_load,
     scatter_matrix, scatter_vector, lumped_mass,
 )
-from thunderbolt_tpu.fem.sparsity import build_sparsity, csr_to_ell
+from thunderbolt_tpu.fem.sparsity import build_sparsity, csr_to_ell, csr_to_dia
 from thunderbolt_tpu.models.coefficients import (
     setup_coefficient_cache, evaluate_coefficient,
     ConductivityToDiffusivityCoefficient,
@@ -71,6 +71,8 @@ def _assemble_heat(dh: DofHandler, field: str, kappa, disc, mesh,
         mlump = mlump + lumped_mass(batch, dh.ndofs)
     M = csr_to_ell(pattern, mvals)
     K = csr_to_ell(pattern, kvals)
+    M_dia = csr_to_dia(pattern, mvals)
+    K_dia = csr_to_dia(pattern, kvals) if M_dia is not None else None
 
     source = None
     if stim_source is not None:
@@ -83,7 +85,7 @@ def _assemble_heat(dh: DofHandler, field: str, kappa, disc, mesh,
                 b = b + scatter_vector(fe, batch.cell_dofs, dh.ndofs)
             return b
 
-    return pattern, M, K, mlump, source, batches
+    return pattern, M, K, mlump, source, batches, M_dia, K_dia
 
 
 @singledispatch
@@ -110,13 +112,15 @@ def _(model: TransientDiffusionModel, disc, mesh):
                 return jnp.broadcast_to(v, (batch.ncells, batch.nqp))
             return (fq,)
 
-    pattern, M, K, mlump, source, _ = _assemble_heat(
+    pattern, M, K, mlump, source, _, M_dia, K_dia = _assemble_heat(
         dh, sym, model.kappa, disc, mesh, stim_source)
     ch = close_constraints(dh, disc.dbcs, dtype=disc.dtype) if disc.dbcs \
         else None
     return AffineODEFunction(dh=dh, field=sym, pattern=pattern, M=M, K=K,
                              source=source, lumped_mass=mlump,
-                             constraints=ch)
+                             constraints=ch,
+                             M_dia=None if ch is not None else M_dia,
+                             K_dia=None if ch is not None else K_dia)
 
 
 @semidiscretize.register
@@ -133,7 +137,7 @@ def _(model: SteadyDiffusionModel, disc, mesh):
                 v = evaluate_coefficient(cache, t)
                 return jnp.broadcast_to(v, (batch.ncells, batch.nqp))
             return (fq,)
-    pattern, M, K, mlump, source, _ = _assemble_heat(
+    pattern, M, K, mlump, source, _, _, _ = _assemble_heat(
         dh, sym, model.kappa, disc, mesh, stim_source)
     ch = close_constraints(dh, disc.dbcs, dtype=disc.dtype)
     rhs = source(0.0) if source is not None else jnp.zeros(dh.ndofs, disc.dtype)
@@ -179,10 +183,11 @@ def _(split: ReactionDiffusionSplit, disc, mesh):
     elif not isinstance(model.stim, NoStimulationProtocol):
         raise NotImplementedError(type(model.stim).__name__)
 
-    pattern, M, K, mlump, source, _ = _assemble_heat(
+    pattern, M, K, mlump, source, _, M_dia, K_dia = _assemble_heat(
         dh, phisym, Dcoeff, disc, mesh, stim_source)
     heat = AffineODEFunction(dh=dh, field=phisym, pattern=pattern, M=M, K=K,
-                             source=source, lumped_mass=mlump)
+                             source=source, lumped_mass=mlump,
+                             M_dia=M_dia, K_dia=K_dia)
 
     # pointwise reaction at the phi dofs (nodal collocation — same dof
     # aliasing as the reference, fem.jl:399-402)
@@ -293,10 +298,12 @@ def _semidiscretize_multidomain_split(models: dict, disc, mesh):
                 b = b + scatter_vector(fe, batch.cell_dofs, dh.ndofs)
             return b
 
+    M_dia = csr_to_dia(pattern, mvals)
     heat = AffineODEFunction(
         dh=dh, field=phisym, pattern=pattern, M=csr_to_ell(pattern, mvals),
         K=csr_to_ell(pattern, kvals), source=source,
-        lumped_mass=mlump)
+        lumped_mass=mlump, M_dia=M_dia,
+        K_dia=csr_to_dia(pattern, kvals) if M_dia is not None else None)
 
     fi = dh.fields[phisym]
     coords = fi.entity_coords

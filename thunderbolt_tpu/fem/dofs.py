@@ -113,6 +113,33 @@ class DofHandler:
             for sd in fi.subdomains:
                 sub_cells.update(mesh.cellset(sd).tolist())
 
+            # pre-assign VERTEX entities in mesh-node order: dof numbering
+            # then follows the mesh bandwidth, which keeps the sparsity's
+            # col-row offset set small — the precondition for the DIA SpMV
+            # fast path (fem/sparsity.DIAMatrix). First-touch ordering would
+            # scramble structured grids into gather-bound ELL.
+            touched = np.zeros(mesh.nnodes, dtype=bool)
+            for bi_, b_ in enumerate(mesh.blocks):
+                gcells_ = np.arange(b_.cell_offset,
+                                    b_.cell_offset + b_.ncells)
+                mask_ = np.isin(gcells_, list(sub_cells)) \
+                    if len(sub_cells) < mesh.ncells \
+                    else np.ones(b_.ncells, bool)
+                if not mask_.any():
+                    continue
+                gel_ = b_.element
+                fel_ = get_element(field_element_name(b_.celltype, fi.order))
+                conn_ = b_.connectivity[mask_]
+                if fel_.name == b_.celltype:
+                    touched[np.unique(conn_)] = True
+                elif fi.order < gel_.order:
+                    vidx = [gel_.vertices[v] for v in fel_.vertices]
+                    touched[np.unique(conn_[:, vidx])] = True
+                else:
+                    touched[np.unique(conn_[:, list(fel_.vertices)])] = True
+            for nidx in np.nonzero(touched)[0]:
+                ent(("n", int(nidx)), mesh.nodes[nidx])
+
             for bi, b in enumerate(mesh.blocks):
                 gcells = np.arange(b.cell_offset, b.cell_offset + b.ncells)
                 mask = np.isin(gcells, list(sub_cells)) if len(sub_cells) < mesh.ncells \

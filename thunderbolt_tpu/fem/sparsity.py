@@ -175,3 +175,85 @@ def ell_to_scipy(A: ELLMatrix):
     mat = _sp.csr_matrix((vals.ravel(), (rows, cols.ravel())), shape=(n, n))
     mat.sum_duplicates()
     return mat
+
+
+@jax.tree_util.register_pytree_node_class
+class DIAMatrix:
+    """Sparse matrix in diagonal (DIA) storage — the TPU-native SpMV.
+
+    For band-ordered FEM meshes (structured grids are row-major; general
+    meshes get RCM-ordered) the set of column offsets col - row is small
+    (9 for quad4 stencils, 27 for hex8). Storing one value array per offset
+    turns SpMV into static-offset slices of a zero-padded vector + VPU
+    multiply-adds: NO gathers, no MXU, fully fusible by XLA — orders of
+    magnitude faster on TPU than gather-based ELL/CSR.
+
+    y[i] = sum_d diags[d][i] * x[i + offsets[d]]
+    """
+
+    def __init__(self, offsets, diags, n):
+        self.offsets = offsets    # static tuple of ints
+        self.diags = diags        # [ndiag, n] values (0 where absent)
+        self.n = n
+
+    def tree_flatten(self):
+        return (self.diags,), (self.offsets, self.n)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux[0], children[0], aux[1])
+
+    @property
+    def shape(self):
+        return (self.n, self.n)
+
+    def mv(self, x):
+        lo = -min(min(self.offsets), 0)
+        hi = max(max(self.offsets), 0)
+        xp = jnp.pad(x, (lo, hi))
+        acc = jnp.zeros_like(x)
+        for k, d in enumerate(self.offsets):
+            acc = acc + self.diags[k] * jax.lax.dynamic_slice_in_dim(
+                xp, lo + d, self.n)
+        return acc
+
+    def __matmul__(self, x):
+        return self.mv(x)
+
+    def diagonal(self):
+        k = self.offsets.index(0)
+        return self.diags[k]
+
+    def axpby(self, a, other: "DIAMatrix", b):
+        assert self.offsets == other.offsets
+        return DIAMatrix(self.offsets, a * self.diags + b * other.diags,
+                         self.n)
+
+
+def pattern_dia_offsets(pattern: SparsityPattern):
+    """Distinct col-row offsets of the pattern (host, numpy)."""
+    return np.unique(pattern.indices.astype(np.int64)
+                     - pattern.rows.astype(np.int64))
+
+
+def csr_to_dia(pattern: SparsityPattern, csr_vals, dtype=None,
+               max_diags=96):
+    """Convert CSR-slot values to DIA; returns None when the mesh ordering
+    is too scattered (> max_diags distinct offsets) — callers fall back to
+    ELL."""
+    offs = pattern_dia_offsets(pattern)
+    if offs.size > max_diags:
+        return None
+    if dtype is None:
+        dtype = csr_vals.dtype
+    n = pattern.ndofs
+    off_index = {int(d): k for k, d in enumerate(offs)}
+    # flat position of each CSR slot inside the [ndiag, n] value array
+    slot_diag = np.asarray([off_index[int(c) - int(r)]
+                            for r, c in zip(pattern.rows, pattern.indices)],
+                           dtype=np.int64)
+    pos = slot_diag * n + pattern.rows.astype(np.int64)
+    flat = jnp.zeros((offs.size * n,), dtype)
+    flat = flat.at[jnp.asarray(pos)].set(csr_vals.astype(dtype))
+    return DIAMatrix(tuple(int(d) for d in offs),
+                     flat.reshape(offs.size, n), n)

@@ -89,6 +89,7 @@ def pad_split_function(odeform: GenericSplitFunction, multiple: int):
     heat_p = AffineODEFunction(
         dh=heat.dh, field=heat.field, pattern=heat.pattern,
         M=pad_ell(heat.M, 1.0), K=pad_ell(heat.K, 0.0),
+        M_dia=None, K_dia=None,
         source=psource,
         lumped_mass=None if heat.lumped_mass is None
         else jnp.pad(heat.lumped_mass, (0, npad), constant_values=1.0),
@@ -152,6 +153,7 @@ def shard_split_function(odeform: GenericSplitFunction, mesh: Mesh,
     heat_sharded = AffineODEFunction(
         dh=heat.dh, field=heat.field, pattern=heat.pattern,
         M=shard_ell(heat.M), K=shard_ell(heat.K),
+        M_dia=None, K_dia=None,
         source=heat.source,
         lumped_mass=None if heat.lumped_mass is None
         else jax.device_put(heat.lumped_mass, vec_sharded),

@@ -59,8 +59,15 @@ class BackwardEulerSolver:
     maxiter: int = 500
     preconditioner: str = "jacobi"
 
+    def _ops(self, fn):
+        """Prefer the DIA fast path (no gathers) when available."""
+        if fn.M_dia is not None and fn.constraints is None:
+            return fn.M_dia, fn.K_dia
+        return fn.M, fn.K
+
     def make_step(self, fn: AffineODEFunction, dt):
-        A_raw = fn.M.axpby(1.0, fn.K, -dt)
+        M, K = self._ops(fn)
+        A_raw = M.axpby(1.0, K, -dt)
         ch = fn.constraints
         A = ch.apply_operator(A_raw) if ch is not None else A_raw
         Minv = jacobi_preconditioner(A.diagonal()) \
@@ -68,7 +75,7 @@ class BackwardEulerSolver:
         source = fn.source
 
         def step(u, t):
-            b = fn.M.mv(u)
+            b = M.mv(u)
             if source is not None:
                 b = b + dt * source(t + dt)
             if ch is not None:
@@ -87,12 +94,14 @@ class BackwardEulerSolver:
         ch = fn.constraints
         source = fn.source
 
+        M, K = self._ops(fn)
+
         def step(u, t, dt):
-            A_raw = fn.M.axpby(1.0, fn.K, -dt)
+            A_raw = M.axpby(1.0, K, -dt)
             A = ch.apply_operator(A_raw) if ch is not None else A_raw
             Minv = jacobi_preconditioner(A.diagonal()) \
                 if self.preconditioner == "jacobi" else None
-            b = fn.M.mv(u)
+            b = M.mv(u)
             if source is not None:
                 b = b + dt * source(t + dt)
             if ch is not None:

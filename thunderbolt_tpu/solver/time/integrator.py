@@ -41,19 +41,19 @@ class Integrator:
         self.u = u0
         self.stats = IntegratorStats()
         self._step = alg.make_step(fn, self.dt)
-        self._advance = jax.jit(self._make_advance(), static_argnums=2)
+        self._advance = jax.jit(self._make_advance())
 
     def _make_advance(self):
         step = self._step
+        dt = self.dt
 
         def advance(u, t0, nsteps):
-            def body(carry, i):
-                u, = carry
-                u = step(u, t0 + i * self.dt)
-                return (u,), None
+            # nsteps is TRACED (fori_loop), so any step count reuses the one
+            # compiled program — a static count would recompile per change.
+            def body(i, u):
+                return step(u, t0 + i * dt)
 
-            (u,), _ = jax.lax.scan(body, (u,), jnp.arange(nsteps))
-            return u
+            return jax.lax.fori_loop(0, nsteps, body, u)
 
         return advance
 
