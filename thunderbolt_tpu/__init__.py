@@ -149,6 +149,15 @@ from thunderbolt_tpu.models.solid.contraction import (
     ConstantStretchModel,
     CaDrivenInternalSarcomereModel,
 )
+from thunderbolt_tpu.models.solid.contraction_rdq20 import (
+    RDQ20MFModel,
+    AsRateIndependent,
+    StandaloneSarcomereModel,
+)
+from thunderbolt_tpu.models.solid.viscoelastic import LinearMaxwellMaterial
+from thunderbolt_tpu.models.solid.consistency import (
+    ConsistencyCheckWeakBoundaryCondition,
+)
 from thunderbolt_tpu.models.solid.boundary import (
     RobinBC,
     NormalSpringBC,
@@ -185,6 +194,6 @@ from thunderbolt_tpu.models.ecg import (
 )
 import thunderbolt_tpu.disc.coupled  # registers semidiscretize(RSAFDQ2022Split)
 from thunderbolt_tpu.disc.coupled import BlockedNewtonSolver, Coupled3D0DSolver
-from thunderbolt_tpu.io.vtk import ParaViewWriter, write_vtu
+from thunderbolt_tpu.io.vtk import ParaViewWriter, write_vtu, read_vtu
 
 __version__ = "0.1.0"

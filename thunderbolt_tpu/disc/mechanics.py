@@ -101,10 +101,74 @@ class QuasiStaticFunction:
     wbc_kernels: List            # list of (residual, tangent, dofs, elem_map)
     constraints: Any
     volume_elem_maps: List
+    #: condensed per-qp internal state (rate-coupled sarcomeres etc.):
+    #: list of {"Qprev": [nc,nqp,ns], "lam_prev": [nc,nqp]} per batch, plus
+    #: the step context; threaded through Newton as traced extras so the
+    #: cached jits see fresh values every step
+    internal: Optional[List] = None
+    internal_dt: Any = 1.0
+    internal_t: Any = 0.0
 
     @property
     def solution_size(self):
         return self.dh.ndofs
+
+    def newton_extra(self):
+        if self.internal is None:
+            return ()
+        flat = []
+        for st in self.internal:
+            flat.extend([st["Qprev"], st["lam_prev"]])
+        flat.append(jnp.asarray(self.internal_dt))
+        flat.append(jnp.asarray(self.internal_t))
+        return tuple(flat)
+
+    def _states_from_extra(self, extra):
+        if self.internal is None or not extra:
+            return [None] * len(self.batches)
+        out = []
+        k = 0
+        dt, t0 = extra[-2], extra[-1]
+        for _ in self.batches:
+            out.append({"Qprev": extra[k], "lam_prev": extra[k + 1],
+                        "dt": dt, "t": t0})
+            k += 2
+        return out
+
+    def update_internal_state(self, u, t, dt):
+        """Advance the condensed states after an ACCEPTED step (the
+        reference's gto1 commit of local solutions; elements.jl:125-138)."""
+        if self.internal is None:
+            return
+        ncomp = self.dh.fields[self.field].ncomponents
+        new = []
+        for batch, cache, st in zip(self.batches, self.mat_caches,
+                                    self.internal):
+            ue = batch.gather(u).reshape(batch.ncells, batch.nb, ncomp)
+            F, _, _ = element_kinematics(batch, ue)
+            frames = cache["frames"]
+            aux = self.material.aux(cache, t, {
+                "Qprev": st["Qprev"], "lam_prev": st["lam_prev"],
+                "dt": jnp.asarray(dt), "t": jnp.asarray(t)})
+            nc, nqp = F.shape[:2]
+
+            def one(Fq, frame, Qp, lp, Ca):
+                a = {"Qprev": Qp, "lam_prev": lp, "Ca": Ca,
+                     "dt": jnp.asarray(dt, Fq.dtype),
+                     "t": jnp.asarray(t, Fq.dtype)}
+                Q, lam = self.material._condensed_state(Fq, frame, a)
+                return Q, lam
+
+            flatF = F.reshape(nc * nqp, 3, 3)
+            fr = jnp.broadcast_to(frames, (nc, nqp) + frames.shape[-2:]
+                                  ).reshape(nc * nqp, *frames.shape[-2:])
+            Ca = aux.get("Ca", jnp.zeros((nc, nqp), F.dtype)).reshape(-1)
+            Q, lam = jax.vmap(one)(flatF, fr,
+                                   st["Qprev"].reshape(nc * nqp, -1),
+                                   st["lam_prev"].reshape(-1), Ca)
+            new.append({"Qprev": Q.reshape(nc, nqp, -1),
+                        "lam_prev": lam.reshape(nc, nqp)})
+        self.internal = new
 
     def variables(self):
         fi = self.dh.fields[self.field]
@@ -116,11 +180,13 @@ class QuasiStaticFunction:
     def residual(self, u, t, *extra):
         ncomp = self.dh.fields[self.field].ncomponents
         r = jnp.zeros(self.dh.ndofs, u.dtype)
-        for batch, cache in zip(self.batches, self.mat_caches):
+        states = self._states_from_extra(extra)
+        for batch, cache, st in zip(self.batches, self.mat_caches, states):
             stress_only, _ = cache["kernels"]
             ue = batch.gather(u).reshape(batch.ncells, batch.nb, ncomp)
             F, dNdx, detJw = element_kinematics(batch, ue)
-            aux = self.material.aux(cache, t)
+            aux = self.material.aux(cache, t, st) if st is not None \
+                else self.material.aux(cache, t)
             P = stress_only(F, aux)
             re = jnp.einsum("cqiK,cqaK,cq->cai", P, dNdx, detJw)
             r = r + scatter_vector(re.reshape(batch.ncells, -1),
@@ -137,12 +203,14 @@ class QuasiStaticFunction:
         ncomp = self.dh.fields[self.field].ncomponents
         r = jnp.zeros(self.dh.ndofs, u.dtype)
         kvals = jnp.zeros(self.pattern.nnz, u.dtype)
-        for batch, cache, em in zip(self.batches, self.mat_caches,
-                                    self.volume_elem_maps):
+        states = self._states_from_extra(extra)
+        for batch, cache, em, st in zip(self.batches, self.mat_caches,
+                                        self.volume_elem_maps, states):
             _, stress_tangent = cache["kernels"]
             ue = batch.gather(u).reshape(batch.ncells, batch.nb, ncomp)
             F, dNdx, detJw = element_kinematics(batch, ue)
-            aux = self.material.aux(cache, t)
+            aux = self.material.aux(cache, t, st) if st is not None \
+                else self.material.aux(cache, t)
             P, A = stress_tangent(F, aux)
             re = jnp.einsum("cqiK,cqaK,cq->cai", P, dNdx, detJw)
             Ke = jnp.einsum("cqaK,cqiKjL,cqbL,cq->caibj", dNdx, A, dNdx,
@@ -222,10 +290,19 @@ def _(model: QuasiStaticModel, disc: FiniteElementDiscretization, mesh: Mesh):
                                dtype=dtype) for s in subs]
 
     material = model.material_model
+    stateful = getattr(material, "has_internal_state", False)
     mat_caches = []
+    internal = [] if stateful else None
     for batch in batches:
         cache = material.setup(batch)
-        aux0 = material.aux(cache, 0.0)
+        if stateful:
+            st0 = material.internal_template(batch)
+            internal.append(st0)
+            aux0 = material.aux(cache, 0.0, {
+                "Qprev": st0["Qprev"], "lam_prev": st0["lam_prev"],
+                "dt": jnp.asarray(1.0), "t": jnp.asarray(0.0)})
+        else:
+            aux0 = material.aux(cache, 0.0)
         cache["kernels"] = make_material_kernels(
             material, cache["frames"], tuple(aux0.keys()))
         mat_caches.append(cache)
@@ -251,4 +328,5 @@ def _(model: QuasiStaticModel, disc: FiniteElementDiscretization, mesh: Mesh):
     return QuasiStaticFunction(
         dh=dh, field=sym, pattern=pattern, batches=batches,
         material=material, mat_caches=mat_caches, wbc_kernels=wbc_kernels,
-        constraints=ch, volume_elem_maps=volume_elem_maps)
+        constraints=ch, volume_elem_maps=volume_elem_maps,
+        internal=internal)

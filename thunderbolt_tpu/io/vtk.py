@@ -122,3 +122,44 @@ class ParaViewWriter:
         with open(os.path.join(self.dir, f"{self.name}.pvd"), "w") as f:
             f.write("".join(lines))
         return self
+
+
+def read_vtu(path: str):
+    """Read back a VTU written by ``write_vtu`` (parity:
+    ``read_vtk_cobivec``, ``src/ferrite-addons/io.jl:264``). Returns
+    (nodes [n,3], blocks {vtk_type: conn}, point_data {name: array})."""
+    import xml.etree.ElementTree as ET
+
+    def _decode(da):
+        raw = base64.b64decode(da.text.strip())
+        n = struct.unpack("<I", raw[:4])[0]
+        body = raw[4:4 + n]
+        dt = {"Float32": np.float32, "Float64": np.float64,
+              "Int32": np.int32, "Int64": np.int64,
+              "UInt8": np.uint8}[da.get("type")]
+        arr = np.frombuffer(body, dtype=dt)
+        ncomp = int(da.get("NumberOfComponents", "1"))
+        return arr.reshape(-1, ncomp) if ncomp > 1 else arr
+
+    root = ET.parse(path).getroot()
+    piece = root.find(".//Piece")
+    points = None
+    for da in piece.find("Points").iter("DataArray"):
+        points = _decode(da)
+    cells = {}
+    for da in piece.find("Cells").iter("DataArray"):
+        cells[da.get("Name")] = _decode(da)
+    point_data = {}
+    pd = piece.find("PointData")
+    if pd is not None:
+        for da in pd.iter("DataArray"):
+            point_data[da.get("Name")] = _decode(da)
+    # split connectivity by cell type
+    conn, offs, types = cells["connectivity"], cells["offsets"], cells["types"]
+    blocks = {}
+    start = 0
+    for off, tp in zip(offs, types):
+        blocks.setdefault(int(tp), []).append(conn[start:off])
+        start = off
+    blocks = {tp: np.asarray(v) for tp, v in blocks.items()}
+    return points, blocks, point_data

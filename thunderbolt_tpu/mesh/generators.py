@@ -146,11 +146,14 @@ def generate_mesh(celltype: str, dims, corner_min=None, corner_max=None) -> Mesh
 # quadratic elevation
 # ---------------------------------------------------------------------------
 
-def elevate_to_quadratic(mesh: Mesh) -> Mesh:
+def elevate_to_quadratic(mesh: Mesh, return_parents: bool = False):
     """Insert edge/face/center nodes, turning P1 blocks into P2 blocks.
 
     Analog of the reference's dedicated quadratic generators
     (``src/mesh/generators.jl:251,384``) but generic over cell type.
+    With ``return_parents=True`` also returns, for every NEW node, the tuple
+    of original node ids it interpolates (multigrid prolongation weights are
+    1/len(parents) each).
     """
     p2_of = {"line2": "line3", "tri3": "tri6", "quad4": "quad9",
              "tet4": "tet10", "hex8": "hex27"}
@@ -159,8 +162,10 @@ def elevate_to_quadratic(mesh: Mesh) -> Mesh:
     edge_ids = {}
     face_ids = {}
     new_blocks = []
+    parents = []
 
     def mid(node_ids):
+        parents.append(tuple(int(v) for v in node_ids))
         return mesh.nodes[list(node_ids)].mean(axis=0)
 
     for b in mesh.blocks:
@@ -209,6 +214,8 @@ def elevate_to_quadratic(mesh: Mesh) -> Mesh:
     for k, v in mesh.nodesets.items():
         if k not in out.nodesets:
             out.nodesets[k] = v
+    if return_parents:
+        return out, parents
     return out
 
 

@@ -7,3 +7,4 @@ from thunderbolt_tpu.models.cells.tentusscher import (
     TenTusscherPanfilov2006EndoModel,
     TenTusscherPanfilov2006MModel,
 )
+from thunderbolt_tpu.models.cells.hodgkin_huxley import HodgkinHuxleyModel

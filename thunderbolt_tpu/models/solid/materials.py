@@ -82,29 +82,69 @@ def _steady_ca(contraction_model, batch, t_independent_ok=True):
 
 @dataclass(frozen=True)
 class ActiveStressModel(MaterialModel):
-    """P = dPsi_passive/dF + N(Ca) T^a(F, frame) (``materials.jl:1200``,
-    ``stress_and_tangent:1255``)."""
+    """P = dPsi_passive/dF + N(.) T^a(F, frame) (``materials.jl:1200``,
+    ``stress_and_tangent:1255``).
+
+    With a STATEFUL sarcomere (RDQ20MF etc., nstates > 0) the condensed
+    per-qp state Q is solved locally inside the stress evaluation (backward
+    Euler through ``local_solve``) and differentiated through — the
+    TPU-native multilevel Newton (SURVEY.md §7; reference
+    ``multilevel_newton_raphson.jl``). The previous state/stretch arrive via
+    the function's internal-state threading (disc/mechanics.py)."""
     material_model: Any
     active_stress_model: Any
     contraction_model: Any
     microstructure_model: Any = None
+
+    @property
+    def has_internal_state(self):
+        return getattr(self.contraction_model, "nstates", 0) > 0
+
+    def internal_template(self, batch):
+        """Initial per-qp condensed state arrays."""
+        nc, nqp = batch.xq.shape[:2]
+        ns = self.contraction_model.nstates
+        import numpy as _np
+        q0 = _np.asarray(self.contraction_model.model.default_initial_state())
+        Q = jnp.broadcast_to(jnp.asarray(q0, batch.xq.dtype),
+                             (nc, nqp, ns))
+        lam = jnp.ones((nc, nqp), batch.xq.dtype)
+        return {"Qprev": Q, "lam_prev": lam}
 
     def setup(self, batch):
         cache = super().setup(batch)
         cache["ca"] = _steady_ca(self.contraction_model, batch)
         return cache
 
-    def aux(self, cache, t):
-        if cache["ca"] is None:
-            return {}
+    def aux(self, cache, t, state=None):
+        out = {}
         nc, nqp = cache["frames"].shape[:2]
-        ca = evaluate_coefficient(cache["ca"], t)
-        return {"Ca": jnp.broadcast_to(ca, (nc, nqp))}
+        if cache["ca"] is not None:
+            ca = evaluate_coefficient(cache["ca"], t)
+            out["Ca"] = jnp.broadcast_to(ca, (nc, nqp))
+        if state is not None:
+            out["Qprev"] = state["Qprev"]
+            out["lam_prev"] = state["lam_prev"]
+            out["dt"] = jnp.broadcast_to(state["dt"], (nc, nqp))
+            out["t"] = jnp.broadcast_to(state["t"], (nc, nqp))
+        return out
+
+    def _condensed_state(self, F, frame, aux):
+        cm = self.contraction_model
+        f = F @ frame[0]
+        lam = jnp.sqrt(f @ f)
+        Q = cm.model.local_solve(aux["Qprev"], lam, aux["lam_prev"],
+                                 aux.get("Ca", 0.0), aux["t"], aux["dt"])
+        return Q, lam
 
     def first_piola(self, F, frame, aux):
         P = jax.grad(lambda Fad: self.material_model.psi(Fad, frame))(F)
-        Ca = aux.get("Ca", 0.0)
-        scale = self.contraction_model.activation_scale(Ca, F, frame)
+        if self.has_internal_state and "Qprev" in aux:
+            Q, lam = self._condensed_state(F, frame, aux)
+            scale = self.contraction_model.model.activation_scale(Q, F, frame)
+        else:
+            Ca = aux.get("Ca", 0.0)
+            scale = self.contraction_model.activation_scale(Ca, F, frame)
         return P + scale * self.active_stress_model.stress(F, frame)
 
 

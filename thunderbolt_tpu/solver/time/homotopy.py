@@ -48,11 +48,16 @@ class HomotopyPathSolver:
         while t < t1 - 1e-12 * max(1.0, abs(t1)):
             dt_cur = min(dt_cur, t1 - t)
             t_try = t + dt_cur
+            if getattr(fn, "internal", None) is not None:
+                fn.internal_dt = dt_cur
+                fn.internal_t = t
             u_new, stats = self.newton.solve(fn, u, t_try, monitor=monitor)
             rep.newton_iterations += stats.iterations
             if stats.converged:
                 t = t_try
                 u = u_new
+                if getattr(fn, "internal", None) is not None:
+                    fn.update_internal_state(u, t, dt_cur)
                 rep.steps += 1
                 rep.t_reached = t
                 if store is not None:

@@ -50,13 +50,15 @@ class _NewmarkStageFunction:
         return self.fn.solution_size
 
     def newton_extra(self):
-        return (self.u_pred, self.c)
+        inner = self.fn.newton_extra() if hasattr(self.fn, "newton_extra") \
+            else ()
+        return (self.u_pred, self.c) + tuple(inner)
 
-    def residual(self, u, t, u_pred, c):
-        return self.fn.residual(u, t) + c * self.fn.M.mv(u - u_pred)
+    def residual(self, u, t, u_pred, c, *extra):
+        return self.fn.residual(u, t, *extra) + c * self.fn.M.mv(u - u_pred)
 
-    def assemble(self, u, t, u_pred, c):
-        kvals, r = self.fn.assemble(u, t)
+    def assemble(self, u, t, u_pred, c, *extra):
+        kvals, r = self.fn.assemble(u, t, *extra)
         r = r + c * self.fn.M.mv(u - u_pred)
         kvals = kvals + c * self.fn.mass_vals
         return kvals, r
@@ -110,9 +112,14 @@ class NewmarkSolver:
             self.__dict__["_stages"][id(fn)] = stage
         stage.u_pred = u_pred
         stage.c = jnp.asarray(1.0 / (b * dt * dt), u.dtype)
+        if getattr(fn, "internal", None) is not None:
+            fn.internal_dt = dt
+            fn.internal_t = t
         u_new, stats = self.newton.solve(stage, u, t + dt)
         if not stats.converged:
             return state, stats
+        if getattr(fn, "internal", None) is not None:
+            fn.update_internal_state(u_new, t + dt, dt)
         a_new = (u_new - u_pred) / (b * dt * dt)
         v_new = v_pred + g * dt * a_new
         return NewmarkState(u_new, v_new, a_new, t + dt), stats
