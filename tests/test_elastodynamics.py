@@ -90,3 +90,25 @@ def test_newmark_second_order_convergence():
     e2 = np.abs(run(0.0125) - u_ref).max()
     rate = np.log2(e1 / e2)
     assert 1.6 < rate < 2.6, (e1, e2, rate)
+
+
+def test_adaptive_newmark_matches_fixed():
+    """PID-adaptive Newmark reproduces the fixed fine-dt solution and
+    actually adapts the step size."""
+    mesh, fn = _block(n=(2, 1, 1))
+    coords = fn.dh.field_dof_coords("d")
+    v0 = jnp.asarray(np.stack([0.2 * coords[:, 0],
+                               np.zeros(len(coords)),
+                               np.zeros(len(coords))], -1).reshape(-1))
+    solver = tb.NewmarkSolver(newton=tb.NewtonRaphsonSolver(inner="lu",
+                                                            tol=1e-11))
+    T = 0.5
+    st_fix = solver.solve(fn, solver.init(fn, v0=v0), T, 0.005)
+    st0 = solver.init(fn, v0=v0)
+    st_ad, stats = solver.solve_adaptive(fn, st0, T, dt0=0.1,
+                                         abstol=1e-7, reltol=1e-5)
+    assert stats["naccept"] > 5
+    assert abs(st_ad.t - T) < 1e-10
+    err = np.abs(np.asarray(st_ad.u) - np.asarray(st_fix.u)).max()
+    scale = np.abs(np.asarray(st_fix.u)).max()
+    assert err < 0.05 * scale, (err, scale)

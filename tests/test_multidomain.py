@@ -89,3 +89,51 @@ def test_pacemaker_drives_tissue(multidomain):
         if phi[far] > 0.5:
             fired = True
     assert fired, "wave never reached the far tissue end"
+
+
+def test_interface_diffusion_couples_disconnected_regions():
+    """Two strips sharing a plane but NO nodes: the wave crosses only via
+    the InterfaceDiffusionModel jump coupling (parity:
+    test_electrophysiology.jl multi-subdomain interface block)."""
+    from thunderbolt_tpu.mesh.mesh import Mesh, ElementBlock
+
+    mA = tb.generate_mesh("quad4", (8, 4), (0.0, 0.0), (1.0, 0.5))
+    mB = tb.generate_mesh("quad4", (8, 4), (1.0, 0.0), (2.0, 0.5))
+    nodes = np.vstack([mA.nodes, mB.nodes])
+    blocks = [ElementBlock("quad4", mA.blocks[0].connectivity),
+              ElementBlock("quad4", mB.blocks[0].connectivity + mA.nnodes)]
+    mesh = Mesh(nodes, blocks)  # NOT welded: duplicate nodes at x=1
+    nA = mA.ncells
+    mesh.cellsets["A"] = np.arange(nA)
+    mesh.cellsets["B"] = np.arange(nA, nA + mB.ncells)
+    # interface facetsets: right boundary of A, left boundary of B
+    mesh.facetsets["iA"] = mA.facetsets["right"]
+    mesh.facetsets["iB"] = np.asarray(
+        [(gc + nA, lf) for gc, lf in mB.facetsets["left"]], np.int64)
+
+    def build(G):
+        mono = lambda: tb.MonodomainModel(
+            chi=1.0, Cm=1.0, kappa=1e-3, stim=tb.NoStimulationProtocol(),
+            ion=tb.FHNModel())
+        spec = {"A": mono(), "B": mono()}
+        if G is not None:
+            spec["iface"] = tb.InterfaceDiffusionModel(
+                G, "phi_m", ("iA", "iB"))
+        ode = tb.semidiscretize(
+            tb.ReactionDiffusionSplit(spec),
+            tb.FiniteElementDiscretization({"phi_m": 1}, dtype=jnp.float64),
+            mesh)
+        u0 = tb.create_initial_condition(ode, jnp.float64)
+        vi = tb.solution_variable(ode, "phi_m")
+        kick = np.where(vi.coords[:, 0] < 0.3, 1.0, 0.0)
+        u0 = u0.at[vi.slice].set(jnp.asarray(kick))
+        alg = tb.LieTrotterGodunov((tb.BackwardEulerSolver(rtol=1e-8),
+                                    tb.ForwardEulerCellSolver(substeps=8)))
+        u = tb.init(ode, alg, u0, (0.0, 120.0), dt=1.0).solve()
+        phi = np.asarray(u[vi.slice])
+        right_of_gap = vi.coords[:, 0] > 1.5
+        return phi[right_of_gap].max()
+
+    # without coupling the B strip never fires; with it the wave crosses
+    assert build(None) < 0.05
+    assert build(1e-2) > 0.5

@@ -53,6 +53,7 @@ from thunderbolt_tpu.models.ep import (
     ReactionDiffusionSplit,
     TransientDiffusionModel,
     SteadyDiffusionModel,
+    InterfaceDiffusionModel,
     NoStimulationProtocol,
     AnalyticalTransmembraneStimulationProtocol,
 )
@@ -65,6 +66,7 @@ from thunderbolt_tpu.models.cells import (
     TenTusscherPanfilov2006EpiModel,
     TenTusscherPanfilov2006EndoModel,
     TenTusscherPanfilov2006MModel,
+    HodgkinHuxleyModel,
 )
 from thunderbolt_tpu.models.coordinates import (
     CartesianCoordinateSystem,

@@ -38,7 +38,7 @@ from thunderbolt_tpu.models.coefficients import (
 )
 from thunderbolt_tpu.models.ep import (
     MonodomainModel, ReactionDiffusionSplit,
-    TransientDiffusionModel, SteadyDiffusionModel,
+    TransientDiffusionModel, SteadyDiffusionModel, InterfaceDiffusionModel,
     NoStimulationProtocol, AnalyticalTransmembraneStimulationProtocol,
 )
 from thunderbolt_tpu.disc.functions import (
@@ -233,6 +233,10 @@ def _semidiscretize_multidomain_split(models: dict, disc, mesh):
     dof is owned by the FIRST subdomain (dict order) that touches it; the
     state layout is [phi(all); states_sub1; states_sub2; ...] with explicit
     gather/scatter index maps replacing the reference's overlapping views."""
+    interface_models = [m for m in models.values()
+                        if isinstance(m, InterfaceDiffusionModel)]
+    models = {k: m for k, m in models.items()
+              if not isinstance(m, InterfaceDiffusionModel)}
     names = list(models.keys())
     first = models[names[0]]
     phisym = first.transmembrane_solution_symbol
@@ -242,8 +246,15 @@ def _semidiscretize_multidomain_split(models: dict, disc, mesh):
     dtype = disc.dtype
     nd = dh.fields[phisym].ndofs
 
-    pattern = build_sparsity([s.cell_dofs for s in dh.subdata(phisym)],
-                             dh.ndofs)
+    iface_batches = []
+    from thunderbolt_tpu.fem.facets import make_interface_batch
+    for im in interface_models:
+        iface_batches.append(
+            (im, make_interface_batch(dh, phisym, im.interface[0],
+                                      im.interface[1], dtype=dtype)))
+    iface_tables = [np.asarray(ib["pair_dofs"]) for _, ib in iface_batches]
+    pattern = build_sparsity([s.cell_dofs for s in dh.subdata(phisym)]
+                             + iface_tables, dh.ndofs)
     # the subdata list covers the union; re-derive PER-SUBDOMAIN batches
     mvals = jnp.zeros(pattern.nnz, dtype)
     kvals = jnp.zeros(pattern.nnz, dtype)
@@ -288,6 +299,15 @@ def _semidiscretize_multidomain_split(models: dict, disc, mesh):
             dof_owner[free] = si
             sub_entities.update(ents.tolist())
         part_dofs.append(sub_entities)
+
+    # interface jump coupling: K_e = -sum_q G [[N_i]][[N_j]] w_dG
+    nvol = len(dh.subdata(phisym))
+    for (im, ib), em in zip(iface_batches, pattern.elem_maps[nvol:]):
+        Nj = ib["N_jump"]                 # [np, nqp, nd]
+        w = ib["w_dG"]                    # [np, nqp]
+        G = jnp.asarray(im.G, dtype)
+        Ke = -jnp.einsum("pqa,pqb,pq->pab", Nj, Nj, w) * G
+        kvals = kvals + scatter_matrix(Ke, jnp.asarray(em), pattern.nnz)
 
     source = None
     if stim_parts:

@@ -152,3 +152,98 @@ def make_facet_batch(dh: DofHandler, field: str, facetset: str,
         xq=jnp.asarray(np.stack(x_rows), dtype),
         ncomp=fi.ncomponents, sdim=mesh.sdim,
     )
+
+
+def make_interface_batch(dh: DofHandler, field: str, facetset_a: str,
+                         facetset_b: str, dtype=jnp.float32):
+    """Match facets of two (geometrically coincident) facetsets by centroid
+    and build jump-coupling tables: for each pair, the B side's basis is
+    evaluated at the physical quadrature points of the A side (host-side
+    inverse mapping), so both traces align pointwise.
+
+    Returns dict with: pair_dofs [np, nbfA+nbfB], N_jump [np, nqp,
+    nbfA+nbfB] (A-basis, then NEGATED B-basis), w_dG [np, nqp] (average
+    area element). Parity: ``InterfaceCellValues``-based assembly
+    (``src/modeling/core/diffusion.jl:81-127``)."""
+    fa = make_facet_batch(dh, field, facetset_a, dtype=jnp.float64)
+    fb = make_facet_batch(dh, field, facetset_b, dtype=jnp.float64)
+    ca = np.asarray(fa.Xf).mean(axis=1)
+    cb = np.asarray(fb.Xf).mean(axis=1)
+    from scipy.spatial import cKDTree
+    dist, match = cKDTree(cb).query(ca)
+    if dist.max() > 1e-8:
+        raise ValueError(
+            f"interface facetsets do not coincide (max centroid gap "
+            f"{dist.max():.3e})")
+    # geometry of both sides
+    import jax as _jax
+    nda_a = _jax.vmap(lambda X: fa.normal_da(X))(fa.Xf)
+    da_a = np.linalg.norm(np.asarray(nda_a), axis=-1)     # [np, nqp]
+    npairs, nqp = da_a.shape
+    nbfA, nbfB = fa.nbf, fb.nbf
+
+    # B basis at A's physical qps via per-facet inverse mapping
+    from thunderbolt_tpu.mesh.elements import get_element
+    xqa = np.asarray(fa.xq)            # [np, nqp, sdim]
+    Nb_at_a = np.zeros((npairs, nqp, nbfB))
+    da_b = np.zeros((npairs, nqp))
+    Ngeo_b = np.asarray(fb.Ngeo)
+    Xb = np.asarray(fb.Xf)
+    # facet element (geometry) of side B for Newton inverse map
+    fdim = np.asarray(fb.dNgeo).shape[-1]
+    for ipair in range(npairs):
+        j = match[ipair]
+        Xf = Xb[j]
+        for q in range(nqp):
+            x = xqa[ipair, q]
+            # least-squares Newton on the embedded facet map
+            xi = np.zeros(fdim)
+            for _ in range(30):
+                # evaluate geometry basis of the facet element at xi
+                Ng, dNg = _facet_geo_tables(fb, xi)
+                r = Ng @ Xf - x
+                if np.linalg.norm(r) < 1e-12:
+                    break
+                J = Xf.T @ dNg          # [sdim, fdim]
+                xi = xi - np.linalg.solve(J.T @ J, J.T @ r)
+            Nf, dNf = _facet_field_tables(fb, xi)
+            Nb_at_a[ipair, q] = Nf
+            Jg = Xf.T @ dNg
+            if Jg.shape[1] == 2:
+                da_b[ipair, q] = np.linalg.norm(np.cross(Jg[:, 0], Jg[:, 1]))
+            else:
+                da_b[ipair, q] = np.linalg.norm(Jg[:, 0])
+    N_jump = np.concatenate([
+        np.broadcast_to(np.asarray(fa.N)[None], (npairs, nqp, nbfA)),
+        -Nb_at_a], axis=2)
+    pair_dofs = np.concatenate([np.asarray(fa.facet_dofs),
+                                np.asarray(fb.facet_dofs)[match]], axis=1)
+    w_dG = 0.5 * (da_a + da_b) * np.asarray(fa.wq)[None]
+    return {
+        "pair_dofs": jnp.asarray(pair_dofs, jnp.int32),
+        "N_jump": jnp.asarray(N_jump, dtype),
+        "w_dG": jnp.asarray(w_dG, dtype),
+    }
+
+
+def _facet_geo_tables(fb, xi):
+    from thunderbolt_tpu.mesh.elements import get_element
+    # reconstruct the facet geometry element from table shapes
+    nbg = np.asarray(fb.Ngeo).shape[1]
+    fdim = np.asarray(fb.dNgeo).shape[-1]
+    name = {(2, 1): "line2", (3, 1): "line3",
+            (4, 2): "quad4", (9, 2): "quad9",
+            (3, 2): "tri3", (6, 2): "tri6"}[(nbg, fdim)]
+    el = get_element(name)
+    return el.shape(xi[None])[0], el.grad(xi[None])[0]
+
+
+def _facet_field_tables(fb, xi):
+    from thunderbolt_tpu.mesh.elements import get_element
+    nbf = np.asarray(fb.N).shape[1]
+    fdim = np.asarray(fb.dN).shape[-1]
+    name = {(2, 1): "line2", (3, 1): "line3",
+            (4, 2): "quad4", (9, 2): "quad9",
+            (3, 2): "tri3", (6, 2): "tri6"}[(nbf, fdim)]
+    el = get_element(name)
+    return el.shape(xi[None])[0], el.grad(xi[None])[0]

@@ -123,3 +123,13 @@ class SteadyDiffusionModel:
     kappa: Any
     source: Any = None
     solution_variable_symbol: str = "u"
+
+
+@dataclass(frozen=True)
+class InterfaceDiffusionModel:
+    """Jump-penalty coupling -int_Gamma [[du]] G [[u]] dGamma across a pair
+    of coincident facetsets (``src/modeling/core/diffusion.jl:146-158``) —
+    couples disconnected subdomains (e.g. Purkinje <-> myocardium)."""
+    G: Any
+    solution_variable_symbol: str = "phi_m"
+    interface: Tuple[str, str] = ("InterfaceA", "InterfaceB")

@@ -100,7 +100,7 @@ class NewmarkSolver:
         a0 = self.consistent_initial_acceleration(fn, u0, v0, t0)
         return NewmarkState(u0, v0, a0, float(t0))
 
-    def step(self, fn, state: NewmarkState, dt):
+    def step(self, fn, state: NewmarkState, dt, commit_internal=True):
         """One Newmark step; returns (new_state, NewtonStats)."""
         b, g = self.beta, self.gamma
         u, v, a, t = state.u, state.v, state.a, state.t
@@ -118,11 +118,15 @@ class NewmarkSolver:
         u_new, stats = self.newton.solve(stage, u, t + dt)
         if not stats.converged:
             return state, stats
-        if getattr(fn, "internal", None) is not None:
+        if commit_internal and getattr(fn, "internal", None) is not None:
             fn.update_internal_state(u_new, t + dt, dt)
         a_new = (u_new - u_pred) / (b * dt * dt)
         v_new = v_pred + g * dt * a_new
         return NewmarkState(u_new, v_new, a_new, t + dt), stats
+
+    def commit_internal(self, fn, state: NewmarkState, dt):
+        if getattr(fn, "internal", None) is not None:
+            fn.update_internal_state(state.u, state.t, dt)
 
     def solve(self, fn, state, t_end, dt, store=None):
         while state.t < t_end - 1e-12 * max(1.0, abs(t_end)):
@@ -134,6 +138,58 @@ class NewmarkSolver:
             if store is not None:
                 store(state)
         return state
+
+    # ------------------------------------------------------------------
+
+    def error_estimate(self, state_old, state_new, dt, abstol, reltol):
+        """Embedded local displacement error of Newmark-beta:
+        e = (beta - 1/6) dt^2 (a_{n+1} - a_n), scaled RMS
+        (parity: ``_newmark_report_error!``, ``newmark.jl:636``)."""
+        e = abs(self.beta - 1.0 / 6.0) * dt * dt \
+            * (state_new.a - state_old.a)
+        scale = abstol + reltol * jnp.maximum(jnp.abs(state_new.u),
+                                              jnp.abs(state_old.u))
+        return float(jnp.sqrt(jnp.mean((e / scale) ** 2)))
+
+    def solve_adaptive(self, fn, state, t_end, dt0, controller=None,
+                       abstol=1e-6, reltol=1e-4, dt_min_factor=1e-4,
+                       dt_max=None, store=None):
+        """PID-controlled adaptive march with rollback on rejection
+        (parity: the accept/reject/rollback protocol of
+        ``src/solver/time/integrator/type.jl:510-534`` + ``newmark.jl``
+        adaptivity). Returns (state, stats_dict)."""
+        from thunderbolt_tpu.solver.time.controllers import PIDController
+        if controller is None:
+            controller = PIDController()
+        dt = float(dt0)
+        dt_min = dt0 * dt_min_factor
+        dt_max = dt_max if dt_max is not None else 4 * dt0
+        naccept = nreject = 0
+        while state.t < t_end - 1e-12 * max(1.0, abs(t_end)):
+            h = min(dt, t_end - state.t)
+            new_state, stats = self.step(fn, state, h,
+                                         commit_internal=False)
+            if not stats.converged:
+                nreject += 1
+                dt = max(dt * 0.5, dt_min)
+                if dt <= dt_min:
+                    raise RuntimeError(f"Newton failure at dt_min, "
+                                       f"t={state.t}")
+                continue
+            EEst = self.error_estimate(state, new_state, h, abstol, reltol)
+            factor = controller.propose_factor(EEst, order=2)
+            if controller.should_accept(factor):
+                controller.accept()
+                self.commit_internal(fn, new_state, h)
+                state = new_state           # accept
+                naccept += 1
+                if store is not None:
+                    store(state)
+            else:
+                nreject += 1                # rollback = keep old state
+            dt = float(np.clip(dt * factor, dt_min, dt_max))
+        return state, {"naccept": naccept, "nreject": nreject,
+                       "dt_final": dt}
 
 
 def kinetic_energy(fn, v):
