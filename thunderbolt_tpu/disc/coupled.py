@@ -173,6 +173,7 @@ class BlockedNewtonSolver:
     (``SchurComplementLinearSolver``, ``src/solver/linear/schur.jl:26``)."""
 
     tol: float = 1e-6
+    rtol: float = 0.0
     max_iter: int = 25
     inner: str = "lu"
 
@@ -206,7 +207,7 @@ class BlockedNewtonSolver:
             A, B, r_u, r_p = assemble(w)
             rnorm = float(jnp.sqrt(jnp.sum(r_u ** 2) + jnp.sum(r_p ** 2)))
             history.append(rnorm)
-            if rnorm <= self.tol:
+            if rnorm <= max(self.tol, self.rtol * history[0]):
                 return w, NewtonStats(it, rnorm, True, tuple(history))
             if not np.isfinite(rnorm):
                 return w, NewtonStats(it, rnorm, False, tuple(history))

@@ -40,6 +40,13 @@ class FiniteElementDiscretization:
     quadrature: Dict[str, int] = dfield(default_factory=dict)
     dtype: object = jnp.float32
 
+    def __post_init__(self):
+        # honoring an explicit float64 request requires the x64 flag;
+        # without it jax silently truncates to f32 (and spams warnings)
+        import jax
+        if self.dtype == jnp.float64 and not jax.config.jax_enable_x64:
+            jax.config.update("jax_enable_x64", True)
+
     def field_spec(self, name) -> FieldSpec:
         v = self.fields[name]
         if isinstance(v, FieldSpec):

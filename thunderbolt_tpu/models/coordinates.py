@@ -126,6 +126,9 @@ def solve_laplace_nodal(mesh: Mesh, dbcs, order=None, rtol=1e-8,
     ``coordinate_systems.jl:145``)."""
     if order is None:
         order = mesh.blocks[0].element.order
+    import jax
+    if not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
     dh = DofHandler(mesh).add_field("u", order=order).close()
     subs = dh.subdofs
     pattern = build_sparsity([s.cell_dofs for s in subs], dh.ndofs)
