@@ -126,3 +126,10 @@ def test_cartesian_cs_in_monodomain():
                             mesh)
     cells = ode.functions[1]
     assert cells.x.shape == (25, 2)
+
+
+def test_relative_rotation():
+    a = np.array([[1.0, 0, 0], [1, 0, 0]])
+    b = np.array([[0.0, 1, 0], [np.cos(-0.3), np.sin(-0.3), 0]])
+    ang = tb.compute_relative_rotation(a, b, [0, 0, 1.0])
+    assert np.allclose(ang, [np.pi / 2, -0.3], atol=1e-12)

@@ -96,3 +96,22 @@ def test_geselowitz_poisson_polarity_agree(heart):
     Vp = poi.evaluate_ecg()
     V_poi = Vp[0] - Vp[1]
     assert V_ges * V_poi > 0, (V_ges, V_poi)
+
+
+def test_poisson_torso_mesh(heart):
+    """Distinct torso mesh: phi_m transferred heart -> torso, reconstruction
+    solved on the torso (``ecg.jl`` transfer path)."""
+    mesh, ode, heat, phi = heart
+    torso = tb.generate_mesh("hex8", (6, 4, 4), (-1.0, -0.5, -0.5),
+                             (3.0, 1.5, 1.5))
+    # anisotropic intracellular tensor vs isotropic bath — with kappa_i
+    # proportional to kappa the reconstruction is exactly -phi_m and the
+    # far field vanishes
+    cache = PoissonECGReconstructionCache(
+        heat, kappa=1e-3, kappa_i=np.diag([3e-3, 1e-4, 1e-4]),
+        electrodes=[(3.0, 0.5, 0.5), (-1.0, 0.5, 0.5)],
+        ground=(-1.0, -0.5, -0.5), torso_mesh=torso)
+    cache.update_ecg(phi)
+    V = cache.evaluate_ecg()
+    assert np.isfinite(V).all()
+    assert abs(V[0] - V[1]) > 1e-8  # the dipole is visible on the torso

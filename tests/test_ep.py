@@ -194,3 +194,11 @@ def test_reaction_tangent_controller():
     assert T / 1.0 < nsteps < T / 0.25, nsteps  # genuinely adaptive
     err = np.abs(np.asarray(u_rtc) - np.asarray(u_fix)).max()
     assert err < 5e-2, err
+
+
+def test_layout_conversions():
+    _, odeform, u0, _ = _spiral_setup(N=8)
+    aos = tb.to_point_blocked(u0, odeform)
+    assert aos.shape == (81, 2)
+    back = tb.from_point_blocked(aos, odeform, u0)
+    assert np.allclose(np.asarray(back), np.asarray(u0))

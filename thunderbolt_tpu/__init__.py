@@ -31,6 +31,21 @@ from thunderbolt_tpu.mesh.generators import (
     generate_mesh,
     generate_ring_mesh,
     generate_ideal_lv_mesh,
+    generate_quadratic_ring_mesh,
+    generate_quadratic_ideal_lv_mesh,
+    elevate_to_quadratic,
+)
+from thunderbolt_tpu.mesh.tools import (
+    uniform_refinement,
+    hexahedralize,
+    load_mfem_grid,
+    load_carp_grid,
+    load_voom2_grid,
+)
+from thunderbolt_tpu.fem.points import (
+    PointEvalHandler,
+    evaluate_at_points,
+    NodalIntergridTransfer,
 )
 from thunderbolt_tpu.fem.dofs import DofHandler
 from thunderbolt_tpu.fem.discretization import FiniteElementDiscretization, FieldSpec
@@ -77,6 +92,7 @@ from thunderbolt_tpu.models.coordinates import (
     compute_midmyocardial_section_coordinate_system,
     solve_laplace_nodal,
     compute_long_axis,
+    compute_relative_rotation,
 )
 from thunderbolt_tpu.models.microstructure import (
     OrthotropicMicrostructureModel,
@@ -93,6 +109,8 @@ from thunderbolt_tpu.disc.solution_variables import (
     solution_variable,
     solution_variable_names,
     nodal_values,
+    to_point_blocked,
+    from_point_blocked,
 )
 from thunderbolt_tpu.solver.time.euler import (
     BackwardEulerSolver,

@@ -100,3 +100,21 @@ def setvariable(u, fn, name, value: Union[Callable, float, np.ndarray]):
     else:
         vals = np.broadcast_to(np.asarray(value), (vi.size,))
     return u.at[vi.slice].set(jnp.asarray(vals, u.dtype))
+
+
+def to_point_blocked(u, fn):
+    """SoA ("StateBlockedLayout") -> AoS ("PointBlockedLayout") view of the
+    EP split state: [npoints, nstates]. Parity: the two layouts of
+    ``src/modeling/solution_variables.jl:33-67`` — SoA is the native TPU
+    layout; AoS is provided for interop/IO."""
+    cells = fn.functions[1]
+    return jnp.swapaxes(cells.reshape(u[fn.ranges[1]]), 0, 1)
+
+
+def from_point_blocked(U_aos, fn, u=None):
+    """AoS [npoints, nstates] -> flat SoA state."""
+    cells = fn.functions[1]
+    soa = jnp.swapaxes(U_aos, 0, 1).reshape(-1)
+    if u is None:
+        return soa
+    return u.at[fn.ranges[1]].set(soa)

@@ -103,9 +103,10 @@ class DofHandler:
             entity_coords: List[np.ndarray] = []
 
             def ent(key, coord):
+                # only non-bulk paths (rare) land here
                 if key not in entity_ids:
                     entity_ids[key] = len(entity_ids)
-                    entity_coords.append(coord)
+                    entity_coords.append(np.atleast_2d(coord))
                 return entity_ids[key]
 
             # restrict to subdomain cells per block
@@ -137,12 +138,23 @@ class DofHandler:
                     touched[np.unique(conn_[:, vidx])] = True
                 else:
                     touched[np.unique(conn_[:, list(fel_.vertices)])] = True
-            for nidx in np.nonzero(touched)[0]:
-                ent(("n", int(nidx)), mesh.nodes[nidx])
+            vert_nodes = np.nonzero(touched)[0]
+            entity_ids.update(
+                (("n", int(n)), i) for i, n in enumerate(vert_nodes))
+            entity_coords.append(mesh.nodes[vert_nodes])
+            node2ent_field = np.full(mesh.nnodes, -1, dtype=np.int64)
+            node2ent_field[vert_nodes] = np.arange(vert_nodes.size)
 
+            # ---- pass 1: collect higher-order entity keys per kind ----
+            # (edges as sorted pairs, faces as sorted 4-tuples, centers as
+            # global cell ids), bulk-deduplicated with np.unique — no
+            # per-entity Python loops.
+            block_meta = []
+            edge_keys, face_keys, center_keys = [], [], []
             for bi, b in enumerate(mesh.blocks):
                 gcells = np.arange(b.cell_offset, b.cell_offset + b.ncells)
-                mask = np.isin(gcells, list(sub_cells)) if len(sub_cells) < mesh.ncells \
+                mask = np.isin(gcells, list(sub_cells)) \
+                    if len(sub_cells) < mesh.ncells \
                     else np.ones(b.ncells, bool)
                 lc = np.nonzero(mask)[0]
                 if lc.size == 0:
@@ -151,50 +163,93 @@ class DofHandler:
                 fel_name = field_element_name(b.celltype, fi.order)
                 fel = get_element(fel_name)
                 conn = b.connectivity[lc]
+                meta = {"bi": bi, "lc": lc, "gel": gel, "fel": fel,
+                        "fel_name": fel_name, "conn": conn,
+                        "gcells": gcells[lc]}
+                if fel_name != b.celltype and fi.order > gel.order:
+                    e = [np.sort(conn[:, [a, bb]], axis=1)
+                         for (a, bb) in fel.edges]
+                    meta["edges"] = np.stack(e, axis=1)     # [nc, ne, 2]
+                    edge_keys.append(meta["edges"].reshape(-1, 2))
+                    if fel.faces:
+                        f = [np.sort(conn[:, list(ff)], axis=1)
+                             for ff in fel.faces]
+                        meta["faces"] = np.stack(f, axis=1)  # [nc, nf, 4]
+                        face_keys.append(meta["faces"].reshape(-1, 4))
+                    if fel.has_center_node:
+                        center_keys.append(meta["gcells"])
+                block_meta.append(meta)
+
+            nverts = len(entity_ids)
+
+            def bulk_ids(key_list, width):
+                if not key_list:
+                    return None, None, 0
+                allk = np.concatenate(key_list).astype(np.int64)
+                flat = np.zeros(len(allk), dtype=np.int64)
+                for w in range(width):
+                    flat = flat * (mesh.nnodes + 1) + allk[:, w]
+                uniq_flat, first, inv = np.unique(
+                    flat, return_index=True, return_inverse=True)
+                return allk[first], inv, uniq_flat.size
+
+            euniq, einv, nedges = bulk_ids(edge_keys, 2)
+            funiq, finv, nfaces = bulk_ids(face_keys, 4)
+            cuniq = (np.concatenate(center_keys)
+                     if center_keys else np.zeros(0, np.int64))
+            cuniq, cinv = np.unique(cuniq, return_inverse=True) \
+                if cuniq.size else (cuniq, None)
+            e_base = nverts
+            f_base = e_base + nedges
+            c_base = f_base + nfaces
+            total_entities = c_base + cuniq.size
+
+            # entity coordinates: verts already appended; edges/faces are
+            # parent means; centers are cell-node means
+            if nedges:
+                entity_coords.append(mesh.nodes[euniq].mean(axis=1))
+            if nfaces:
+                entity_coords.append(mesh.nodes[funiq].mean(axis=1))
+            center_coord_rows = []
+
+            # ---- pass 2: build the per-block tables ----
+            e_off = f_off = c_off = 0
+            for meta in block_meta:
+                bi, lc, conn = meta["bi"], meta["lc"], meta["conn"]
+                gel, fel = meta["gel"], meta["fel"]
+                fel_name = meta["fel_name"]
+                b = mesh.blocks[bi]
                 nc = lc.size
                 nb = fel.nnodes
                 cell_ent = np.zeros((nc, nb), dtype=np.int64)
-
-                nodes = mesh.nodes
+                node2ent = node2ent_field
                 if fel_name == b.celltype:
-                    # isoparametric: one entity per mesh node of the cell
-                    for j in range(nb):
-                        for c in range(nc):
-                            nidx = int(conn[c, j])
-                            cell_ent[c, j] = ent(("n", nidx), nodes[nidx])
+                    cell_ent[:, :] = node2ent[conn]
                 elif fi.order < gel.order:
-                    # P1 field on P2 mesh: corner nodes only
-                    for j, v in enumerate(fel.vertices):
-                        for c in range(nc):
-                            nidx = int(conn[c, gel.vertices[v]])
-                            cell_ent[c, j] = ent(("n", nidx), nodes[nidx])
+                    vidx = [gel.vertices[v] for v in fel.vertices]
+                    cell_ent[:, :] = node2ent[conn[:, vidx]]
                 else:
-                    # P2 field on P1 mesh: vertices + generated edge/face/center
                     nv = len(fel.vertices)
-                    for j in range(nv):
-                        for c in range(nc):
-                            nidx = int(conn[c, j])
-                            cell_ent[c, j] = ent(("n", nidx), nodes[nidx])
-                    col = nv
-                    for (a, bb) in fel.edges:
-                        for c in range(nc):
-                            key = tuple(sorted((int(conn[c, a]), int(conn[c, bb]))))
-                            cell_ent[c, col] = ent(
-                                ("e",) + key, nodes[list(key)].mean(axis=0))
-                        col += 1
-                    for f in fel.faces:
-                        for c in range(nc):
-                            key = tuple(sorted(int(conn[c, v]) for v in f))
-                            cell_ent[c, col] = ent(
-                                ("f",) + key, nodes[list(key)].mean(axis=0))
-                        col += 1
+                    cell_ent[:, :nv] = node2ent[conn[:, :nv]]
+                    ne = len(fel.edges)
+                    cell_ent[:, nv:nv + ne] = e_base + einv[
+                        e_off:e_off + nc * ne].reshape(nc, ne)
+                    e_off += nc * ne
+                    col = nv + ne
+                    if fel.faces:
+                        nf = len(fel.faces)
+                        cell_ent[:, col:col + nf] = f_base + finv[
+                            f_off:f_off + nc * nf].reshape(nc, nf)
+                        f_off += nc * nf
+                        col += nf
                     if fel.has_center_node:
-                        for c in range(nc):
-                            key = ("c", int(gcells[lc[c]]))
-                            cell_ent[c, col] = ent(
-                                key, nodes[conn[c]].mean(axis=0))
+                        cell_ent[:, col] = c_base + cinv[c_off:c_off + nc]
+                        c_off += nc
                         col += 1
-                    assert col == nb
+                        center_coord_rows.append(
+                            (cinv[c_off - nc:c_off],
+                             mesh.nodes[conn].mean(axis=1)))
+                assert (cell_ent >= 0).all()
 
                 ncomp = fi.ncomponents
                 cd = (offset + cell_ent[:, :, None] * ncomp
@@ -202,20 +257,29 @@ class DofHandler:
                 self.subdofs.append(SubDofData(
                     field=fname, block_index=bi, celltype=b.celltype,
                     field_celltype=fel_name,
-                    cells=gcells[lc], local_cells=lc,
+                    cells=meta["gcells"], local_cells=lc,
                     cell_dofs=cd.astype(np.int32),
                     cell_entities=cell_ent.astype(np.int32),
                 ))
 
-            fi.nentities = len(entity_ids)
+            if cuniq.size:
+                ccoords = np.zeros((cuniq.size, mesh.sdim))
+                for idxs, vals in center_coord_rows:
+                    ccoords[idxs] = vals
+                entity_coords.append(ccoords)
+            # register the generated entities so nentities is consistent
+            n_extra = nedges + nfaces + cuniq.size
+            total = nverts + n_extra
+
+            fi.nentities = total
             fi.entity_coords = (np.vstack(entity_coords)
                                 if entity_coords else np.zeros((0, mesh.sdim)))
+            assert fi.entity_coords.shape[0] == total, \
+                (fi.entity_coords.shape, total)
             # mesh-node id of each vertex entity (-1 for edge/face/interior
             # entities) — the dof <-> node permutation for IO and probes
             fi.entity_nodes = np.full(fi.nentities, -1, dtype=np.int64)
-            for key, eid in entity_ids.items():
-                if key[0] == "n":
-                    fi.entity_nodes[eid] = key[1]
+            fi.entity_nodes[:vert_nodes.size] = vert_nodes
             offset += fi.ndofs
         self.ndofs = offset
         self._closed = True

@@ -365,3 +365,13 @@ def generate_ideal_lv_mesh(ne_c: int, ne_r: int, ne_l: int,
     for k in mesh.facetsets:
         mesh.nodesets[k] = mesh.nodes_of_facetset(k)
     return mesh
+
+
+def generate_quadratic_ring_mesh(*args, **kw):
+    """Quadratic (hex27) ring — parity: ``generators.jl:251``."""
+    return elevate_to_quadratic(generate_ring_mesh(*args, **kw))
+
+
+def generate_quadratic_ideal_lv_mesh(*args, **kw):
+    """Quadratic (hex27) idealized LV — parity: ``generators.jl:384``."""
+    return elevate_to_quadratic(generate_ideal_lv_mesh(*args, **kw))

@@ -226,3 +226,21 @@ def compute_midmyocardial_section_coordinate_system(mesh: Mesh) \
         "apicobasal": apicobasal,
         "rotational": rotational,
     }, axis=np.array([0.0, 0.0, 1.0]))
+
+
+def compute_relative_rotation(a, b, axis):
+    """Signed rotation angle (radians) from direction field `a` to `b`
+    about `axis` (parity: heart-axes helpers,
+    ``src/modeling/core/heart_axes.jl`` / ``compute_relative_rotation``,
+    ``src/utils.jl:155``). a, b: [..., 3] unit-ish vectors."""
+    a = np.asarray(a, float)
+    b = np.asarray(b, float)
+    axis = np.asarray(axis, float)
+    axis = axis / np.linalg.norm(axis)
+    ap = a - (a @ axis)[..., None] * axis
+    bp = b - (b @ axis)[..., None] * axis
+    ap /= np.maximum(np.linalg.norm(ap, axis=-1, keepdims=True), 1e-30)
+    bp /= np.maximum(np.linalg.norm(bp, axis=-1, keepdims=True), 1e-30)
+    cosang = np.clip((ap * bp).sum(-1), -1.0, 1.0)
+    sinang = np.cross(ap, bp) @ axis
+    return np.arctan2(sinang, cosang)

@@ -169,7 +169,27 @@ class PoissonECGReconstructionCache:
     read phi_e at the electrodes (``ecg.jl:166-356``)."""
 
     def __init__(self, heat_fn, kappa, kappa_i, electrodes, ground=None,
-                 dtype=jnp.float64, rtol=1e-8):
+                 dtype=jnp.float64, rtol=1e-8, torso_mesh=None):
+        """With `torso_mesh` given, phi_m is transferred heart -> torso by
+        nodal intergrid interpolation (zeros outside the heart — the
+        reference clears the resulting NaNs the same way, ``ecg.jl:344``)
+        and the volume conductor problem is solved on the torso."""
+        if torso_mesh is not None:
+            from thunderbolt_tpu.fem.dofs import DofHandler
+            from thunderbolt_tpu.fem.points import NodalIntergridTransfer
+            heart_dh, hfield = heat_fn.dh, heat_fn.field
+            tdh = DofHandler(torso_mesh).add_field(hfield).close()
+            tcoords = tdh.fields[hfield].entity_coords
+            self._transfer = NodalIntergridTransfer(
+                heat_fn.dh.mesh, heart_dh, hfield, tcoords)
+
+            class _TorsoFn:
+                pass
+            tf = _TorsoFn()
+            tf.dh, tf.field = tdh, hfield
+            heat_fn = tf
+        else:
+            self._transfer = None
         dh, field = heat_fn.dh, heat_fn.field
         self.dh = dh
         pattern, K, _ = _assemble_kappa(dh, field, kappa, dtype)
@@ -201,6 +221,9 @@ class PoissonECGReconstructionCache:
         self._solve = jax.jit(solve)
 
     def update_ecg(self, phi):
+        if self._transfer is not None:
+            phi_t = self._transfer.transfer(phi)
+            phi = np.nan_to_num(phi_t, nan=0.0)
         self.phi_e = self._solve(jnp.asarray(phi), self.phi_e)
         return self
 
