@@ -161,3 +161,20 @@ def test_mixed_mesh_two_blocks():
         total += float(scatter_matrix(Me, jnp.asarray(em), pattern.nnz).sum())
     assert np.isclose(total, 1.0, atol=1e-10)
     assert dh.ndofs == mesh.nnodes
+
+
+def test_pallas_dia_matches_xla():
+    """The Pallas DIA kernel (interpret mode on CPU) matches the XLA path."""
+    mesh = generate_mesh("quad4", (12, 12))
+    dh, sub, batch, pattern = setup_scalar(mesh)
+    from thunderbolt_tpu.fem.sparsity import csr_to_dia
+    Ke = element_diffusion(batch, D=1.0)
+    kv = scatter_matrix(Ke, jnp.asarray(pattern.elem_maps[0]), pattern.nnz)
+    A = csr_to_dia(pattern, kv, dtype=jnp.float32)
+    assert A is not None
+    x = jnp.asarray(np.random.default_rng(0).normal(size=dh.ndofs)
+                    .astype(np.float32))
+    from thunderbolt_tpu.ops.pallas_dia import dia_mv_pallas
+    y_ref = A.mv(x)
+    y_pal = dia_mv_pallas(A, x, interpret=True)
+    assert np.allclose(np.asarray(y_pal), np.asarray(y_ref), atol=1e-5)

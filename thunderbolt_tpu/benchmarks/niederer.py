@@ -61,21 +61,38 @@ def build(h=0.5, dtype=jnp.float32, celltype="epi"):
     return mesh, odeform, u0
 
 
-def activation_times(odeform, u0, alg, T=60.0, dt=0.05, sample_dt=0.5,
+def activation_times(odeform, u0, alg, T=60.0, dt=0.05, sample_dt=None,
                      threshold=0.0):
     """March the benchmark and record first-crossing times of `threshold`.
 
-    Returns (act [ndofs] in ms, inf where never activated)."""
-    integ = tb.init(odeform, alg, u0, (0.0, T), dt)
+    TPU-native: the activation map is carried INSIDE the jitted time loop
+    (one device program, per-step dt resolution, no host sampling), instead
+    of the reference's post-hoc sampling of stored snapshots.
+
+    Returns act [ndofs] in ms (inf where never activated)."""
+    import jax
+    step = alg.make_step(odeform, dt)
     vi = tb.solution_variable(odeform, "phi_m")
-    nd = vi.size
-    act = np.full(nd, np.inf)
-    ts = np.arange(0.0, T + sample_dt / 2, sample_dt)
-    for t, u in tb.TimeChoiceIterator(integ, ts):
-        phi = np.asarray(u[vi.slice])
-        newly = (phi > threshold) & ~np.isfinite(act)
-        act[newly] = t
-    return act
+    sl = vi.slice
+    nsteps = int(round(T / dt))
+
+    @jax.jit
+    def march(u):
+        act0 = jnp.full(vi.size, jnp.inf, u.dtype)
+
+        def body(i, carry):
+            u, act = carry
+            t = i * dt
+            u = step(u, t)
+            phi = u[sl]
+            act = jnp.where((phi > threshold) & jnp.isinf(act), t + dt, act)
+            return (u, act)
+
+        u, act = jax.lax.fori_loop(0, nsteps, body, (u, act0))
+        return u, act
+
+    u, act = march(u0)
+    return np.asarray(act)
 
 
 def corner_probes(odeform):
