@@ -202,3 +202,53 @@ def test_layout_conversions():
     assert aos.shape == (81, 2)
     back = tb.from_point_blocked(aos, odeform, u0)
     assert np.allclose(np.asarray(back), np.asarray(u0))
+
+
+def test_failure_detection_unstable():
+    """Deliberately unstable explicit diffusion -> ReturnCode.Unstable
+    (parity: numerical-failure machinery, SURVEY.md §5.3)."""
+    mesh = tb.generate_mesh("quad4", (16, 16))
+    model = tb.TransientDiffusionModel(kappa=1.0)
+    fn = tb.semidiscretize(model,
+                           tb.FiniteElementDiscretization({"u": 1},
+                                                          dtype=jnp.float32),
+                           mesh)
+    coords = fn.dh.field_dof_coords("u")
+    u0 = jnp.asarray(np.sin(np.pi * coords[:, 0]), jnp.float32)
+    # forward Euler far above the stability limit
+    integ = tb.init(fn, tb.ForwardEulerSolver(), u0, (0.0, 50.0), dt=1.0)
+    integ.step(50)
+    assert integ.check_error() == tb.ReturnCode.Unstable
+    # and the implicit path reports success
+    integ2 = tb.init(fn, tb.BackwardEulerSolver(), u0, (0.0, 50.0), dt=1.0)
+    integ2.step(50)
+    assert integ2.check_error() == tb.ReturnCode.Success
+
+
+def test_piecewise_temporal_coefficient():
+    """SpatiallyHomogeneousDataField jumps at timestamps
+    (``coefficients.jl:501``)."""
+    coeff = tb.SpatiallyHomogeneousDataField(
+        timestamps=[1.0, 2.0], values=[10.0, 20.0, 30.0])
+    mesh = tb.generate_mesh("quad4", (2, 2))
+    from thunderbolt_tpu.fem.dofs import DofHandler
+    from thunderbolt_tpu.fem.forms import make_form_batch
+    dh = DofHandler(mesh).add_field("u").close()
+    batch = make_form_batch(dh, dh.subdofs[0])
+    cache = tb.setup_coefficient_cache(coeff, batch)
+    assert float(tb.evaluate_coefficient(cache, 0.5)) == 10.0
+    assert float(tb.evaluate_coefficient(cache, 1.5)) == 20.0
+    assert float(tb.evaluate_coefficient(cache, 5.0)) == 30.0
+
+
+def test_cell_index_coordinates():
+    from thunderbolt_tpu.models.coordinates import CellIndexCoordinateSystem
+    mesh = tb.generate_mesh("quad4", (3, 2))
+    from thunderbolt_tpu.fem.dofs import DofHandler
+    from thunderbolt_tpu.fem.forms import make_form_batch
+    dh = DofHandler(mesh).add_field("u").close()
+    batch = make_form_batch(dh, dh.subdofs[0])
+    cs = CellIndexCoordinateSystem()
+    idx = np.asarray(cs.at_qps(batch))
+    assert idx.shape == (6, 4, 1)
+    assert np.allclose(idx[:, 0, 0], np.arange(6))

@@ -125,6 +125,7 @@ from thunderbolt_tpu.solver.time.integrator import (
     solve,
     Integrator,
     TimeChoiceIterator,
+    ReturnCode,
 )
 from thunderbolt_tpu.models.solid_mechanics import (
     QuasiStaticModel,

@@ -29,6 +29,14 @@ class IntegratorStats:
     nreject: int = 0
 
 
+class ReturnCode:
+    """SciML-style return codes (parity: ``check_error`` mapping,
+    ``diffeq-interface.jl:280``)."""
+    Success = "Success"
+    Unstable = "Unstable"
+    MaxIters = "MaxIters"
+
+
 class Integrator:
     """Fixed-dt integrator wrapping a jitted multi-step advance."""
 
@@ -79,6 +87,14 @@ class Integrator:
     def solve(self):
         self.advance_to(self.tspan[1])
         return self.u
+
+    def check_error(self):
+        """Numerical-failure surfacing (parity: ``check_error``,
+        ``diffeq-interface.jl:280``): Unstable when the state left the
+        finite range."""
+        if not bool(jnp.isfinite(self.u).all()):
+            return ReturnCode.Unstable
+        return ReturnCode.Success
 
 
 def init(fn, alg, u0, tspan, dt) -> "Integrator":
