@@ -63,3 +63,28 @@ def test_padding_transparent():
     for i in range(20):
         up = step_p(up, float(i))
     assert np.isfinite(np.asarray(up)).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_mechanics_assembly_matches():
+    """Cell-axis-sharded mechanics assembly reproduces the single-device
+    residual/Jacobian (incl. the zero-weight padding cells)."""
+    from thunderbolt_tpu.parallel.sharding import (
+        make_device_mesh, shard_quasistatic_function)
+    mesh = tb.generate_mesh("hex8", (3, 2, 2))  # 12 cells -> pad to 16
+    material = tb.PK1Model(tb.NeoHookeanModel(mu=1.0, lam=2.0))
+    model = tb.QuasiStaticModel("d", material,
+                                (tb.ConstantPressureBC(0.05, "top"),))
+    disc = tb.FiniteElementDiscretization(
+        {"d": tb.FieldSpec(order=1, ncomponents=3)},
+        dbcs=[tb.Dirichlet("d", "bottom", 0.0)], dtype=jnp.float64)
+    fn = tb.semidiscretize(model, disc, mesh)
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(0.03 * rng.normal(size=fn.solution_size))
+    kv_ref, r_ref = fn.assemble(u, 1.0)
+
+    dmesh = make_device_mesh(8)
+    fns = shard_quasistatic_function(fn, dmesh)
+    kv_s, r_s = jax.jit(fns.assemble)(u, 1.0)
+    assert np.allclose(np.asarray(r_s), np.asarray(r_ref), atol=1e-10)
+    assert np.allclose(np.asarray(kv_s), np.asarray(kv_ref), atol=1e-10)

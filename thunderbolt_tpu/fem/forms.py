@@ -40,7 +40,7 @@ class FormBatch:
     """
 
     def __init__(self, N, dN, Ngeo, dNgeo, wq, Xe, cell_dofs, xq,
-                 cells, ncomp, celltype, field_celltype):
+                 cells, ncomp, celltype, field_celltype, cell_weight=None):
         self.N = N            # [nqp, nb]
         self.dN = dN          # [nqp, nb, rdim]
         self.Ngeo = Ngeo      # [nqp, nbg]
@@ -53,15 +53,20 @@ class FormBatch:
         self.ncomp = ncomp
         self.celltype = celltype
         self.field_celltype = field_celltype
+        #: optional [nc] weight applied to detJw — 0 marks padding cells
+        #: inserted for even device sharding
+        self.cell_weight = cell_weight
 
     def tree_flatten(self):
         leaves = (self.N, self.dN, self.Ngeo, self.dNgeo, self.wq,
-                  self.Xe, self.cell_dofs, self.xq, self.cells)
+                  self.Xe, self.cell_dofs, self.xq, self.cells,
+                  self.cell_weight)
         return leaves, (self.ncomp, self.celltype, self.field_celltype)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(*leaves, *aux)
+        *main, cell_weight = leaves
+        return cls(*main, *aux, cell_weight=cell_weight)
 
     @property
     def ncells(self):
@@ -88,7 +93,10 @@ class FormBatch:
         detJ = det_small(J)
         Jinv = inv_small(J, detJ)
         dNdx = jnp.einsum("qbr,cqrs->cqbs", self.dN, Jinv)
-        return dNdx, detJ * self.wq[None, :]
+        detJw = detJ * self.wq[None, :]
+        if self.cell_weight is not None:
+            detJw = detJw * self.cell_weight[:, None]
+        return dNdx, detJw
 
     def interpolate(self, u_elem):
         """Field values at qps from element dof values [nc, nb(*ncomp)]."""

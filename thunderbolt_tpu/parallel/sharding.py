@@ -213,3 +213,97 @@ def make_sharded_step(odeform: GenericSplitFunction, alg, dt, mesh: Mesh,
         return shard_state(pad_state(u), fn_p, mesh, axis)
 
     return jstep, place
+
+
+def pad_form_batch(batch, multiple):
+    """Pad a FormBatch's cell axis to a multiple with ZERO-WEIGHT copies of
+    the last cell (their detJw is masked to 0, so assembly contributions
+    vanish while geometry stays non-singular)."""
+    from thunderbolt_tpu.fem.forms import FormBatch
+    nc = batch.ncells
+    ncp = round_up(nc, multiple)
+    if ncp == nc and batch.cell_weight is not None:
+        return batch
+    npad = ncp - nc
+
+    def padrow(a):
+        return jnp.concatenate(
+            [a, jnp.broadcast_to(a[-1:], (npad,) + a.shape[1:])])
+
+    w = jnp.concatenate([jnp.ones(nc, batch.Xe.dtype),
+                         jnp.zeros(npad, batch.Xe.dtype)])
+    return FormBatch(
+        N=batch.N, dN=batch.dN, Ngeo=batch.Ngeo, dNgeo=batch.dNgeo,
+        wq=batch.wq, Xe=padrow(batch.Xe), cell_dofs=padrow(batch.cell_dofs),
+        xq=padrow(batch.xq), cells=padrow(batch.cells), ncomp=batch.ncomp,
+        celltype=batch.celltype, field_celltype=batch.field_celltype,
+        cell_weight=w)
+
+
+def shard_quasistatic_function(fn, mesh: Mesh, axis: str = "shard"):
+    """Shard a QuasiStaticFunction's element batches over the device mesh:
+    cells are the parallel axis; per-element kernels are embarrassingly
+    parallel and the segment_sum scatters psum into the replicated
+    residual/CSR values (GSPMD inserts the collectives). The mechanics
+    analog of the EP dof partition."""
+    n_devices = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    row = NamedSharding(mesh, P(axis))
+    import copy
+    out = copy.copy(fn)
+
+    def shard_rows(tree):
+        def place(x):
+            if hasattr(x, "ndim") and x.ndim >= 1:
+                return jax.device_put(x, NamedSharding(
+                    mesh, P(*((axis,) + (None,) * (x.ndim - 1)))))
+            return x
+        return jax.tree_util.tree_map(place, tree)
+
+    new_batches, new_caches, new_internal = [], [], []
+    for i, batch in enumerate(fn.batches):
+        nc0 = batch.ncells
+        pb = pad_form_batch(batch, n_devices)
+        npad = pb.ncells - nc0
+        new_batches.append(shard_rows(pb))
+        cache = dict(fn.mat_caches[i])
+        frames = cache["frames"]
+        if frames.shape[0] == nc0 and npad:
+            frames = jnp.concatenate(
+                [frames, jnp.broadcast_to(frames[-1:],
+                                          (npad,) + frames.shape[1:])])
+        cache["frames"] = shard_rows(frames)
+        # the stress/tangent kernels close over `frames`; rebuild them for
+        # the padded, sharded arrays
+        from thunderbolt_tpu.disc.mechanics import make_material_kernels
+        if fn.internal is not None:
+            aux0 = fn.material.aux(cache, 0.0, {
+                "Qprev": fn.internal[i]["Qprev"],
+                "lam_prev": fn.internal[i]["lam_prev"],
+                "dt": jnp.asarray(1.0), "t": jnp.asarray(0.0)})
+        else:
+            aux0 = fn.material.aux(cache, 0.0)
+        cache["kernels"] = make_material_kernels(
+            fn.material, cache["frames"], tuple(aux0.keys()))
+        new_caches.append(cache)
+        if fn.internal is not None:
+            st = fn.internal[i]
+            st2 = {}
+            for k, v in st.items():
+                if v.shape[0] == nc0 and npad:
+                    v = jnp.concatenate(
+                        [v, jnp.broadcast_to(v[-1:], (npad,) + v.shape[1:])])
+                st2[k] = shard_rows(v)
+            new_internal.append(st2)
+    out.batches = new_batches
+    out.mat_caches = new_caches
+    if fn.internal is not None:
+        out.internal = new_internal
+    # element maps pad with the LAST cell's map (contributions are 0-weighted)
+    out.volume_elem_maps = []
+    for em, batch in zip(fn.volume_elem_maps, fn.batches):
+        npad = round_up(batch.ncells, n_devices) - batch.ncells
+        if npad:
+            em = jnp.concatenate(
+                [em, jnp.broadcast_to(em[-1:], (npad,) + em.shape[1:])])
+        out.volume_elem_maps.append(shard_rows(em))
+    return out
