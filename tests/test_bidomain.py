@@ -1,0 +1,133 @@
+"""Parabolic-elliptic bidomain (BEYOND-reference: the reference declares
+``ParabolicEllipticBidomainModel`` but leaves it unimplemented,
+``src/modeling/electrophysiology.jl:319``).
+
+Anchors:
+* equal anisotropy ratio kappa_e = lambda*kappa_i reduces the *discrete*
+  bidomain exactly to the monodomain with kappa = kappa_i*lambda/(1+lambda)
+  (textbook reduction, e.g. Keener & Sneyd ch. 12) — trajectories must match
+  to solver tolerance, and phi_e must equal the mean-free phi_m scaled by
+  -1/(1+lambda);
+* the elliptic constraint K_i phi_m + (K_i+K_e) phi_e = 0 holds after every
+  step for genuinely unequal anisotropies.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import thunderbolt_tpu as tb
+
+DT = 0.5
+
+
+def _split(model, mesh):
+    return tb.semidiscretize(
+        tb.ReactionDiffusionSplit(model),
+        tb.FiniteElementDiscretization({"phi_m": 1}, dtype=jnp.float64),
+        mesh)
+
+
+def _ic(fn, mesh):
+    u0 = tb.create_initial_condition(fn, jnp.float64)
+    u0 = tb.setvariable(
+        u0, fn, "phi_m",
+        lambda x: np.exp(-8.0 * ((x[:, 0] - 1.0) ** 2 + x[:, 1] ** 2)))
+    return u0
+
+
+def _march(fn, u0, nsteps):
+    alg = tb.LieTrotterGodunov((
+        tb.BackwardEulerSolver(rtol=1e-12, atol=1e-14, maxiter=2000),
+        tb.ForwardEulerCellSolver(substeps=4)))
+    step = alg.make_step(fn, DT)
+    u = u0
+    for i in range(nsteps):
+        u = step(u, i * DT)
+    return u
+
+
+def test_equal_anisotropy_reduces_to_monodomain():
+    mesh = tb.generate_mesh("quad4", (12, 12), (0.0, 0.0), (2.5, 2.5))
+    ki = np.array([[4.5e-3, 0.0], [0.0, 2.0e-3]])
+    lam = 2.0
+    ion = tb.FHNModel()
+    stim = tb.NoStimulationProtocol()
+
+    bid = tb.ParabolicEllipticBidomainModel(
+        chi=1.0, Cm=1.0, kappa_i=ki, kappa_e=lam * ki, stim=stim, ion=ion)
+    mono = tb.MonodomainModel(
+        chi=1.0, Cm=1.0, kappa=ki * lam / (1.0 + lam), stim=stim, ion=ion)
+
+    fb, fm = _split(bid, mesh), _split(mono, mesh)
+    ub = _march(fb, _ic(fb, mesh), 8)
+    um = _march(fm, _ic(fm, mesh), 8)
+
+    phib = np.asarray(tb.getvariable(ub, fb, "phi_m"))
+    phim = np.asarray(tb.getvariable(um, fm, "phi_m"))
+    assert np.allclose(phib, phim, atol=1e-8), np.abs(phib - phim).max()
+
+    # phi_e = -(phi_m - mean phi_m)/(1+lambda) in the zero-mean gauge.
+    # The relation holds right AFTER the diffusion stage (the reaction
+    # stage runs second in the Lie-Trotter step and moves phi_m but not
+    # phi_e), so apply one bare diffusion step before checking.
+    from thunderbolt_tpu.solver.time.euler import BackwardEulerSolver
+    dstep = BackwardEulerSolver(rtol=1e-12, atol=1e-14,
+                                maxiter=2000).make_step(fb.functions[0], DT)
+    ub2 = np.asarray(dstep(ub, 8 * DT))
+    phib2 = np.asarray(tb.getvariable(jnp.asarray(ub2), fb, "phi_m"))
+    phie2 = np.asarray(tb.getvariable(jnp.asarray(ub2), fb, "phi_e"))
+    expect = -(phib2 - phib2.mean()) / (1.0 + lam)
+    assert np.allclose(phie2 - phie2.mean(), expect, atol=1e-8), \
+        np.abs(phie2 - phie2.mean() - expect).max()
+
+
+def test_elliptic_constraint_unequal_ratios():
+    """After each BE step the discrete elliptic row must be satisfied."""
+    mesh = tb.generate_mesh("quad4", (10, 10), (0.0, 0.0), (2.5, 2.5))
+    ki = np.array([[4.5e-3, 0.0], [0.0, 1.0e-3]])
+    ke = np.array([[2.0e-3, 0.0], [0.0, 3.0e-3]])  # unequal ratios
+    bid = tb.ParabolicEllipticBidomainModel(
+        chi=1.0, Cm=1.0, kappa_i=ki, kappa_e=ke,
+        stim=tb.NoStimulationProtocol(), ion=tb.FHNModel())
+    fn = _split(bid, mesh)
+    u = _march(fn, _ic(fn, mesh), 5)
+    assert np.isfinite(np.asarray(u)).all()
+
+    # the constraint is enforced by the diffusion stage; apply one bare
+    # diffusion step (the reaction stage afterwards moves phi_m only)
+    from thunderbolt_tpu.solver.time.euler import BackwardEulerSolver
+    bido = fn.functions[0]
+    dstep = BackwardEulerSolver(rtol=1e-12, atol=1e-14,
+                                maxiter=2000).make_step(bido, DT)
+    u = dstep(u, 5 * DT)
+    phim = tb.getvariable(u, fn, "phi_m")
+    phie = tb.getvariable(u, fn, "phi_e")
+    res = np.asarray(bido.K_i.mv(phim) + bido.K_i.mv(phie)
+                     + bido.K_e.mv(phie))
+    scale = max(np.abs(np.asarray(bido.K_i.mv(phim))).max(), 1e-30)
+    assert np.abs(res).max() / scale < 1e-6, np.abs(res).max() / scale
+    # gauge: phi_e is mean-free
+    assert abs(float(np.asarray(phie).mean())) < 1e-12
+
+
+def test_bidomain_with_stimulus_and_integrator():
+    """Full Integrator drive with an analytical transmembrane stimulus."""
+    mesh = tb.generate_mesh("quad4", (8, 8), (0.0, 0.0), (2.5, 2.5))
+    ki = np.array([[4.5e-3, 0.0], [0.0, 2.0e-3]])
+    ke = np.array([[3.0e-3, 0.0], [0.0, 2.5e-3]])
+    stim = tb.AnalyticalTransmembraneStimulationProtocol(
+        lambda x, t: jnp.where(
+            (x[..., 0] < 0.5) & (t < 2.0), 1.0, 0.0))
+    bid = tb.ParabolicEllipticBidomainModel(
+        chi=1.0, Cm=1.0, kappa_i=ki, kappa_e=ke, stim=stim,
+        ion=tb.FHNModel())
+    fn = _split(bid, mesh)
+    u0 = tb.create_initial_condition(fn, jnp.float64)
+    integ = tb.init(fn, tb.LieTrotterGodunov((
+        tb.BackwardEulerSolver(rtol=1e-10, atol=1e-12),
+        tb.AdaptiveForwardEulerSubstepper())), u0, (0.0, 10.0), dt=DT)
+    u = integ.solve()
+    phi = np.asarray(tb.getvariable(u, fn, "phi_m"))
+    assert np.isfinite(np.asarray(u)).all()
+    assert phi.max() > 0.1  # the stimulus actually depolarized tissue

@@ -133,3 +133,19 @@ def test_relative_rotation():
     b = np.array([[0.0, 1, 0], [np.cos(-0.3), np.sin(-0.3), 0]])
     ang = tb.compute_relative_rotation(a, b, [0, 0, 1.0])
     assert np.allclose(ang, [np.pi / 2, -0.3], atol=1e-12)
+
+
+def test_fit_basal_plane():
+    """Basal plane of the ideal LV: z = base height, normal along +long
+    axis (parity: fit_basal_plane, src/mesh/long_axis.jl)."""
+    import thunderbolt_tpu as tb
+    mesh = tb.generate_ideal_lv_mesh(8, 2, 6)
+    c, n = tb.fit_basal_plane(mesh)
+    axis, apex, base_c = tb.compute_long_axis(mesh)
+    assert abs(float(n @ axis)) > 0.999
+    pts = mesh.nodes[mesh.nodes_of_facetset("Base")]
+    assert np.abs((pts - c) @ n).max() < 1e-8  # truly planar base
+    # fallback path (no "Base" facetset): a box still yields a unit normal
+    box = tb.generate_mesh("hex8", (3, 3, 3))
+    c2, n2 = tb.fit_basal_plane(box)
+    assert np.isclose(np.linalg.norm(n2), 1.0)

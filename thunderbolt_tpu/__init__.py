@@ -92,6 +92,7 @@ from thunderbolt_tpu.models.coordinates import (
     compute_midmyocardial_section_coordinate_system,
     solve_laplace_nodal,
     compute_long_axis,
+    fit_basal_plane,
     compute_relative_rotation,
 )
 from thunderbolt_tpu.models.microstructure import (

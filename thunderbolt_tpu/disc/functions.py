@@ -68,6 +68,53 @@ class AffineODEFunction:
 
 
 @dataclass
+class BidomainFunction:
+    """Parabolic-elliptic bidomain diffusion stage (conductivities folded
+    to diffusivities D = kappa/(chi*Cm)):
+
+    dphi_m/dt = div(D_i grad(phi_m + phi_e)) + f(t)
+    0         = div(D_i grad phi_m + (D_i + D_e) grad phi_e)
+
+    ``K_i``/``K_e`` carry the ``-∫∇N⋅D∇N`` sign convention (negative
+    semidefinite), so the backward-Euler block system
+
+        [[M - dt K_i,        -dt K_i      ],
+         [   -dt K_i,  -dt (K_i + K_e)    ]]  [phi_m; phi_e]
+
+    is symmetric positive semidefinite with the single nullvector
+    [0; 1] (the extracellular gauge) — one CG solve per step. The
+    reference declares-but-does-not-implement this physics
+    (``src/modeling/electrophysiology.jl:319``).
+
+    This function owns the FULL split vector slice (ion SoA block + the
+    appended phi_e block) and updates only its phi_m/phi_e sub-blocks,
+    identified by static offsets.
+    """
+    dh: DofHandler
+    field: str                       # phi_m
+    field_e: str                     # phi_e
+    pattern: SparsityPattern
+    M: ELLMatrix
+    K_i: ELLMatrix
+    K_e: ELLMatrix
+    source: Optional[Callable] = None
+    phi_offset: int = 0              # start of phi_m within the slice
+    e_offset: int = 0                # start of phi_e within the slice
+    total_size: int = 0
+    M_dia: Optional[Any] = None
+    K_i_dia: Optional[Any] = None
+    K_e_dia: Optional[Any] = None
+
+    @property
+    def ndofs_field(self):
+        return self.dh.fields[self.field].ndofs
+
+    @property
+    def solution_size(self):
+        return self.total_size
+
+
+@dataclass
 class AffineSteadyStateFunction:
     """0 = K u + f with constraints (``functions.jl:90``)."""
     dh: DofHandler

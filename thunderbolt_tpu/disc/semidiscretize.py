@@ -37,12 +37,13 @@ from thunderbolt_tpu.models.coefficients import (
     ConductivityToDiffusivityCoefficient,
 )
 from thunderbolt_tpu.models.ep import (
-    MonodomainModel, ReactionDiffusionSplit,
+    MonodomainModel, ParabolicEllipticBidomainModel, ReactionDiffusionSplit,
     TransientDiffusionModel, SteadyDiffusionModel, InterfaceDiffusionModel,
     NoStimulationProtocol, AnalyticalTransmembraneStimulationProtocol,
 )
 from thunderbolt_tpu.disc.functions import (
-    AffineODEFunction, AffineSteadyStateFunction, PointwiseODEFunction,
+    AffineODEFunction, AffineSteadyStateFunction, BidomainFunction,
+    PointwiseODEFunction,
     PointwiseMultiODEFunction, MultiODEPart, GenericSplitFunction,
     VariableInfo,
 )
@@ -153,6 +154,8 @@ def _(split: ReactionDiffusionSplit, disc, mesh):
     model = split.model
     if isinstance(model, dict):
         return _semidiscretize_multidomain_split(model, disc, mesh)
+    if isinstance(model, ParabolicEllipticBidomainModel):
+        return _semidiscretize_bidomain_split(model, disc, mesh)
     if not isinstance(model, MonodomainModel):
         raise NotImplementedError(
             f"ReactionDiffusionSplit of {type(model).__name__}")
@@ -226,6 +229,95 @@ def _(split: ReactionDiffusionSplit, disc, mesh):
     return GenericSplitFunction(
         functions=(heat, cells_fn),
         ranges=(heat_range, cell_range),
+        variables_map=variables,
+    )
+
+
+def _semidiscretize_bidomain_split(model, disc, mesh):
+    """ReactionDiffusionSplit of a ParabolicEllipticBidomainModel:
+    (coupled parabolic-elliptic diffusion stage, pointwise cell ODEs).
+
+    BEYOND-reference: the reference declares this model but has no lowering
+    or solver for it (``electrophysiology.jl:319``). Layout: the ion SoA
+    block as in the monodomain split (phi_m aliased at ``phi_index``), with
+    the extracellular potential phi_e appended at ``nstates*nd``. Both
+    conductivities are folded by 1/(Cm*chi) so the two rows of the block
+    system share one scaling (``fem.jl:415`` analog).
+    """
+    phisym = model.transmembrane_solution_symbol
+    esym = model.extracellular_solution_symbol
+    ssym = model.internal_state_symbol
+    spec = disc.field_spec(phisym)
+    dh = DofHandler(mesh).add_field(phisym, order=spec.order,
+                                    subdomains=spec.subdomains).close()
+
+    Di = ConductivityToDiffusivityCoefficient(model.kappa_i, model.Cm,
+                                              model.chi)
+    De = ConductivityToDiffusivityCoefficient(model.kappa_e, model.Cm,
+                                              model.chi)
+
+    stim_source = None
+    if isinstance(model.stim, AnalyticalTransmembraneStimulationProtocol):
+        stim = model.stim
+        Cm = model.Cm
+
+        def stim_source(batch):
+            cm_cache = setup_coefficient_cache(Cm, batch)
+            inv_cm = 1.0 / evaluate_coefficient(cm_cache, 0.0)
+            xq = batch.xq
+
+            def fq(t):
+                return stim.current(xq, t) * inv_cm
+            return (fq,)
+    elif not isinstance(model.stim, NoStimulationProtocol):
+        raise NotImplementedError(type(model.stim).__name__)
+
+    pattern, M, Ki, mlump, source, batches, M_dia, Ki_dia = _assemble_heat(
+        dh, phisym, Di, disc, mesh, stim_source)
+    if source is not None and isinstance(
+            model.stim, AnalyticalTransmembraneStimulationProtocol):
+        source = _separable_stimulus_fastpath(model.stim, source, dh, disc)
+
+    # extracellular stiffness on the shared sparsity pattern
+    kevals = jnp.zeros(pattern.nnz, disc.dtype)
+    for batch, em in zip(batches, pattern.elem_maps):
+        kc = setup_coefficient_cache(De, batch)
+        Dq = evaluate_coefficient(kc, 0.0)
+        kevals = kevals + scatter_matrix(element_diffusion(batch, Dq),
+                                         jnp.asarray(em), pattern.nnz)
+    Ke = csr_to_ell(pattern, kevals)
+    Ke_dia = csr_to_dia(pattern, kevals) if M_dia is not None else None
+
+    fi = dh.fields[phisym]
+    nd = fi.ndofs
+    coords = fi.entity_coords
+    ion = model.ion
+    x = jnp.asarray(coords, disc.dtype)
+    cells_fn = PointwiseODEFunction(ion=ion, npoints=nd, x=x,
+                                    dof_coords=coords)
+
+    p = ion.phi_index
+    ns = ion.nstates
+    total = (ns + 1) * nd
+    bido = BidomainFunction(
+        dh=dh, field=phisym, field_e=esym, pattern=pattern,
+        M=M, K_i=Ki, K_e=Ke, source=source,
+        phi_offset=p * nd, e_offset=ns * nd, total_size=total,
+        M_dia=M_dia, K_i_dia=Ki_dia, K_e_dia=Ke_dia)
+
+    variables = {phisym: VariableInfo(p * nd, nd, coords),
+                 esym: VariableInfo(ns * nd, nd, coords)}
+    for i, name in enumerate(ion.state_symbols):
+        if i != p:
+            variables[name] = VariableInfo(i * nd, nd, coords)
+    non_phi = [i for i in range(ns) if i != p]
+    if non_phi and (non_phi == list(range(min(non_phi), max(non_phi) + 1))):
+        variables.setdefault(
+            ssym, VariableInfo(min(non_phi) * nd, len(non_phi) * nd, None))
+
+    return GenericSplitFunction(
+        functions=(bido, cells_fn),
+        ranges=(slice(0, total), slice(0, ns * nd)),
         variables_map=variables,
     )
 

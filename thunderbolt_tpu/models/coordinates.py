@@ -169,6 +169,26 @@ def compute_long_axis(mesh: Mesh):
     return v, lo, hi
 
 
+def fit_basal_plane(mesh: Mesh, facetset: str = "Base"):
+    """Least-squares plane through the basal nodes: (point, unit normal),
+    normal oriented away from the apex (parity: ``fit_basal_plane``,
+    ``src/mesh/long_axis.jl``). Falls back to the PCA long-axis extreme
+    when the facetset is absent."""
+    if facetset in mesh.facetsets:
+        pts = mesh.nodes[mesh.nodes_of_facetset(facetset)]
+    else:
+        axis, _, hi = compute_long_axis(mesh)
+        proj = mesh.nodes @ axis
+        pts = mesh.nodes[proj >= proj.max() - 1e-8 * max(np.ptp(proj), 1.0)]
+    c = pts.mean(axis=0)
+    _, _, Vt = np.linalg.svd(pts - c, full_matrices=False)
+    n = Vt[-1]
+    axis, apex, _ = compute_long_axis(mesh)
+    if n @ (c - apex) < 0.0:
+        n = -n
+    return c, n / np.linalg.norm(n)
+
+
 def compute_lv_coordinate_system(mesh: Mesh) -> LVCoordinateSystem:
     """LV coordinates on a mesh with Endocardium/Epicardium/Base facetsets
     (``compute_lv_coordinate_system``, ``coordinate_systems.jl:886``):

@@ -92,14 +92,35 @@ class ParabolicParabolicBidomainModel:
 
 @dataclass(frozen=True)
 class ParabolicEllipticBidomainModel:
-    """Placeholder — explicitly unimplemented in the reference too
-    (``electrophysiology.jl:319``)."""
+    """Parabolic-elliptic bidomain:
+
+    chi*Cm dphi_m/dt = div(kappa_i grad(phi_m + phi_e)) + chi*(I_ion+I_stim)
+    0                = div(kappa_i grad phi_m + (kappa_i+kappa_e) grad phi_e)
+
+    The reference only *declares* this model ("Not implemented yet",
+    ``electrophysiology.jl:319``); here it is fully implemented: the
+    diffusion stage of the reaction-diffusion split solves the coupled
+    parabolic-elliptic system as one symmetric positive-semidefinite
+    2x2-block backward-Euler solve (see ``BidomainFunction`` and
+    ``BackwardEulerSolver._make_bidomain_step``), with the zero-mean gauge
+    on phi_e. Sanity anchor: for kappa_e = lambda*kappa_i the discrete
+    system reduces *exactly* to the monodomain with
+    kappa = kappa_i*lambda/(1+lambda) (tests/test_bidomain.py).
+    """
     chi: Any
     Cm: Any
     kappa_i: Any
     kappa_e: Any
     stim: Any
     ion: Any
+    cell_coordinates: Any = None
+    transmembrane_solution_symbol: str = "phi_m"
+    extracellular_solution_symbol: str = "phi_e"
+    internal_state_symbol: str = "s"
+
+    def field_variable_names(self):
+        return (self.transmembrane_solution_symbol,
+                self.extracellular_solution_symbol)
 
 
 @dataclass(frozen=True)

@@ -65,7 +65,64 @@ class BackwardEulerSolver:
             return fn.M_dia, fn.K_dia
         return fn.M, fn.K
 
+    def _bidomain_ops(self, fn):
+        if fn.M_dia is not None:
+            return fn.M_dia, fn.K_i_dia, fn.K_e_dia
+        return fn.M, fn.K_i, fn.K_e
+
+    def _make_bidomain_step(self, fn, dt=None):
+        """One backward-Euler step of the coupled parabolic-elliptic
+        bidomain block system (see BidomainFunction). If ``dt`` is None the
+        returned step takes dt as a traced argument. phi_e is gauged to
+        zero mean after the solve; CG iterates stay in the range space
+        automatically (row 2 of the operator maps everything to zero-mean,
+        and the rhs's second block is zero)."""
+        import jax.lax as lax
+        M, Ki, Ke = self._bidomain_ops(fn)
+        n = fn.ndofs_field
+        po, eo = fn.phi_offset, fn.e_offset
+        source = fn.source
+
+        def step(U, t, dt):
+            u = lax.dynamic_slice(U, (po,), (n,))
+            v = lax.dynamic_slice(U, (eo,), (n,))
+
+            def Amv(z):
+                zu, zv = z[:n], z[n:]
+                kiw = Ki.mv(zu + zv)
+                return jnp.concatenate([
+                    M.mv(zu) - dt * kiw,
+                    -dt * (kiw + Ke.mv(zv)),
+                ])
+
+            d = jnp.concatenate([
+                M.diagonal() - dt * Ki.diagonal(),
+                -dt * (Ki.diagonal() + Ke.diagonal()),
+            ])
+            Minv = jacobi_preconditioner(d) \
+                if self.preconditioner == "jacobi" else None
+            b1 = M.mv(u)
+            if source is not None:
+                b1 = b1 + dt * source(t + dt)
+            b = jnp.concatenate([b1, jnp.zeros_like(b1)])
+            x, info = cg(Amv, b, x0=jnp.concatenate([u, v]), Minv=Minv,
+                         rtol=self.rtol, atol=self.atol,
+                         maxiter=self.maxiter)
+            un, vn = x[:n], x[n:]
+            vn = vn - jnp.mean(vn)
+            U = lax.dynamic_update_slice(U, un, (po,))
+            U = lax.dynamic_update_slice(U, vn, (eo,))
+            return U
+
+        if dt is None:
+            return step
+        dt_c = dt
+        return lambda U, t: step(U, t, dt_c)
+
     def make_step(self, fn: AffineODEFunction, dt):
+        from thunderbolt_tpu.disc.functions import BidomainFunction
+        if isinstance(fn, BidomainFunction):
+            return self._make_bidomain_step(fn, dt)
         M, K = self._ops(fn)
         A_raw = M.axpby(1.0, K, -dt)
         ch = fn.constraints
@@ -91,6 +148,9 @@ class BackwardEulerSolver:
         A = M - dt K is re-formed in-kernel each step — the same cheap
         O(nnz) re-forming the reference does on dt change
         (euler.jl:110-116)."""
+        from thunderbolt_tpu.disc.functions import BidomainFunction
+        if isinstance(fn, BidomainFunction):
+            return self._make_bidomain_step(fn)
         ch = fn.constraints
         source = fn.source
 
