@@ -209,6 +209,17 @@ from thunderbolt_tpu.models.fluid.lumped import (
     RSAFDQ2022LumpedCircuitModel,
     DummyLumpedCircuitModel,
 )
+from thunderbolt_tpu.models.fluid.circuit import (
+    CircuitBuilder,
+    SymbolicCircuitModel,
+    ElastanceChamber,
+    CapacitorNode,
+    ResistorInductor,
+    Resistor,
+    Valve,
+    PressureSource,
+    build_rsafdq2022_circuit,
+)
 from thunderbolt_tpu.models.ecg import (
     Plonsey1964ECGGaussCache,
     Geselowitz1989ECGLeadCache,

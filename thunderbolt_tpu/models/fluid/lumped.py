@@ -211,8 +211,8 @@ class DummyLumpedCircuitModel:
         return jnp.stack([self.volume_fun(t) - u[0]])
 
 
-MTKLumpedCircuitModel = None
-"""Placeholder for the ModelingToolkit-backed circuit variant
-(``src/modeling/fluid/lumped-mtk.jl`` + ``ext/ThunderboltMTKExt.jl``):
-symbolic circuit composition is out of scope for the JAX rebuild — custom
-circuits are plain `rhs(u, t, external)` dataclasses instead."""
+# The ModelingToolkit-backed circuit variant (``lumped-mtk.jl`` +
+# ``ext/ThunderboltMTKExt.jl``) is covered by the declarative
+# CircuitBuilder/SymbolicCircuitModel in
+# thunderbolt_tpu/models/fluid/circuit.py — symbolic composition at setup
+# time producing a branch-free jnp rhs (the JAX analog of MTK codegen).
