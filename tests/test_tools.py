@@ -128,3 +128,85 @@ def test_intergrid_transfer():
     expect = coords_t[:, 0] + 3 * coords_t[:, 2]
     assert np.allclose(vals[inside], expect[inside], atol=1e-10)
     assert np.isnan(vals[~inside]).all()
+
+
+def test_hexahedralize_tris():
+    """tri -> 3 quads through edge mids + centroid; volume and facetsets
+    preserved (``tools.jl:1-5``)."""
+    mesh = tb.generate_mesh("tri3", (3, 2))
+    hexed = hexahedralize(mesh)
+    assert hexed.elementtypes() == ("quad4",)
+    assert hexed.ncells == mesh.ncells * 3
+    assert np.isclose(_volume(hexed), 1.0, atol=1e-12)
+    # every original facetset survives with 2 child facets per parent edge
+    for name in mesh.facetsets:
+        assert name in hexed.facetsets
+        assert len(hexed.facetset(name)) == 2 * len(mesh.facetset(name))
+    # all quads positively oriented
+    dh = DofHandler(hexed).add_field("u").close()
+    from thunderbolt_tpu.fem.forms import make_form_batch
+    import jax.numpy as jnp
+    batch = make_form_batch(dh, dh.subdofs[0], dtype=jnp.float64)
+    _, detJw = batch.geometry()
+    assert float(detJw.min()) > 0
+
+
+def test_hexahedralize_tets():
+    """tet -> 4 corner hexes through edge mids, deduplicated face centroids
+    and the cell centroid; exact volume, positive Jacobians, facetsets."""
+    mesh = tb.generate_mesh("tet4", (2, 2, 2))
+    hexed = hexahedralize(mesh)
+    assert hexed.elementtypes() == ("hex8",)
+    assert hexed.ncells == mesh.ncells * 4
+    assert np.isclose(_volume(hexed), 1.0, atol=1e-12)
+    for name in mesh.facetsets:
+        assert name in hexed.facetsets
+        # each boundary tri facet becomes 3 child quads
+        assert len(hexed.facetset(name)) == 3 * len(mesh.facetset(name))
+    dh = DofHandler(hexed).add_field("u").close()
+    from thunderbolt_tpu.fem.forms import make_form_batch
+    import jax.numpy as jnp
+    batch = make_form_batch(dh, dh.subdofs[0], dtype=jnp.float64)
+    _, detJw = batch.geometry()
+    assert float(detJw.min()) > 0
+    # face centroids are shared: interior faces contribute exactly one node
+    ntet_faces = len(np.unique(np.sort(np.concatenate([
+        mesh.blocks[0].connectivity[:, list(f)]
+        for f in mesh.blocks[0].element.facets]), axis=1), axis=0))
+    p2_nodes = mesh.nnodes + len(np.unique(np.sort(np.concatenate([
+        mesh.blocks[0].connectivity[:, list(e)]
+        for e in mesh.blocks[0].element.edges]), axis=1), axis=0))
+    assert hexed.nnodes == p2_nodes + ntet_faces + mesh.ncells
+
+
+def test_hexahedralized_tet_poisson():
+    """End-to-end: solve Poisson on a hexahedralized tet mesh."""
+    import jax.numpy as jnp
+    from thunderbolt_tpu.fem.forms import (
+        make_form_batch, element_diffusion, element_load, scatter_matrix,
+        scatter_vector)
+    from thunderbolt_tpu.fem.sparsity import build_sparsity, csr_to_ell
+    from thunderbolt_tpu.fem.constraints import close_constraints
+    from thunderbolt_tpu.solver.linear import cg, jacobi_preconditioner
+
+    mesh = hexahedralize(tb.generate_mesh("tet4", (3, 3, 3)))
+    dh = DofHandler(mesh).add_field("u").close()
+    batch = make_form_batch(dh, dh.subdofs[0], dtype=jnp.float64)
+    pattern = build_sparsity([dh.subdofs[0].cell_dofs], dh.ndofs)
+    Ke = element_diffusion(batch, D=1.0)
+    kv = scatter_matrix(Ke, jnp.asarray(pattern.elem_maps[0]), pattern.nnz)
+    A_raw = csr_to_ell(pattern, -kv)
+    f = 3 * np.pi ** 2 * np.prod(np.sin(np.pi * np.asarray(batch.xq)), -1)
+    b = scatter_vector(element_load(batch, jnp.asarray(f)),
+                       batch.cell_dofs, dh.ndofs)
+    names = ["left", "right", "front", "back", "bottom", "top"]
+    ch = close_constraints(dh, [tb.Dirichlet("u", n, 0.0) for n in names],
+                           dtype=jnp.float64)
+    A = ch.apply_operator(A_raw)
+    b = ch.apply_rhs(A_raw, b)
+    x, info = cg(A.mv, b, Minv=jacobi_preconditioner(A.diagonal()),
+                 rtol=1e-10, atol=1e-12, maxiter=3000)
+    assert bool(info.converged)
+    coords = dh.field_dof_coords("u")
+    exact = np.prod(np.sin(np.pi * coords), axis=-1)
+    assert np.abs(np.asarray(x) - exact).max() < 0.08

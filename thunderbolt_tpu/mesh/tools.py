@@ -146,15 +146,40 @@ def _refine_once(mesh: Mesh) -> Mesh:
     return out
 
 
+# (corner, adjacent edge-mid P2 slots, adjacent other-corner triples) for
+# the tet corner-hex construction; tet10 mids: 4=m01 5=m12 6=m02 7=m03
+# 8=m13 9=m23
+_TET_CORNER_HEX = (
+    (0, (4, 6, 7), (1, 2, 3)),
+    (1, (4, 5, 8), (0, 2, 3)),
+    (2, (6, 5, 9), (0, 1, 3)),
+    (3, (7, 8, 9), (0, 1, 2)),
+)
+
+
 def hexahedralize(mesh: Mesh) -> Mesh:
     """Convert every cell to hexahedra (2D: quadrilaterals) by barycentric
-    subdivision through the P2 entity points (``tools.jl:1-5``):
-    tri -> 3 quads, quad -> 4 quads, tet -> 4 hexes, hex -> 8 hexes."""
+    subdivision through the edge/face/cell entity points (``tools.jl:1-5``):
+    tri -> 3 quads, quad -> 4 quads, tet -> 4 hexes, hex -> 8 hexes.
+    Tri/tet paths create the missing centroid nodes (face centroids are
+    deduplicated across neighbors). Facetsets transfer by the same
+    allowed-node subset rule as ``uniform_refinement``."""
     p2 = elevate_to_quadratic(mesh)
-    new_blocks = []
+    extra_nodes: List[np.ndarray] = []
+    nextid = p2.nnodes
+    tet_face_ids: Dict[tuple, int] = {}  # sorted orig-node triple -> node id
     quads, hexes = [], []
+
+    def new_node(pt):
+        nonlocal nextid
+        extra_nodes.append(pt)
+        nid = nextid
+        nextid += 1
+        return nid
+
     for b, b2 in zip(mesh.blocks, p2.blocks):
         ct = b.celltype
+        conn = b.connectivity
         for c in range(b.ncells):
             r = b2.connectivity[c]
             if ct == "quad4":
@@ -162,27 +187,82 @@ def hexahedralize(mesh: Mesh) -> Mesh:
                 quads += [[r[0], r[4], r[8], r[7]], [r[4], r[1], r[5], r[8]],
                           [r[8], r[5], r[2], r[6]], [r[7], r[8], r[6], r[3]]]
             elif ct == "tri3":
-                # corners 0-2, mids 3(01),4(12),5(20); centroid = center? tri6
-                # has no center node — create via quad of corner/mid/centroid:
-                raise NotImplementedError(
-                    "tri hexahedralization requires centroid nodes; "
-                    "use quad meshes or refine first")
+                # corners 0-2, mids 3(01) 4(12) 5(20); create the centroid
+                g = new_node(mesh.nodes[conn[c]].mean(axis=0))
+                quads += [[r[0], r[3], g, r[5]],
+                          [r[1], r[4], g, r[3]],
+                          [r[2], r[5], g, r[4]]]
             elif ct == "hex8":
                 for t in _child_templates("hex8"):
                     hexes.append(r[list(t)])
             elif ct == "tet4":
-                # corner hexes: corner, 3 edge mids, 3 face centroids, cell
-                # centroid — tet10 lacks face/cell points, so build them here
-                raise NotImplementedError(
-                    "tet hexahedralization lands with face/cell entity "
-                    "generation; refine hex meshes directly instead")
+                # face centroids (shared with neighbors) + cell centroid
+                fc = {}
+                for fac in b.element.facets:
+                    orig = tuple(sorted(int(conn[c, i]) for i in fac))
+                    if orig not in tet_face_ids:
+                        tet_face_ids[orig] = new_node(
+                            mesh.nodes[list(orig)].mean(axis=0))
+                    fc[frozenset(fac)] = tet_face_ids[orig]
+                g = new_node(mesh.nodes[conn[c]].mean(axis=0))
+                for v, (ma, mb, mc), (A, B, C) in _TET_CORNER_HEX:
+                    hexes.append([
+                        r[v], r[ma], fc[frozenset((v, A, B))], r[mb],
+                        r[mc], fc[frozenset((v, A, C))], g,
+                        fc[frozenset((v, B, C))]])
             else:
                 raise NotImplementedError(ct)
+
+    nodes = np.vstack([p2.nodes] + [np.asarray(extra_nodes)]) \
+        if extra_nodes else p2.nodes
+    new_blocks = []
     if quads:
         new_blocks.append(ElementBlock("quad4", np.asarray(quads, np.int32)))
     if hexes:
-        new_blocks.append(ElementBlock("hex8", np.asarray(hexes, np.int32)))
-    out = Mesh(p2.nodes, new_blocks)
+        hx = np.asarray(hexes, np.int32)
+        # fix inverted corner hexes (orientation depends on tet handedness)
+        e1 = nodes[hx[:, 1]] - nodes[hx[:, 0]]
+        e2 = nodes[hx[:, 3]] - nodes[hx[:, 0]]
+        e3 = nodes[hx[:, 4]] - nodes[hx[:, 0]]
+        neg = np.einsum("ci,ci->c", np.cross(e1, e2), e3) < 0.0
+        hx[neg] = hx[neg][:, [4, 5, 6, 7, 0, 1, 2, 3]]
+        new_blocks.append(ElementBlock("hex8", hx))
+    out = Mesh(nodes, new_blocks)
+
+    # facetset transfer: P2 facet nodes of the parent facets + the centroid
+    # of any tet facet belonging to the set
+    if mesh.facetsets:
+        allowed: Dict[str, set] = {}
+        for name in mesh.facetsets:
+            ns = set()
+            for gc, lf in mesh.facetset(name):
+                bi, lc = mesh.block_of_cell(int(gc))
+                bb2 = p2.blocks[bi]
+                ns.update(facet_nodes(bb2.element, int(lf),
+                                      bb2.connectivity[lc]))
+                bb = mesh.blocks[bi]
+                if bb.celltype == "tet4":
+                    fac = bb.element.facets[int(lf)]
+                    key = tuple(sorted(int(bb.connectivity[lc, i])
+                                       for i in fac))
+                    ns.add(tet_face_ids[key])
+            allowed[name] = ns
+        fsets = {name: [] for name in mesh.facetsets}
+        for gc, lf in out.boundary_facets():
+            bi, lc = out.block_of_cell(int(gc))
+            bb = out.blocks[bi]
+            fac = bb.element.facets[lf]
+            fnodes = set(int(v) for v in bb.connectivity[lc, list(fac)])
+            for name, ok in allowed.items():
+                if fnodes <= ok:
+                    fsets[name].append((gc, lf))
+                    break
+        out.facetsets = {k: np.asarray(v, np.int64)
+                         for k, v in fsets.items() if v}
+        for k in out.facetsets:
+            out.nodesets[k] = out.nodes_of_facetset(k)
+    for k, v in mesh.nodesets.items():
+        out.nodesets.setdefault(k, v)
     return out
 
 
