@@ -1,0 +1,87 @@
+"""EP tutorial 4: Geselowitz lead-field ECG from a heart embedded in a torso.
+
+Mirrors the reference's only concrete ECG tutorial
+(``docs/src/literate-tutorials/ep04_geselowitz-ecg.jl``): a tetrahedral
+heart slab inside a hexahedral torso box, uniform endocardial activation,
+PCG2019 cells, two orthogonal limb-lead pairs on the torso surface with a
+grounded corner vertex. The lead fields are solved ONCE on the torso and
+transferred to the heart; each step's ECG is one SpMV + dot per lead.
+"""
+
+import os
+import sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # small demo; remove on TPU
+
+import jax.numpy as jnp  # noqa: E402
+import thunderbolt_tpu as tb  # noqa: E402
+
+
+def main(nel_heart=(8, 4, 4), nel_torso=(14, 10, 7), T=50.0):
+    heart_mesh = tb.generate_mesh("tet4", nel_heart,
+                                  (1.5, 1.5, 0.0), (5.5, 3.5, 2.0))
+    torso_mesh = tb.generate_mesh("hex8", nel_torso,
+                                  (0.0, 0.0, 0.0), (7.0, 5.0, 3.5))
+    leads = [((0.0, 0.0, 1.5), (7.0, 0.0, 1.5)),
+             ((3.5, 0.0, 1.5), (3.5, 5.0, 1.5))]
+
+    # transversely isotropic conductivity from an analytic fiber frame
+    micro = tb.OrthotropicMicrostructureModel(
+        tb.ConstantCoefficient(np.array([0.0, 0.0, 1.0])),
+        tb.ConstantCoefficient(np.array([0.0, 1.0, 0.0])),
+        tb.ConstantCoefficient(np.array([1.0, 0.0, 0.0])))
+    k1 = 0.17 * 0.62 / (0.17 + 0.62)
+    kr = 0.019 * 0.24 / (0.019 + 0.24)
+    kappa = tb.SpectralTensorCoefficient(
+        micro, tb.ConstantCoefficient(np.array([k1, kr, kr])))
+
+    # uniform endocardial activation: the reference tutorial's exp(t/tau)
+    # spike grows to ~6e3 by t=2 ms (its CI stops at 0.5 ms before the
+    # blow-up); we keep the same activated layer but use a standard
+    # 52 uA/uF 2-ms pulse that the PCG2019 membrane actually supports
+    depth = 1.5 + 0.15
+
+    def stim_current(x, t):
+        on = (x[..., 0] < depth) & (t <= 2.0)
+        return jnp.where(on, 52.0, 0.0)
+
+    model = tb.MonodomainModel(
+        chi=1.0, Cm=1.0, kappa=kappa,
+        stim=tb.AnalyticalTransmembraneStimulationProtocol(stim_current),
+        ion=tb.PCG2019Model())
+    odeform = tb.semidiscretize(
+        tb.ReactionDiffusionSplit(model),
+        tb.FiniteElementDiscretization({"phi_m": 1}, dtype=jnp.float64),
+        heart_mesh)
+    u0 = tb.create_initial_condition(odeform, jnp.float64)
+
+    ecg = tb.Geselowitz1989ECGLeadCache(
+        odeform.functions[0], kappa=1.0, kappa_i=kappa,
+        electrode_pairs=leads, ground=(0.0, 0.0, 0.0),
+        torso_mesh=torso_mesh)
+
+    alg = tb.LieTrotterGodunov((tb.BackwardEulerSolver(),
+                                tb.RushLarsenCellSolver(substeps=8)))
+    integ = tb.init(odeform, alg, u0, (0.0, T), dt=0.25)
+    trace = []
+    for t, u in tb.TimeChoiceIterator(integ, np.arange(0.5, T + 1e-9, 0.5)):
+        phi = tb.getvariable(u, odeform, "phi_m")
+        V = ecg.update_ecg(phi).evaluate_ecg()
+        trace.append((t, *np.asarray(V)))
+        if int(t * 2) % 20 == 0:
+            print(f"t={t:6.1f} ms  lead I={V[0]:+.4f}  lead II={V[1]:+.4f}  "
+                  f"phi_m max={float(jnp.max(phi)):+.3f}")
+    trace = np.asarray(trace)
+    print(f"\nECG range lead I  [{trace[:,1].min():+.4f}, "
+          f"{trace[:,1].max():+.4f}]")
+    print(f"ECG range lead II [{trace[:,2].min():+.4f}, "
+          f"{trace[:,2].max():+.4f}]")
+    return trace
+
+
+if __name__ == "__main__":
+    main()

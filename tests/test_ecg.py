@@ -115,3 +115,34 @@ def test_poisson_torso_mesh(heart):
     V = cache.evaluate_ecg()
     assert np.isfinite(V).all()
     assert abs(V[0] - V[1]) > 1e-8  # the dipole is visible on the torso
+
+
+def test_geselowitz_torso_embedded():
+    """Heart embedded in a larger torso: lead fields solved on the torso,
+    transferred to the heart once (ep04 tutorial setup). A dipole-like
+    phi_m gradient along +x must give opposite-sign voltages on a lead
+    pair aligned vs anti-aligned with x."""
+    from thunderbolt_tpu.fem.dofs import DofHandler
+    heart = tb.generate_mesh("tet4", (3, 2, 2), (1.0, 1.0, 1.0),
+                             (2.0, 2.0, 2.0))
+    torso = tb.generate_mesh("hex8", (6, 6, 6), (0.0, 0.0, 0.0),
+                             (3.0, 3.0, 3.0))
+    dh = DofHandler(heart).add_field("phi_m").close()
+
+    class _Fn:
+        pass
+    fn = _Fn()
+    fn.dh, fn.field = dh, "phi_m"
+    ges = Geselowitz1989ECGLeadCache(
+        fn, kappa=1.0, kappa_i=1e-2,
+        electrode_pairs=[((0.0, 1.5, 1.5), (3.0, 1.5, 1.5)),
+                         ((3.0, 1.5, 1.5), (0.0, 1.5, 1.5))],
+        ground=(0.0, 0.0, 0.0), torso_mesh=torso)
+    assert ges.Z.shape == (2, dh.ndofs)
+    assert np.isfinite(np.asarray(ges.Z)).all()
+    coords = dh.field_dof_coords("phi_m")
+    phi = jnp.asarray(coords[:, 0])  # uniform +x gradient
+    V = ges.update_ecg(phi).evaluate_ecg()
+    assert np.isfinite(V).all()
+    assert abs(V[0]) > 1e-8            # a dipole IS visible on the lead
+    assert np.isclose(V[0], -V[1], rtol=1e-10)  # reversed pair flips sign

@@ -112,14 +112,28 @@ class Geselowitz1989ECGLeadCache:
     (``ecg.jl:382-617``)."""
 
     def __init__(self, heat_fn, kappa, kappa_i, electrode_pairs,
-                 ground=None, dtype=jnp.float64, rtol=1e-10):
+                 ground=None, dtype=jnp.float64, rtol=1e-10,
+                 torso_mesh=None):
         """electrode_pairs: sequence of ((x+, x-)) positions; ground: a
         nodeset name or position pinning the potential (defaults to the
-        first electrode of the first pair)."""
-        dh, field = heat_fn.dh, heat_fn.field
-        self.dh = dh
+        first electrode of the first pair).
+
+        With ``torso_mesh`` given, the lead fields Z are solved on the torso
+        volume conductor (electrodes/ground located on torso coordinates,
+        conductivity ``kappa`` on the torso) and transferred torso -> heart
+        ONCE by nodal interpolation; the per-step lead integral stays on the
+        heart (adjoint trick — cheaper than transferring phi_m per step).
+        Mirrors the embedded-heart setup of the reference's ep04 tutorial
+        (``docs/src/literate-tutorials/ep04_geselowitz-ecg.jl``)."""
+        heart_dh, field = heat_fn.dh, heat_fn.field
+        self.dh = heart_dh
+        patt_i, self.Ki, _ = _assemble_kappa(heart_dh, field, kappa_i, dtype)
+        if torso_mesh is not None:
+            from thunderbolt_tpu.fem.points import NodalIntergridTransfer
+            dh = DofHandler(torso_mesh).add_field(field).close()
+        else:
+            dh = heart_dh
         pattern, K, batches = _assemble_kappa(dh, field, kappa, dtype)
-        patt_i, self.Ki, _ = _assemble_kappa(dh, field, kappa_i, dtype)
         fi = dh.fields[field]
         coords = fi.entity_coords
 
@@ -145,7 +159,15 @@ class Geselowitz1989ECGLeadCache:
             if not bool(info.converged):
                 raise RuntimeError(f"lead-field solve failed: {info}")
             Z.append(z)
-        self.Z = jnp.stack(Z)  # [nleads, ndofs]
+        Z = jnp.stack(Z)  # [nleads, torso or heart ndofs]
+        if torso_mesh is not None:
+            # transfer each lead field to the heart dof locations once
+            from thunderbolt_tpu.fem.points import NodalIntergridTransfer
+            hcoords = heart_dh.fields[field].entity_coords
+            xfer = NodalIntergridTransfer(torso_mesh, dh, field, hcoords)
+            Z = jnp.stack([jnp.asarray(
+                np.nan_to_num(np.asarray(xfer.transfer(z)))) for z in Z])
+        self.Z = Z  # [nleads, heart ndofs]
         self._V = None
 
         @jax.jit
