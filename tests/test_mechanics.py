@@ -219,3 +219,36 @@ def test_homotopy_ramps_pressure():
     tip = np.argmin(np.linalg.norm(coords - [4.0, 0.5, 0.5], axis=1))
     uz = float(np.asarray(u).reshape(-1, 3)[tip, 2])
     assert uz > 0.1, uz
+
+
+def test_deuflhard_continuation_controller():
+    """Predictive Deuflhard step control reaches the same ramped state and
+    shows the expected grow/shrink behavior (homotopy.jl:219-283 parity)."""
+    ctrl = tb.Deuflhard2004DiscreteContinuationController(
+        target_iterations=4, gamma=1.0, max_growth=2.0)
+    # fast convergence grows the increment, slow shrinks, rejection halves+
+    assert ctrl.on_accept(1.0, 1) == 2.0           # clipped growth
+    assert ctrl.on_accept(1.0, 4) == 1.0
+    assert ctrl.on_accept(1.0, 16) == 0.5
+    assert ctrl.on_reject(1.0, 12) < 0.6
+
+    mesh = tb.generate_mesh("hex8", (6, 2, 2), (0, 0, 0), (4.0, 1.0, 1.0))
+    material = tb.PK1Model(tb.NeoHookeanModel(mu=1.0, lam=5.0))
+    press = tb.PressureFieldBC(
+        tb.AnalyticalCoefficient(lambda x, t: jnp.minimum(t, 1.0) * 0.08),
+        "bottom")
+    model = tb.QuasiStaticModel("d", material, (press,))
+    disc = tb.FiniteElementDiscretization(
+        {"d": tb.FieldSpec(order=1, ncomponents=3)},
+        dbcs=[tb.Dirichlet("d", "left", 0.0)], dtype=DT)
+    fn = tb.semidiscretize(model, disc, mesh)
+    solver = tb.HomotopyPathSolver(
+        tb.NewtonRaphsonSolver(tol=1e-7, max_iter=12, inner="lu"),
+        controller=ctrl)
+    u, rep = solver.solve(fn, jnp.zeros(fn.solution_size, DT), (0.0, 1.0),
+                          dt=0.25)
+    assert rep.converged, rep
+    coords = fn.dh.field_dof_coords("d")
+    tip = np.argmin(np.linalg.norm(coords - [4.0, 0.5, 0.5], axis=1))
+    uz = float(np.asarray(u).reshape(-1, 3)[tip, 2])
+    assert uz > 0.1, uz

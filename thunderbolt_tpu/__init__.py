@@ -191,7 +191,10 @@ from thunderbolt_tpu.solver.nonlinear.newton import (
     NewtonRaphsonSolver,
     EisenstatWalkerForcing,
 )
-from thunderbolt_tpu.solver.time.homotopy import HomotopyPathSolver
+from thunderbolt_tpu.solver.time.homotopy import (
+    HomotopyPathSolver,
+    Deuflhard2004DiscreteContinuationController,
+)
 from thunderbolt_tpu.solver.time.newmark import NewmarkSolver, NewmarkState
 from thunderbolt_tpu.solver.time.controllers import (
     PIDController,

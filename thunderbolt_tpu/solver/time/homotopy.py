@@ -27,14 +27,46 @@ class HomotopySolveReport:
 
 
 @dataclass(frozen=True)
+class Deuflhard2004DiscreteContinuationController:
+    """Predictive load-increment control from observed Newton effort
+    (Deuflhard 2004 ch. 5 discrete continuation; parity:
+    ``Deuflhard2004DiscreteContinuationController``,
+    ``src/solver/time/homotopy.jl:219-283``).
+
+    On acceptance the increment scales by
+    ``gamma * sqrt(target_iterations / iters)`` (few iterations -> the
+    path is mildly nonlinear here -> grow; many -> shrink), clipped to
+    [shrink_min, max_growth]. On rejection the same prediction is applied
+    with the iteration budget as the observed effort, so repeated
+    rejections contract geometrically."""
+
+    target_iterations: int = 4
+    gamma: float = 0.95
+    max_growth: float = 2.0
+    shrink_min: float = 0.25
+
+    def on_accept(self, dt: float, iters: int) -> float:
+        f = self.gamma * np.sqrt(self.target_iterations / max(iters, 1))
+        return dt * float(np.clip(f, self.shrink_min, self.max_growth))
+
+    def on_reject(self, dt: float, maxiter: int) -> float:
+        f = self.gamma * np.sqrt(self.target_iterations / max(maxiter, 1))
+        return dt * float(np.clip(f, self.shrink_min, 0.5))
+
+
+@dataclass(frozen=True)
 class HomotopyPathSolver:
     """March the load parameter t over [t0, t1]; at each step solve the
-    quasi-static problem with the previous solution as predictor."""
+    quasi-static problem with the previous solution as predictor.
+    ``controller=None`` keeps the fixed halve/grow rule; pass a
+    ``Deuflhard2004DiscreteContinuationController`` for predictive
+    increments."""
 
     newton: NewtonRaphsonSolver = NewtonRaphsonSolver()
     adaptive: bool = True
     dt_min_factor: float = 1e-4   # smallest allowed dt as fraction of initial
     growth: float = 2.0
+    controller: Optional[Any] = None
 
     def solve(self, fn, u0, tspan, dt, monitor=None, store=None):
         """Returns (u at t1, HomotopySolveReport)."""
@@ -62,13 +94,20 @@ class HomotopyPathSolver:
                 rep.t_reached = t
                 if store is not None:
                     store(t, u)
-                if self.adaptive and stats.iterations <= 5:
+                if self.controller is not None:
+                    dt_cur = min(self.controller.on_accept(
+                        dt_cur, stats.iterations), t1 - t0)
+                elif self.adaptive and stats.iterations <= 5:
                     dt_cur = min(dt_cur * self.growth, dt0)
             else:
                 rep.rejects += 1
                 if not self.adaptive:
                     return u, rep
-                dt_cur *= 0.5
+                if self.controller is not None:
+                    dt_cur = self.controller.on_reject(
+                        dt_cur, self.newton.max_iter)
+                else:
+                    dt_cur *= 0.5
                 if dt_cur < dt_min:
                     return u, rep
         rep.converged = True
