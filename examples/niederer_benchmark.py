@@ -28,11 +28,10 @@ alg = tb.LieTrotterGodunov((
     tb.BackwardEulerSolver(rtol=1e-5, atol=1e-6),
     tb.RushLarsenCellSolver(substeps=2),
 ))
-t0 = time.time()
-act = niederer.activation_times(ode, u0, alg, T=80.0, dt=0.05, sample_dt=0.5)
-wall = time.time() - t0
-print(f"march to 80 ms at dt=0.05: {wall:.1f} s "
-      f"({80.0 / 0.05 / wall:.0f} steps/s)")
+act, sps = niederer.activation_times(ode, u0, alg, T=80.0, dt=0.05,
+                                     sample_dt=0.5)
+print(f"march to 80 ms at dt=0.05: {sps:.0f} steps/s "
+      f"(steady-state, compile excluded)")
 
 probes = niederer.corner_probes(ode)
 print("activation times [ms] (paper P1..P8 + center):")

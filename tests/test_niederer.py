@@ -18,8 +18,8 @@ def slab():
     mesh, ode, u0 = niederer.build(h=0.5, dtype=jnp.float32)
     alg = tb.LieTrotterGodunov((tb.BackwardEulerSolver(rtol=1e-5, atol=1e-6),
                                 tb.RushLarsenCellSolver(substeps=2)))
-    act = niederer.activation_times(ode, u0, alg, T=80.0, dt=0.1,
-                                    sample_dt=1.0)
+    act, _ = niederer.activation_times(ode, u0, alg, T=80.0, dt=0.1,
+                                       sample_dt=1.0)
     return mesh, ode, act
 
 

@@ -77,7 +77,9 @@ def activation_times(odeform, u0, alg, T=60.0, dt=0.05, sample_dt=None,
     nsteps = int(round(T / dt))
 
     @jax.jit
-    def march(u):
+    def march(u, k):
+        # k is TRACED: one compilation serves every horizon (warmup calls
+        # with tiny k hit the same executable as the timed full march)
         act0 = jnp.full(vi.size, jnp.inf, u.dtype)
 
         def body(i, carry):
@@ -88,11 +90,16 @@ def activation_times(odeform, u0, alg, T=60.0, dt=0.05, sample_dt=None,
             act = jnp.where((phi > threshold) & jnp.isinf(act), t + dt, act)
             return (u, act)
 
-        u, act = jax.lax.fori_loop(0, nsteps, body, (u, act0))
+        u, act = jax.lax.fori_loop(0, k, body, (u, act0))
         return u, act
 
-    u, act = march(u0)
-    return np.asarray(act)
+    import time as _time
+    jax.block_until_ready(march(u0, 1))      # compile once (k is traced)
+    t0 = _time.perf_counter()
+    u, act = march(u0, nsteps)
+    jax.block_until_ready(act)
+    steps_per_sec = nsteps / (_time.perf_counter() - t0)
+    return np.asarray(act), steps_per_sec
 
 
 def corner_probes(odeform):

@@ -33,6 +33,9 @@ class CellModel:
     #: indices of Hodgkin-Huxley gating states (for Rush-Larsen); empty if
     #: the model does not expose gate structure.
     gating_indices = ()
+    #: set True in a subclass whose rhs reads the per-point coordinates x —
+    #: the fused Pallas cell kernels (ops/pallas_cells.py) then stand down.
+    uses_coordinates = False
 
     @property
     def nstates(self) -> int:

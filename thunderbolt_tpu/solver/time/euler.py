@@ -218,12 +218,21 @@ class ForwardEulerCellSolver:
     Parity: ``ForwardEulerCellSolver`` (``partitioned_solver.jl:57``)."""
 
     substeps: int = 1
+    use_pallas: bool = True
 
     def make_step(self, fn, dt):
         if isinstance(fn, PointwiseMultiODEFunction):
             return _make_multi_step(self, fn, dt)
         ion, x, n = fn.ion, fn.x, self.substeps
         h = dt / n
+        if self.use_pallas:
+            from thunderbolt_tpu.ops.pallas_cells import \
+                make_forward_euler_kernel
+            k = make_forward_euler_kernel(
+                ion, fn.npoints, dt, n,
+                dtype=x.dtype if x is not None else jnp.float32)
+            if k is not None:
+                return k
 
         def step(u, t):
             U = fn.reshape(u)
@@ -262,6 +271,7 @@ class AdaptiveForwardEulerSubstepper:
 
     reaction_threshold: float = 0.1
     substeps: int = 8
+    use_pallas: bool = True
 
     def make_step(self, fn, dt):
         if isinstance(fn, PointwiseMultiODEFunction):
@@ -270,6 +280,14 @@ class AdaptiveForwardEulerSubstepper:
         n = self.substeps
         h = dt / n
         p = ion.phi_index
+        if self.use_pallas:
+            from thunderbolt_tpu.ops.pallas_cells import \
+                make_adaptive_substep_kernel
+            k = make_adaptive_substep_kernel(
+                ion, fn.npoints, dt, n, self.reaction_threshold,
+                dtype=x.dtype if x is not None else jnp.float32)
+            if k is not None:
+                return k
 
         def step(u, t):
             U = fn.reshape(u)
@@ -327,11 +345,20 @@ class RushLarsenCellSolver:
     (BASELINE.md config 2)."""
 
     substeps: int = 1
+    use_pallas: bool = True
 
     def make_step(self, fn, dt):
         if isinstance(fn, PointwiseMultiODEFunction):
             return _make_multi_step(self, fn, dt)
         ion, x = fn.ion, fn.x
+        if self.use_pallas and len(ion.gating_indices) > 0:
+            from thunderbolt_tpu.ops.pallas_cells import \
+                make_rush_larsen_kernel
+            k = make_rush_larsen_kernel(
+                ion, fn.npoints, dt, self.substeps,
+                dtype=x.dtype if x is not None else jnp.float32)
+            if k is not None:
+                return k
         gidx = jnp.asarray(ion.gating_indices)
         if len(ion.gating_indices) == 0:
             raise ValueError(f"{type(ion).__name__} exposes no gate structure")
