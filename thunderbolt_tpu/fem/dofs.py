@@ -49,6 +49,7 @@ class FieldInfo:
     nentities: int = 0       # entities carrying dofs
     entity_coords: np.ndarray = None  # [nentities, sdim] representative coords
     entity_nodes: np.ndarray = None   # [nentities] mesh node id or -1
+    entity_parents: np.ndarray = None  # [nentities, 8] parent nodes, -1 pad
 
     @property
     def ndofs(self):
@@ -280,6 +281,22 @@ class DofHandler:
             # entities) — the dof <-> node permutation for IO and probes
             fi.entity_nodes = np.full(fi.nentities, -1, dtype=np.int64)
             fi.entity_nodes[:vert_nodes.size] = vert_nodes
+            # parent mesh nodes of each entity (-1 padded): vertices are
+            # their own parent, edges/faces their corner tuples, centers the
+            # cell corners — the p-multigrid transfer table (PMGPrecon
+            # parity, solver/multigrid.py)
+            par = np.full((total, 8), -1, dtype=np.int64)
+            par[:vert_nodes.size, 0] = vert_nodes
+            if nedges:
+                par[e_base:e_base + nedges, :2] = euniq
+            if nfaces:
+                par[f_base:f_base + nfaces, :4] = funiq
+            for k in range(cuniq.size):
+                bi2, lc2 = mesh.block_of_cell(int(cuniq[k]))
+                bb = mesh.blocks[bi2]
+                vv = bb.connectivity[lc2, list(bb.element.vertices)]
+                par[c_base + k, :vv.size] = vv
+            fi.entity_parents = par
             offset += fi.ndofs
         self.ndofs = offset
         self._closed = True

@@ -136,6 +136,58 @@ class GMGPreconditioner:
         return self._vcycle(len(self.operators) - 1, r)
 
 
+def pmg_transfer(dh, field: str):
+    """(pidx, pw): P1-nodal -> P2-dof prolongation on ONE mesh from the
+    dof handler's entity-parent table — the p-multigrid transfer
+    (``PMGPrecon`` parity, ``src/solver/linear/multigrid.jl``). Each P2
+    entity interpolates the mean of its parent vertices; the P1 level's
+    dofs must be in mesh-node order (guaranteed for a full-domain scalar
+    field)."""
+    fi = dh.fields[field]
+    if fi.order != 2 or fi.ncomponents != 1:
+        raise ValueError("pmg_transfer expects a scalar order-2 field")
+    par = fi.entity_parents
+    k = np.maximum((par >= 0).sum(axis=1), 1)
+    pw = np.where(par >= 0, 1.0 / k[:, None], 0.0)
+    pidx = np.where(par >= 0, par, 0)
+    return jnp.asarray(pidx, jnp.int32), jnp.asarray(pw)
+
+
+def pmg_preconditioner(mesh: Mesh, kappa=1.0, dtype=jnp.float64,
+                       mass_shift=0.0, **smooth) -> GMGPreconditioner:
+    """Two-level p-multigrid V-cycle for the P2 Laplacian/heat operator on
+    `mesh`: weighted-Jacobi smoothing on the P2 level, dense solve on the
+    P1 level, transfer from entity parents (no geometric search). Returns
+    a GMGPreconditioner whose __call__ serves as the CG ``Minv``.
+
+    Compose with h-coarsening by building a ``GridHierarchy`` below the P1
+    level and stacking the operators (the reference's ``ChainedMGPrecon``)."""
+    from thunderbolt_tpu.fem.dofs import DofHandler
+    from thunderbolt_tpu.fem.forms import (
+        make_form_batch, element_diffusion, element_mass, scatter_matrix)
+    from thunderbolt_tpu.fem.sparsity import build_sparsity, csr_to_ell
+
+    ops = []
+    dh2 = None
+    for order in (1, 2):
+        dh = DofHandler(mesh).add_field("u", order=order).close()
+        sub = dh.subdofs[0]
+        batch = make_form_batch(dh, sub, dtype=dtype)
+        pat = build_sparsity([sub.cell_dofs], dh.ndofs)
+        kv = -scatter_matrix(element_diffusion(batch, kappa),
+                             jnp.asarray(pat.elem_maps[0]), pat.nnz)
+        if mass_shift:
+            kv = kv + mass_shift * scatter_matrix(
+                element_mass(batch), jnp.asarray(pat.elem_maps[0]), pat.nnz)
+        ops.append(csr_to_ell(pat, kv))
+        if order == 2:
+            dh2 = dh
+    pidx, pw = pmg_transfer(dh2, "u")
+    hierarchy = GridHierarchy(meshes=[mesh, mesh],
+                              prolongations=[(pidx, pw)])
+    return GMGPreconditioner(operators=ops, hierarchy=hierarchy, **smooth)
+
+
 def assemble_level_laplacians(hierarchy: GridHierarchy, kappa=1.0,
                               dtype=jnp.float64, mass_shift=0.0):
     """Assemble (-K + mass_shift*M) per level (SPD Laplacian / heat
