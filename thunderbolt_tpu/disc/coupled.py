@@ -197,7 +197,7 @@ class BlockedNewtonSolver:
         def assemble(w):
             return assemble_j(w, t, V_targets)
 
-        from thunderbolt_tpu.fem.sparsity import ell_to_scipy
+        from thunderbolt_tpu.fem.sparsity import any_to_scipy
         import scipy.sparse.linalg as spla
 
         u0 = ch.apply(w0[: fn.nmech]) if ch is not None else w0[: fn.nmech]
@@ -212,7 +212,7 @@ class BlockedNewtonSolver:
             if not np.isfinite(rnorm):
                 return w, NewtonStats(it, rnorm, False, tuple(history))
             # J = [[K, -B], [B^T, 0]]; Schur over the multiplier block
-            A_sp = ell_to_scipy(A).tocsc()
+            A_sp = any_to_scipy(A).tocsc()
             lu = spla.splu(A_sp)
             X_b = lu.solve(np.asarray(r_u))
             X_B = np.stack([lu.solve(np.asarray(B[i]))

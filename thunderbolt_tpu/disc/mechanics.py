@@ -229,7 +229,17 @@ class QuasiStaticFunction:
             kvals = kvals + scatter_matrix(Kf, em, self.pattern.nnz)
         return kvals, r
 
-    def jacobian_matrix(self, kvals) -> ELLMatrix:
+    def jacobian_matrix(self, kvals):
+        """BlockDIA (gather-free SpMV) when the entity-offset set is small;
+        ELL fallback for scattered layouts."""
+        b = self.__dict__.get("_bdia_builder", "unset")
+        if b == "unset":
+            from thunderbolt_tpu.fem.sparsity import block_dia_builder
+            ncomp = self.dh.fields[self.field].ncomponents
+            b = block_dia_builder(self.pattern, ncomp)
+            self.__dict__["_bdia_builder"] = b
+        if b is not None:
+            return b(kvals)
         return csr_to_ell(self.pattern, kvals)
 
 

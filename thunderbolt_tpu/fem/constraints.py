@@ -65,7 +65,12 @@ class ConstraintHandler:
         return z.at[self.cdofs].set(self.cvals.astype(z.dtype))
 
     def apply_operator(self, A: ELLMatrix) -> ELLMatrix:
-        """Zero constrained rows/cols, unit diagonal (symmetric elimination)."""
+        """Zero constrained rows/cols, unit diagonal (symmetric elimination).
+        Operators without a mutable value layout (BlockDIAMatrix) get the
+        matrix-free MaskedOperator wrapper instead."""
+        if not isinstance(A, ELLMatrix):
+            from thunderbolt_tpu.fem.sparsity import MaskedOperator
+            return MaskedOperator(A, self.free_mask)
         free = self.free_mask
         rowfree = free[:, None]
         colfree = free[A.cols]

@@ -82,12 +82,26 @@ class NewtonRaphsonSolver:
                 r = ch.apply_zero(r) if ch is not None else r
                 return jnp.linalg.norm(r)
 
-            jits = (assemble_j, rnorm_j)
+            # Inner Krylov solves MUST be jitted with the matrix as a
+            # pytree ARGUMENT: calling cg eagerly with a fresh `A.mv`
+            # closure re-traces (and on TPU re-compiles) the while_loop at
+            # EVERY Newton iteration — measured seconds per iteration on a
+            # remote chip vs milliseconds once cached here.
+            from functools import partial
+
+            @partial(jax.jit, static_argnames=("maxiter", "method"))
+            def krylov_j(A, r, eta, atol, maxiter, method):
+                Minv = jacobi_preconditioner(A.diagonal())
+                f = cg if method == "cg" else bicgstab
+                return f(A.mv, r, Minv=Minv, rtol=eta, atol=atol,
+                         maxiter=maxiter)
+
+            jits = (assemble_j, rnorm_j, krylov_j)
             try:
                 fn.__dict__["_newton_jits"] = jits
             except (AttributeError, TypeError):
                 pass
-        assemble_j, rnorm_j = jits
+        assemble_j, rnorm_j, krylov_j = jits
 
         def assemble(u):
             return assemble_j(u, t, extra)
@@ -96,16 +110,16 @@ class NewtonRaphsonSolver:
             return rnorm_j(u, t, extra)
 
         if self.inner == "lu":
-            from thunderbolt_tpu.fem.sparsity import ell_to_scipy
+            from thunderbolt_tpu.fem.sparsity import any_to_scipy
             import scipy.sparse.linalg as spla
 
             def solver(mv_A, r, Minv=None, rtol=None, atol=None,
                        maxiter=None, _A_holder=[]):
-                A_sp = ell_to_scipy(solver.current_A)
+                A_sp = any_to_scipy(solver.current_A)
                 x = spla.spsolve(A_sp.tocsc(), np.asarray(r))
                 return jnp.asarray(x, r.dtype), None
         else:
-            solver = cg if self.inner == "cg" else bicgstab
+            solver = None  # jitted krylov_j path below
 
         u = ch.apply(u0) if ch is not None else u0
         history = []
@@ -137,10 +151,8 @@ class NewtonRaphsonSolver:
                 solver.current_A = A
                 du, info = solver(A.mv, r)
             else:
-                Minv = jacobi_preconditioner(A.diagonal())
-                du, info = solver(A.mv, r, Minv=Minv, rtol=eta,
-                                  atol=self.inner_atol,
-                                  maxiter=self.inner_maxiter)
+                du, info = krylov_j(A, r, eta, self.inner_atol,
+                                    self.inner_maxiter, self.inner)
             # line search: prefer decrease, but fall back to the FULL step
             # (non-monotone Newton) rather than a crippled tiny step
             u_full = u - du
