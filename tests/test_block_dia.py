@@ -14,10 +14,10 @@ from thunderbolt_tpu.fem.sparsity import (
 DT = jnp.float64
 
 
-def _mech(mesh, dbc_set):
+def _mech(mesh, dbc_set, pressure_set="top"):
     model = tb.QuasiStaticModel(
         "d", tb.PK1Model(tb.NeoHookeanModel(mu=1.0, lam=3.0)),
-        (tb.ConstantPressureBC(0.03, "top"),))
+        (tb.ConstantPressureBC(0.03, pressure_set),))
     disc = tb.FiniteElementDiscretization(
         {"d": tb.FieldSpec(order=1, ncomponents=3)},
         dbcs=[tb.Dirichlet("d", dbc_set, 0.0)], dtype=DT)
@@ -99,3 +99,27 @@ def test_rcm_reorder_preserves_everything():
             w = max(w, int((c.max(axis=1) - c.min(axis=1)).max()))
         return w
     assert bandwidth(out) < bandwidth(mesh)
+
+
+def test_block_dia_spill_on_lv():
+    """The ideal LV's apex plug couples pole nodes to whole rings — those
+    irregular diagonals spill to COO while the lattice shell stays
+    block-DIA; the combined operator matches ELL exactly."""
+    mesh = tb.generate_ideal_lv_mesh(12, 3, 6)
+    fn = _mech(mesh, "Base", pressure_set="Endocardium")
+    rng = np.random.default_rng(2)
+    u = jnp.asarray(0.01 * rng.normal(size=fn.solution_size))
+    kv, _ = fn.assemble(u, 1.0)
+    A_b = fn.jacobian_matrix(kv)
+    assert isinstance(A_b, BlockDIAMatrix)
+    assert A_b.spill_rows is not None and A_b.spill_rows.size > 0
+    # the spill is a small fraction of the nnz
+    assert A_b.spill_rows.size < 0.2 * fn.pattern.nnz
+    A_e = csr_to_ell(fn.pattern, kv)
+    x = jnp.asarray(rng.normal(size=fn.solution_size))
+    assert np.allclose(np.asarray(A_b.mv(x)), np.asarray(A_e.mv(x)),
+                       atol=1e-11)
+    assert np.allclose(np.asarray(A_b.diagonal()),
+                       np.asarray(A_e.diagonal()), atol=1e-13)
+    As = any_to_scipy(A_b)
+    assert np.allclose(As @ np.asarray(x), np.asarray(A_e.mv(x)), atol=1e-11)

@@ -272,20 +272,34 @@ class BlockDIAMatrix:
     multiply-adds on the VPU — the vector-field analog of DIAMatrix. This
     unseats the gather-bound ELL SpMV in the mechanics Krylov solves
     (gathers are the slowest primitive on TPU).
+
+    Low-occupancy diagonals (e.g. the ideal LV's apex-plug rows, which
+    couple one pole node to a whole ring) are carried as a small COO
+    "spill" — one segment_sum gather over a few percent of the nnz — so a
+    handful of irregular rows cannot force the whole operator back to ELL.
+
     """
 
-    def __init__(self, offsets, blocks, nent, ncomp):
+    def __init__(self, offsets, blocks, nent, ncomp,
+                 spill_rows=None, spill_cols=None, spill_vals=None):
         self.offsets = offsets      # static tuple of entity offsets
         self.blocks = blocks        # [ndiag, nent, c, c]
         self.nent = nent
         self.ncomp = ncomp
+        self.spill_rows = spill_rows   # int32 [ns] dof rows (or None)
+        self.spill_cols = spill_cols
+        self.spill_vals = spill_vals
 
     def tree_flatten(self):
-        return (self.blocks,), (self.offsets, self.nent, self.ncomp)
+        return ((self.blocks, self.spill_rows, self.spill_cols,
+                 self.spill_vals),
+                (self.offsets, self.nent, self.ncomp))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(aux[0], children[0], aux[1], aux[2])
+        return cls(aux[0], children[0], aux[1], aux[2],
+                   spill_rows=children[1], spill_cols=children[2],
+                   spill_vals=children[3])
 
     @property
     def shape(self):
@@ -302,7 +316,12 @@ class BlockDIAMatrix:
         for k, d in enumerate(self.offsets):
             seg = jax.lax.dynamic_slice_in_dim(Xp, lo + d, self.nent)
             Y = Y + jnp.einsum("nab,nb->na", self.blocks[k], seg)
-        return Y.reshape(-1)
+        y = Y.reshape(-1)
+        if self.spill_rows is not None:
+            y = y + jax.ops.segment_sum(
+                self.spill_vals * x[self.spill_cols], self.spill_rows,
+                self.nent * self.ncomp)
+        return y
 
     def __matmul__(self, x):
         return self.mv(x)
@@ -325,6 +344,10 @@ class BlockDIAMatrix:
                     rows.append((e[ok] * c + a))
                     cols.append(((e[ok] + d) * c + b))
                     vals.append(B[k, ok, a, b])
+        if self.spill_rows is not None:
+            rows.append(np.asarray(self.spill_rows))
+            cols.append(np.asarray(self.spill_cols))
+            vals.append(np.asarray(self.spill_vals))
         return sp.coo_matrix(
             (np.concatenate(vals),
              (np.concatenate(rows), np.concatenate(cols))),
@@ -378,11 +401,17 @@ def any_to_scipy(A):
     return A.to_scipy()
 
 
-def block_dia_builder(pattern: SparsityPattern, ncomp: int, max_diags=96):
+def block_dia_builder(pattern: SparsityPattern, ncomp: int, max_diags=96,
+                      min_occupancy=0.05, max_spill=0.2):
     """Host-side factory: returns ``kvals -> BlockDIAMatrix`` (a cheap
     device scatter through a precomputed destination table), or None when
-    the entity-offset set is too scattered / the layout is not
-    entity-blocked. Callers fall back to ELL."""
+    the layout is not entity-blocked or too scattered to profit.
+
+    Entity offsets whose diagonals are occupied below ``min_occupancy``
+    (irregular rows: apex plugs, mesh seams) spill into a small COO part;
+    if more than ``max_spill`` of the nnz would spill, or the dense
+    offsets exceed ``max_diags``, the builder declines and callers fall
+    back to ELL."""
     if ncomp < 2 or pattern.ndofs % ncomp:
         return None
     rows = pattern.rows.astype(np.int64)
@@ -390,19 +419,41 @@ def block_dia_builder(pattern: SparsityPattern, ncomp: int, max_diags=96):
     ei, a = rows // ncomp, rows % ncomp
     ej, b = cols // ncomp, cols % ncomp
     d = ej - ei
-    offs = np.unique(d)
-    if offs.size > max_diags or 0 not in offs:
-        return None
+    offs, counts = np.unique(d, return_counts=True)
     nent = pattern.ndofs // ncomp
-    k = np.searchsorted(offs, d)
-    dest = jnp.asarray(((k * nent + ei) * ncomp + a) * ncomp + b)
-    offsets = tuple(int(x) for x in offs)
-    size = offs.size * nent * ncomp * ncomp
+    dense = counts >= max(1, int(min_occupancy * nent * ncomp * ncomp))
+    # the main diagonal must stay dense (Jacobi/diagonal() rely on it)
+    dense[np.searchsorted(offs, 0)] = True if 0 in offs else dense.any()
+    if 0 not in offs:
+        return None
+    keep = offs[dense]
+    if keep.size > max_diags:
+        return None
+    spill_frac = counts[~dense].sum() / max(counts.sum(), 1)
+    if spill_frac > max_spill:
+        return None
+
+    in_keep = np.isin(d, keep)
+    k = np.searchsorted(keep, d[in_keep])
+    dest = jnp.asarray(((k * nent + ei[in_keep]) * ncomp + a[in_keep])
+                       * ncomp + b[in_keep])
+    keep_pos = jnp.asarray(np.nonzero(in_keep)[0])
+    offsets = tuple(int(x) for x in keep)
+    size = keep.size * nent * ncomp * ncomp
+
+    sp_pos = np.nonzero(~in_keep)[0]
+    has_spill = sp_pos.size > 0
+    sp_rows = jnp.asarray(rows[sp_pos], jnp.int32) if has_spill else None
+    sp_cols = jnp.asarray(cols[sp_pos], jnp.int32) if has_spill else None
+    sp_pos_j = jnp.asarray(sp_pos) if has_spill else None
 
     def build(kvals):
-        flat = jnp.zeros((size,), kvals.dtype).at[dest].set(kvals)
-        return BlockDIAMatrix(
-            offsets, flat.reshape(offs.size, nent, ncomp, ncomp),
-            nent, ncomp)
+        flat = jnp.zeros((size,), kvals.dtype).at[dest].set(kvals[keep_pos])
+        blocks = flat.reshape(keep.size, nent, ncomp, ncomp)
+        if has_spill:
+            return BlockDIAMatrix(offsets, blocks, nent, ncomp,
+                                  spill_rows=sp_rows, spill_cols=sp_cols,
+                                  spill_vals=kvals[sp_pos_j])
+        return BlockDIAMatrix(offsets, blocks, nent, ncomp)
 
     return build
