@@ -330,6 +330,21 @@ class BlockDIAMatrix:
         k = self.offsets.index(0)
         return jnp.diagonal(self.blocks[k], axis1=1, axis2=2).reshape(-1)
 
+    def block_jacobi_inv(self):
+        """r -> D_block^{-1} r with the [c,c] diagonal blocks inverted in
+        closed form — a materially stronger preconditioner than scalar
+        Jacobi for elasticity (couples the components of each node)."""
+        from thunderbolt_tpu.utils.smallmat import det_small, inv_small
+        k = self.offsets.index(0)
+        D = self.blocks[k]                        # [nent, c, c]
+        Dinv = inv_small(D, det_small(D))
+
+        def apply(r):
+            R = r.reshape(self.nent, self.ncomp)
+            return jnp.einsum("nab,nb->na", Dinv, R).reshape(-1)
+
+        return apply
+
     def to_scipy(self):
         import scipy.sparse as sp
         c, nent = self.ncomp, self.nent
@@ -383,6 +398,17 @@ class MaskedOperator:
         d = self.A.diagonal()
         f = self.free_mask.astype(d.dtype)
         return f * d + (1.0 - f)
+
+    def block_jacobi_inv(self):
+        """Masked block-Jacobi: identity on constrained dofs."""
+        inner = self.A.block_jacobi_inv()
+        free = self.free_mask
+
+        def apply(r):
+            f = free.astype(r.dtype)
+            return f * inner(f * r) + (1.0 - f) * r
+
+        return apply
 
     def to_scipy(self):
         import scipy.sparse as sp

@@ -91,7 +91,9 @@ class NewtonRaphsonSolver:
 
             @partial(jax.jit, static_argnames=("maxiter", "method"))
             def krylov_j(A, r, eta, atol, maxiter, method):
-                Minv = jacobi_preconditioner(A.diagonal())
+                Minv = A.block_jacobi_inv() \
+                    if hasattr(A, "block_jacobi_inv") \
+                    else jacobi_preconditioner(A.diagonal())
                 f = cg if method == "cg" else bicgstab
                 return f(A.mv, r, Minv=Minv, rtol=eta, atol=atol,
                          maxiter=maxiter)
