@@ -88,3 +88,26 @@ def test_sharded_mechanics_assembly_matches():
     kv_s, r_s = jax.jit(fns.assemble)(u, 1.0)
     assert np.allclose(np.asarray(r_s), np.asarray(r_ref), atol=1e-10)
     assert np.allclose(np.asarray(kv_s), np.asarray(kv_ref), atol=1e-10)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_mechanics_newton_matches():
+    """Full Newton on the element-sharded mechanics function (sharded
+    assembly + replicated Krylov) reproduces the single-device solve."""
+    from thunderbolt_tpu.parallel.sharding import (
+        make_device_mesh, shard_quasistatic_function)
+    mesh = tb.generate_mesh("hex8", (3, 2, 2))
+    model = tb.QuasiStaticModel(
+        "d", tb.PK1Model(tb.NeoHookeanModel(mu=1.0, lam=3.0)),
+        (tb.ConstantPressureBC(0.04, "top"),))
+    disc = tb.FiniteElementDiscretization(
+        {"d": tb.FieldSpec(order=1, ncomponents=3)},
+        dbcs=[tb.Dirichlet("d", "bottom", 0.0)], dtype=jnp.float64)
+    fn = tb.semidiscretize(model, disc, mesh)
+    newton = tb.NewtonRaphsonSolver(tol=1e-9, max_iter=25, inner="cg",
+                                    inner_rtol=1e-10, inner_maxiter=2000)
+    u_ref, s_ref = newton.solve(fn, jnp.zeros(fn.solution_size), 1.0)
+    fns = shard_quasistatic_function(fn, make_device_mesh(8))
+    u_s, s_s = newton.solve(fns, jnp.zeros(fn.solution_size), 1.0)
+    assert s_ref.converged and s_s.converged
+    assert np.allclose(np.asarray(u_s), np.asarray(u_ref), atol=1e-12)
