@@ -207,6 +207,22 @@ from thunderbolt_tpu.models.coupling import (
     LumpedFluidSolidCoupler,
     RSAFDQ2022Model,
     RSAFDQ2022Split,
+    compute_chamber_volume,
+)
+from thunderbolt_tpu.solver.linear import (
+    cg,
+    bicgstab,
+    jacobi_preconditioner,
+    SchurComplementLinearSolver,
+    schur_complement_solve,
+)
+from thunderbolt_tpu.utils.logging import (
+    DefaultProgressMonitor,
+    VTKNewtonMonitor,
+    enable_debug_timings,
+    timeit,
+    reset_timers,
+    print_timers,
 )
 from thunderbolt_tpu.models.fluid.lumped import (
     RSAFDQ2022LumpedCircuitModel,

@@ -72,3 +72,28 @@ class RSAFDQ2022Split:
     """Solve the coupled model with the 3D/0D operator split
     (``rsafdq2022.jl:138``)."""
     model: RSAFDQ2022Model
+
+
+def compute_chamber_volume(dh, u, facetset: str, field: str = None,
+                           method: Any = None):
+    """Deformed chamber cavity volume from the displacement field ``u``
+    over the chamber surface ``facetset`` (parity:
+    ``compute_chamber_volume``, ``src/modeling/rsafdq2022.jl:22-64``).
+
+    ``dh``: the DofHandler of the structural function; ``u``: full solution
+    vector (only the facet dofs are gathered). Uses the axis-projected
+    surrogate integral (``RSAFDQ2022SurrogateVolume``) by default.
+    """
+    import jax
+    from thunderbolt_tpu.fem.facets import make_facet_batch
+
+    if field is None:
+        field = next(iter(dh.fields))
+    if method is None:
+        method = RSAFDQ2022SurrogateVolume()
+    batch = make_facet_batch(dh, field, facetset, dtype=jnp.asarray(u).dtype)
+    U = jnp.asarray(u)[batch.facet_dofs].reshape(
+        batch.facet_dofs.shape[0], -1, batch.ncomp)
+    vols = jax.vmap(lambda uf, Xf: method.facet_volume(batch, uf, Xf))(
+        U, batch.Xf)
+    return jnp.sum(vols)

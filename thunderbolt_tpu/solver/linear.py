@@ -109,3 +109,55 @@ def bicgstab(A: Callable, b, x0=None, *, Minv: Optional[Callable] = None,
 def jacobi_preconditioner(diag):
     inv = jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 1.0)
     return lambda r: inv * r
+
+
+def schur_complement_solve(A_solve: Callable, B, C, f, g):
+    """Solve the 2x2 block system with zero (2,2) block
+
+        [A  B] [x]   [f]
+        [C  0] [y] = [g]
+
+    by explicit Schur elimination over the (small) second block: one inner
+    solve per column of ``B`` plus one for ``f`` — exactly the reference's
+    ``SchurComplementLinearSolver`` strategy for the 3D-0D saddle point
+    (``src/solver/linear/schur.jl:26-80``: "inner solves per constraint").
+
+    ``A_solve``: closure solving ``A x = b`` (direct or Krylov, possibly
+    preconditioned/sharded). ``B``: [n, m]; ``C``: [m, n]; m small/static.
+    Returns ``(x, y)``.
+    """
+    W = jax.vmap(A_solve, in_axes=1, out_axes=1)(B)      # A^-1 B, [n, m]
+    xf = A_solve(f)                                      # A^-1 f
+    S = C @ W                                            # [m, m]
+    y = jnp.linalg.solve(S, C @ xf - g)
+    x = xf - W @ y
+    return x, y
+
+
+class SchurComplementLinearSolver:
+    """Named front-end over :func:`schur_complement_solve` (parity:
+    ``SchurComplementLinearSolver``, ``src/solver/linear/schur.jl:26``).
+
+    ``inner``: "cg" | "bicgstab" | a callable ``(Avec, b) -> x``.
+    ``Avec``: the (1,1)-block operator closure x -> A x.
+    """
+
+    def __init__(self, inner="cg", rtol=1e-8, atol=1e-10, maxiter=1000,
+                 Minv=None):
+        self.inner = inner
+        self.rtol, self.atol, self.maxiter = rtol, atol, maxiter
+        self.Minv = Minv
+
+    def _inner_solve(self, Avec):
+        if callable(self.inner):
+            return lambda b: self.inner(Avec, b)
+        fn = {"cg": cg, "bicgstab": bicgstab}[self.inner]
+
+        def solve(b):
+            x, _ = fn(Avec, b, Minv=self.Minv, rtol=self.rtol,
+                      atol=self.atol, maxiter=self.maxiter)
+            return x
+        return solve
+
+    def solve(self, Avec: Callable, B, C, f, g):
+        return schur_complement_solve(self._inner_solve(Avec), B, C, f, g)
