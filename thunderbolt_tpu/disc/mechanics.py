@@ -297,7 +297,8 @@ def _(model: QuasiStaticModel, disc: FiniteElementDiscretization, mesh: Mesh):
     dtype = disc.dtype
     subs = dh.subdata(sym)
     batches = [make_form_batch(dh, s, degree=disc.degree_for(sym),
-                               dtype=dtype) for s in subs]
+                               dtype=dtype).precompute_geometry()
+               for s in subs]
 
     material = model.material_model
     stateful = getattr(material, "has_internal_state", False)

@@ -40,7 +40,8 @@ class FormBatch:
     """
 
     def __init__(self, N, dN, Ngeo, dNgeo, wq, Xe, cell_dofs, xq,
-                 cells, ncomp, celltype, field_celltype, cell_weight=None):
+                 cells, ncomp, celltype, field_celltype, cell_weight=None,
+                 geo_dNdx=None, geo_detJw=None):
         self.N = N            # [nqp, nb]
         self.dN = dN          # [nqp, nb, rdim]
         self.Ngeo = Ngeo      # [nqp, nbg]
@@ -56,17 +57,34 @@ class FormBatch:
         #: optional [nc] weight applied to detJw — 0 marks padding cells
         #: inserted for even device sharding
         self.cell_weight = cell_weight
+        #: reference-configuration geometry cache (total-Lagrangian forms
+        #: never move the mesh, so J^-1 grads / detJ.w are setup constants)
+        self.geo_dNdx = geo_dNdx      # [nc, nqp, nb, sdim] or None
+        self.geo_detJw = geo_detJw    # [nc, nqp] or None
 
     def tree_flatten(self):
         leaves = (self.N, self.dN, self.Ngeo, self.dNgeo, self.wq,
                   self.Xe, self.cell_dofs, self.xq, self.cells,
-                  self.cell_weight)
+                  self.cell_weight, self.geo_dNdx, self.geo_detJw)
         return leaves, (self.ncomp, self.celltype, self.field_celltype)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        *main, cell_weight = leaves
-        return cls(*main, *aux, cell_weight=cell_weight)
+        *main, cell_weight, geo_dNdx, geo_detJw = leaves
+        return cls(*main, *aux, cell_weight=cell_weight,
+                   geo_dNdx=geo_dNdx, geo_detJw=geo_detJw)
+
+    def precompute_geometry(self, max_bytes=512 << 20):
+        """Cache (dNdx, detJw) so jitted assembly reads constants instead of
+        re-deriving J^-1 per call. Skipped when the dNdx table would exceed
+        ``max_bytes`` (streaming it from HBM would cost more than the math)."""
+        if self.geo_detJw is not None:
+            return self
+        dNdx, detJw = self.geometry()
+        if dNdx.size * dNdx.dtype.itemsize <= max_bytes:
+            self.geo_dNdx = dNdx
+        self.geo_detJw = detJw
+        return self
 
     @property
     def ncells(self):
@@ -89,6 +107,8 @@ class FormBatch:
 
         J[s,r] = d x_s / d xi_r; for non-degenerate square Jacobians only
         (surface batches use FacetBatch)."""
+        if self.geo_detJw is not None and self.geo_dNdx is not None:
+            return self.geo_dNdx, self.geo_detJw
         J = jnp.einsum("qbr,cbs->cqsr", self.dNgeo, self.Xe)
         detJ = det_small(J)
         Jinv = inv_small(J, detJ)

@@ -5,10 +5,13 @@ Parity: ``NewtonRaphsonSolver`` (``src/solver/nonlinear/newton_raphson.jl:
 (``EisenstatWalkerForcing:16``), a monotonic-convergence guard via the
 convergence-rate history Theta_k (``:273-291``), and max-iteration abort.
 
-TPU-native: assembly + linear solve are one jitted call per iteration; the
-outer loop stays on host for logging/divergence control (a fully jitted
-while_loop variant is a planned fast path). The Jacobian is the shared-
-pattern ELL matrix; Dirichlet constraints are eliminated symmetrically.
+TPU-native: the default path runs the WHOLE Newton solve — assembly,
+Krylov, line search, forcing, divergence guards — inside one jitted
+``lax.while_loop`` (`solve_jitted`): one dispatch and one host readback per
+solve. This matters doubly on remote-tunneled chips where every
+device->host scalar sync costs tens of milliseconds; the reference's
+host-side loop structure (``newton_raphson.jl:212-291``) survives as the
+`monitor`/LU fallback path for logging and host direct solvers.
 """
 
 from __future__ import annotations
@@ -57,6 +60,145 @@ class NewtonRaphsonSolver:
 
     def solve(self, fn, u0, t, monitor=None):
         """Solve fn.residual(u, t) = 0 from u0; returns (u, NewtonStats).
+
+        Dispatches to the fully jitted device loop unless a host `monitor`
+        or the host-LU inner solver is requested."""
+        if monitor is None and self.inner != "lu":
+            return self.solve_jitted(fn, u0, t)
+        return self.solve_host(fn, u0, t, monitor=monitor)
+
+    def solve_jitted(self, fn, u0, t):
+        """One-dispatch Newton: the entire solve runs on device inside a
+        ``lax.while_loop``; only the final state and stats cross the host
+        boundary. Line search: accept the full step on a 10% decrease,
+        else backtrack (halving, bounded), else take the full
+        (non-monotone) step — same policy as the host loop."""
+        ch = fn.constraints
+        extra = fn.newton_extra() if hasattr(fn, "newton_extra") else ()
+
+        run = fn.__dict__.get("_newton_jit_full") \
+            if hasattr(fn, "__dict__") else None
+        if run is None:
+            cfg = self
+
+            def assemble(u, t, extra):
+                kvals, r = fn.assemble(u, t, *extra)
+                A_raw = fn.jacobian_matrix(kvals)
+                A = ch.apply_operator(A_raw) if ch is not None else A_raw
+                r = ch.apply_zero(r) if ch is not None else r
+                return A, r
+
+            def rnorm_of(u, t, extra):
+                r = fn.residual(u, t, *extra)
+                r = ch.apply_zero(r) if ch is not None else r
+                return jnp.linalg.norm(r)
+
+            @jax.jit
+            def run(u0, t, extra):
+                u0 = ch.apply(u0) if ch is not None else u0
+                dt_ = u0.dtype
+                rnorm0 = rnorm_of(u0, t, extra)
+                target = jnp.maximum(jnp.asarray(cfg.tol, dt_),
+                                     cfg.rtol * rnorm0)
+                hist0 = jnp.zeros(cfg.max_iter + 1, dt_).at[0].set(rnorm0)
+                # status: 0 running / 1 converged / 2 nonfinite / 3 growth
+                carry0 = (u0, rnorm0, jnp.asarray(cfg.inner_rtol, dt_),
+                          jnp.asarray(0, jnp.int32),   # growth count
+                          jnp.asarray(0, jnp.int32),   # iteration
+                          jnp.asarray(0, jnp.int32),   # status
+                          hist0)
+
+                def cond(c):
+                    _, _, _, _, it, status, _ = c
+                    return (status == 0) & (it < cfg.max_iter)
+
+                def body(c):
+                    u, rnorm_prev, eta, growth, it, status, hist = c
+                    A, r = assemble(u, t, extra)
+                    rnorm = jnp.linalg.norm(r)
+                    finite = jnp.isfinite(rnorm)
+                    grew = (rnorm >= rnorm_prev) & (it > 0)
+                    growth = jnp.where(grew, growth + 1, 0)
+                    # priority mirrors the host loop: converged > nonfinite
+                    # > growth abort
+                    i32 = lambda v: jnp.asarray(v, jnp.int32)
+                    status = jnp.where(
+                        rnorm <= target, i32(1), jnp.where(
+                            ~finite, i32(2), jnp.where(
+                                growth >= cfg.max_growth_iters,
+                                i32(3), i32(0))))
+                    if cfg.forcing is not None:
+                        f = cfg.forcing
+                        eta = jnp.where(
+                            it > 0,
+                            jnp.clip(f.gamma * (rnorm / rnorm_prev) ** 2,
+                                     f.eta_min, f.eta_max),
+                            eta).astype(dt_)
+                    Minv = A.block_jacobi_inv() \
+                        if hasattr(A, "block_jacobi_inv") \
+                        else jacobi_preconditioner(A.diagonal())
+                    kfun = cg if cfg.inner == "cg" else bicgstab
+                    du, _ = kfun(A.mv, r, Minv=Minv, rtol=eta,
+                                 atol=cfg.inner_atol,
+                                 maxiter=cfg.inner_maxiter)
+                    u_full = u - du
+                    rn_full = rnorm_of(u_full, t, extra)
+
+                    def backtrack(_):
+                        def bt_cond(s):
+                            alpha, rn, k = s
+                            return (~(jnp.isfinite(rn) & (rn < rnorm))
+                                    ) & (k < cfg.max_backtracks)
+
+                        def bt_body(s):
+                            alpha, _, k = s
+                            rn = rnorm_of(u - alpha * du, t, extra)
+                            return (alpha * 0.5, rn, k + 1)
+
+                        a0 = jnp.asarray(0.5, dt_)
+                        alpha, rn, k = jax.lax.while_loop(
+                            bt_cond, bt_body,
+                            (a0, jnp.asarray(jnp.inf, dt_),
+                             jnp.asarray(0, jnp.int32)))
+                        # bt loop leaves alpha already halved past the
+                        # accepted value
+                        alpha_acc = alpha * 2.0
+                        good = jnp.isfinite(rn) & (rn < rnorm)
+                        u_bt = jnp.where(good, u - alpha_acc * du,
+                                         jnp.where(jnp.isfinite(rn_full),
+                                                   u_full,
+                                                   u - (2.0 **
+                                                        -cfg.max_backtracks
+                                                        ) * du))
+                        return u_bt
+
+                    accept_full = jnp.isfinite(rn_full) & \
+                        (rn_full <= 0.9 * rnorm)
+                    u_new = jax.lax.cond(
+                        accept_full, lambda _: u_full, backtrack,
+                        operand=None)
+                    u_new = jnp.where(status == 0, u_new, u)
+                    hist = hist.at[it + 1].set(rnorm)
+                    return (u_new, rnorm, eta, growth, it + 1, status, hist)
+
+                u, rnorm_last, eta, growth, it, status, hist = \
+                    jax.lax.while_loop(cond, body, carry0)
+                rnorm_fin = rnorm_of(u, t, extra)
+                converged = (status == 1) | (rnorm_fin <= target)
+                return u, it, rnorm_fin, converged, status, hist
+
+            try:
+                fn.__dict__["_newton_jit_full"] = run
+            except (AttributeError, TypeError):
+                pass
+
+        u, it, rnorm, converged, status, hist = run(u0, t, extra)
+        it = int(it)
+        history = tuple(np.asarray(hist)[: it + 1].tolist())
+        return u, NewtonStats(it, float(rnorm), bool(converged), history)
+
+    def solve_host(self, fn, u0, t, monitor=None):
+        """Host-loop Newton (per-iteration logging / host LU path).
 
         The jitted assembly closures are cached ON the function object and
         take (u, t, extra) as traced arguments, so repeated solves across
