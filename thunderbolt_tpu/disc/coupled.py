@@ -170,14 +170,103 @@ def _(split: RSAFDQ2022Split, disc, mesh):
 @dataclass(frozen=True)
 class BlockedNewtonSolver:
     """Newton on the (u, p) saddle system with Schur elimination of p
-    (``SchurComplementLinearSolver``, ``src/solver/linear/schur.jl:26``)."""
+    (``SchurComplementLinearSolver``, ``src/solver/linear/schur.jl:26``).
+
+    ``inner="schur_cg"`` (default) runs the WHOLE solve on device inside a
+    jitted while_loop — Schur elimination with one preconditioned CG solve
+    per multiplier column (m+1 inner solves/iteration) and a single host
+    readback at the end. ``inner="lu"`` is the host path: transfer the
+    assembled tangent, scipy LU, one triangular solve per column — robust
+    for indefinite tangents but pays a device->host round-trip per Newton
+    iteration."""
 
     tol: float = 1e-6
     rtol: float = 0.0
     max_iter: int = 25
-    inner: str = "lu"
+    inner: str = "schur_cg"
+    inner_rtol: float = 1e-8
+    inner_atol: float = 1e-12
+    inner_maxiter: int = 4000
 
     def solve(self, fn: RSAFDQ20223DFunction, w0, t, V_targets):
+        if self.inner == "lu":
+            return self.solve_lu(fn, w0, t, V_targets)
+        return self.solve_device(fn, w0, t, V_targets)
+
+    def solve_device(self, fn: RSAFDQ20223DFunction, w0, t, V_targets):
+        from thunderbolt_tpu.solver.linear import (
+            cg, jacobi_preconditioner, schur_complement_solve)
+        ch = fn.mech.constraints
+        cfg = self
+
+        run = fn.__dict__.get("_blocked_jit_device")
+        if run is None:
+            def assemble(w, t, V_targets):
+                kvals, B, r_u, r_p = fn.assemble(w, t, V_targets)
+                A_raw = fn.mech.jacobian_matrix(kvals)
+                A = ch.apply_operator(A_raw) if ch is not None else A_raw
+                if ch is not None:
+                    r_u = ch.apply_zero(r_u)
+                    B = jax.vmap(ch.apply_zero)(B)
+                return A, B, r_u, r_p
+
+            @jax.jit
+            def run(w0, t, V_targets):
+                u0 = ch.apply(w0[: fn.nmech]) if ch is not None \
+                    else w0[: fn.nmech]
+                w_init = jnp.concatenate([u0, w0[fn.nmech:]])
+                dt_ = w_init.dtype
+                i32 = lambda v: jnp.asarray(v, jnp.int32)
+
+                def cond(c):
+                    w, rnorm0, rnorm, it, status = c
+                    return (status == 0) & (it < cfg.max_iter)
+
+                def body(c):
+                    w, rnorm0, rnorm_prev, it, status = c
+                    A, B, r_u, r_p = assemble(w, t, V_targets)
+                    rnorm = jnp.sqrt(jnp.sum(r_u ** 2) + jnp.sum(r_p ** 2))
+                    rnorm0 = jnp.where(it == 0, rnorm, rnorm0)
+                    target = jnp.maximum(jnp.asarray(cfg.tol, dt_),
+                                         cfg.rtol * rnorm0)
+                    status = jnp.where(
+                        rnorm <= target, i32(1),
+                        jnp.where(~jnp.isfinite(rnorm), i32(2), i32(0)))
+                    Minv = A.block_jacobi_inv() \
+                        if hasattr(A, "block_jacobi_inv") \
+                        else jacobi_preconditioner(A.diagonal())
+
+                    def A_solve(b):
+                        x, _ = cg(A.mv, b, Minv=Minv, rtol=cfg.inner_rtol,
+                                  atol=cfg.inner_atol,
+                                  maxiter=cfg.inner_maxiter)
+                        return x
+
+                    # J = [[K, -B], [B^T, 0]] -> schur([A, -B^T; B, 0])
+                    du, dp = schur_complement_solve(
+                        A_solve, -B.T, B, r_u, r_p)
+                    w_new = w - jnp.concatenate([du, dp])
+                    w_new = jnp.where(status == 0, w_new, w)
+                    return (w_new, rnorm0, rnorm, it + 1, status)
+
+                carry = (w_init, jnp.asarray(0.0, dt_),
+                         jnp.asarray(jnp.inf, dt_), i32(0), i32(0))
+                w, rnorm0, rnorm, it, status = jax.lax.while_loop(
+                    cond, body, carry)
+                # final residual check (covers max_iter exits)
+                _, _, r_u, r_p = assemble(w, t, V_targets)
+                rn = jnp.sqrt(jnp.sum(r_u ** 2) + jnp.sum(r_p ** 2))
+                target = jnp.maximum(jnp.asarray(cfg.tol, dt_),
+                                     cfg.rtol * rnorm0)
+                return w, it, rn, (status == 1) | (rn <= target)
+
+            fn.__dict__["_blocked_jit_device"] = run
+
+        w, it, rnorm, conv = jax.device_get(run(w0, t, V_targets))
+        return jnp.asarray(w), NewtonStats(int(it), float(rnorm),
+                                           bool(conv), ())
+
+    def solve_lu(self, fn: RSAFDQ20223DFunction, w0, t, V_targets):
         ch = fn.mech.constraints
         m = len(fn.chambers)
 
@@ -253,11 +342,12 @@ class Coupled3D0DSolver:
         if not stats.converged:
             return w, c, stats
         p = w[fn3d.nmech:]
-        # order the external inputs the way the circuit expects
-        ext = np.zeros(circuit.num_unknown_pressures())
-        for i, chm in enumerate(fn3d.chambers):
-            ext[circuit.pressure_input_index(chm.lumped_symbol)] = float(p[i])
-        ext = jnp.asarray(ext, c.dtype)
+        # order the external inputs the way the circuit expects — static
+        # index map, multipliers stay on device (no per-step host pull)
+        idx = np.array([circuit.pressure_input_index(chm.lumped_symbol)
+                        for chm in fn3d.chambers])
+        ext = jnp.zeros(circuit.num_unknown_pressures(),
+                        c.dtype).at[idx].set(p.astype(c.dtype))
         h = dt / self.circuit_substeps
 
         def body(c, i):

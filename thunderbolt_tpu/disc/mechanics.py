@@ -229,6 +229,52 @@ class QuasiStaticFunction:
             kvals = kvals + scatter_matrix(Kf, em, self.pattern.nnz)
         return kvals, r
 
+    def element_matrices(self, u, t, *extra):
+        """Per-batch element (Ke, re) without any scatter — feeds either
+        the CSR segment_sum path or the lattice sliced-add path."""
+        ncomp = self.dh.fields[self.field].ncomponents
+        states = self._states_from_extra(extra)
+        Kes, res = [], []
+        for batch, cache, st in zip(self.batches, self.mat_caches, states):
+            _, stress_tangent = cache["kernels"]
+            ue = batch.gather(u).reshape(batch.ncells, batch.nb, ncomp)
+            F, dNdx, detJw = element_kinematics(batch, ue)
+            aux = self.material.aux(cache, t, st) if st is not None \
+                else self.material.aux(cache, t)
+            P, A = stress_tangent(F, aux)
+            re = jnp.einsum("cqiK,cqaK,cq->cai", P, dNdx, detJw)
+            Ke = jnp.einsum("cqaK,cqiKjL,cqbL,cq->caibj", dNdx, A, dNdx,
+                            detJw)
+            nd = batch.nb * ncomp
+            Kes.append(Ke.reshape(batch.ncells, nd, nd))
+            res.append(re)
+        for (res_fn, tan_fn, dofs, em) in self.wbc_kernels:
+            nf, nd = dofs.shape
+            U = u[dofs].reshape(nf, nd // ncomp, ncomp)
+            rf = res_fn(U, t).reshape(nf, nd // ncomp, ncomp)
+            Kf = tan_fn(U, t).reshape(nf, nd, nd)
+            Kes.append(Kf)
+            res.append(rf)
+        return Kes, res
+
+    def assemble_operator(self, u, t, *extra):
+        """(A, r) with A ready for SpMV — on lattice meshes this is the
+        scatter-free sliced-add path straight into BlockDIA (no CSR
+        intermediate, no segment_sum, no reorder); otherwise it falls back
+        to assemble() + jacobian_matrix()."""
+        plan = getattr(self, "_lattice_plan", None)
+        if plan is None:
+            kvals, r = self.assemble(u, t, *extra)
+            return self.jacobian_matrix(kvals), r
+        Kes, res = self.element_matrices(u, t, *extra)
+        # materialize the element matrices before the sliced-add fan-out:
+        # without the barrier XLA duplicates the (expensive) AD-tangent
+        # producer into each of the ~nbn^2 slice consumers
+        Kes, res = jax.lax.optimization_barrier((Kes, res))
+        A = plan.assemble_matrix(Kes)
+        r = plan.assemble_vector(res)
+        return A, r
+
     def jacobian_matrix(self, kvals):
         """BlockDIA (gather-free SpMV) when the entity-offset set is small;
         ELL fallback for scattered layouts."""
@@ -336,8 +382,19 @@ def _(model: QuasiStaticModel, disc: FiniteElementDiscretization, mesh: Mesh):
                             jnp.asarray(em)))
 
     ch = close_constraints(dh, disc.dbcs, dtype=dtype)
-    return QuasiStaticFunction(
+    fnq = QuasiStaticFunction(
         dh=dh, field=sym, pattern=pattern, batches=batches,
         material=material, mat_caches=mat_caches, wbc_kernels=wbc_kernels,
         constraints=ch, volume_elem_maps=volume_elem_maps,
         internal=internal)
+    # scatter-free BlockDIA assembly plan (lattice meshes); P1 only —
+    # higher orders have edge/face entities breaking the node-block layout
+    if all(dh.fields[f].order == 1 for f in dh.fields):
+        from thunderbolt_tpu.fem.lattice import build_lattice_plan
+        ent_tables = [np.asarray(s.cell_dofs)[:, ::ncomp] // ncomp
+                      for s in subs] + \
+                     [np.asarray(wc["batch"].facet_dofs)[:, ::ncomp] // ncomp
+                      for _, wc in wbc_setups]
+        fnq._lattice_plan = build_lattice_plan(
+            ent_tables, dh.ndofs // ncomp, ncomp)
+    return fnq

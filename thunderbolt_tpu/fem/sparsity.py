@@ -461,25 +461,30 @@ def block_dia_builder(pattern: SparsityPattern, ncomp: int, max_diags=96,
 
     in_keep = np.isin(d, keep)
     k = np.searchsorted(keep, d[in_keep])
-    dest = jnp.asarray(((k * nent + ei[in_keep]) * ncomp + a[in_keep])
-                       * ncomp + b[in_keep])
-    keep_pos = jnp.asarray(np.nonzero(in_keep)[0])
+    # keep index tables as NUMPY: converting inside build() makes them
+    # per-trace constants, so a builder constructed while tracing one jit
+    # can be cached and reused inside another without leaking tracers
+    dest_np = (((k * nent + ei[in_keep]) * ncomp + a[in_keep])
+               * ncomp + b[in_keep])
+    keep_pos_np = np.nonzero(in_keep)[0]
     offsets = tuple(int(x) for x in keep)
     size = keep.size * nent * ncomp * ncomp
 
-    sp_pos = np.nonzero(~in_keep)[0]
-    has_spill = sp_pos.size > 0
-    sp_rows = jnp.asarray(rows[sp_pos], jnp.int32) if has_spill else None
-    sp_cols = jnp.asarray(cols[sp_pos], jnp.int32) if has_spill else None
-    sp_pos_j = jnp.asarray(sp_pos) if has_spill else None
+    sp_pos_np = np.nonzero(~in_keep)[0]
+    has_spill = sp_pos_np.size > 0
+    sp_rows_np = rows[sp_pos_np].astype(np.int32) if has_spill else None
+    sp_cols_np = cols[sp_pos_np].astype(np.int32) if has_spill else None
 
     def build(kvals):
+        dest = jnp.asarray(dest_np)
+        keep_pos = jnp.asarray(keep_pos_np)
         flat = jnp.zeros((size,), kvals.dtype).at[dest].set(kvals[keep_pos])
         blocks = flat.reshape(keep.size, nent, ncomp, ncomp)
         if has_spill:
             return BlockDIAMatrix(offsets, blocks, nent, ncomp,
-                                  spill_rows=sp_rows, spill_cols=sp_cols,
-                                  spill_vals=kvals[sp_pos_j])
+                                  spill_rows=jnp.asarray(sp_rows_np),
+                                  spill_cols=jnp.asarray(sp_cols_np),
+                                  spill_vals=kvals[jnp.asarray(sp_pos_np)])
         return BlockDIAMatrix(offsets, blocks, nent, ncomp)
 
     return build

@@ -82,8 +82,11 @@ class NewtonRaphsonSolver:
             cfg = self
 
             def assemble(u, t, extra):
-                kvals, r = fn.assemble(u, t, *extra)
-                A_raw = fn.jacobian_matrix(kvals)
+                if hasattr(fn, "assemble_operator"):
+                    A_raw, r = fn.assemble_operator(u, t, *extra)
+                else:
+                    kvals, r = fn.assemble(u, t, *extra)
+                    A_raw = fn.jacobian_matrix(kvals)
                 A = ch.apply_operator(A_raw) if ch is not None else A_raw
                 r = ch.apply_zero(r) if ch is not None else r
                 return A, r
@@ -193,8 +196,12 @@ class NewtonRaphsonSolver:
                 pass
 
         u, it, rnorm, converged, status, hist = run(u0, t, extra)
+        # ONE batched host readback — separate scalar pulls each pay a
+        # full device round-trip (tens of ms on tunneled chips)
+        it, rnorm, converged, hist = jax.device_get(
+            (it, rnorm, converged, hist))
         it = int(it)
-        history = tuple(np.asarray(hist)[: it + 1].tolist())
+        history = tuple(hist[: it + 1].tolist())
         return u, NewtonStats(it, float(rnorm), bool(converged), history)
 
     def solve_host(self, fn, u0, t, monitor=None):
@@ -210,10 +217,18 @@ class NewtonRaphsonSolver:
         jits = fn.__dict__.get("_newton_jits") if hasattr(fn, "__dict__") \
             else None
         if jits is None:
+            # host-LU needs the CSR values; the lattice BlockDIA operator
+            # only supports mv/diagonal
+            cfg_inner_not_lu = self.inner != "lu"
+
             @jax.jit
             def assemble_j(u, t, extra):
-                kvals, r = fn.assemble(u, t, *extra)
-                A_raw = fn.jacobian_matrix(kvals)
+                if hasattr(fn, "assemble_operator") and \
+                        cfg_inner_not_lu:
+                    A_raw, r = fn.assemble_operator(u, t, *extra)
+                else:
+                    kvals, r = fn.assemble(u, t, *extra)
+                    A_raw = fn.jacobian_matrix(kvals)
                 A = ch.apply_operator(A_raw) if ch is not None else A_raw
                 r = ch.apply_zero(r) if ch is not None else r
                 return A, r
