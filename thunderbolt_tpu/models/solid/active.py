@@ -17,6 +17,8 @@ from typing import Any
 
 import jax.numpy as jnp
 
+from thunderbolt_tpu.utils.smallmat import inv_small, mmul, mv, vdot
+
 
 def _outer(a, b):
     return a[:, None] * b[None, :]
@@ -69,8 +71,8 @@ class SimpleActiveStress:
 
     def stress(self, F, frame):
         f0 = frame[0]
-        Ff = F @ f0
-        return self.Tmax * _outer(Ff, f0) / jnp.linalg.norm(Ff)
+        Ff = mv(F, f0)
+        return self.Tmax * _outer(Ff, f0) / jnp.sqrt(vdot(Ff, Ff))
 
 
 @dataclass(frozen=True)
@@ -83,11 +85,11 @@ class PiersantiActiveStress:
 
     def stress(self, F, frame):
         f0, s0, n0 = frame[0], frame[1], frame[2]
-        Ff, Fs, Fn = F @ f0, F @ s0, F @ n0
+        Ff, Fs, Fn = mv(F, f0), mv(F, s0), mv(F, n0)
         return self.Tmax * (
-            self.pf * _outer(Ff, f0) / jnp.linalg.norm(Ff)
-            + self.ps * _outer(Fs, s0) / jnp.linalg.norm(Fs)
-            + self.pn * _outer(Fn, n0) / jnp.linalg.norm(Fn))
+            self.pf * _outer(Ff, f0) / jnp.sqrt(vdot(Ff, Ff))
+            + self.ps * _outer(Fs, s0) / jnp.sqrt(vdot(Fs, Fs))
+            + self.pn * _outer(Fn, n0) / jnp.sqrt(vdot(Fn, Fn)))
 
 
 @dataclass(frozen=True)
@@ -102,8 +104,8 @@ class Guccione1993ActiveModel:
 
     def stress(self, F, frame):
         f0 = frame[0]
-        Ff = F @ f0
-        lam_f = jnp.linalg.norm(Ff)
+        Ff = mv(F, f0)
+        lam_f = jnp.sqrt(vdot(Ff, Ff))
         l = self.lR * lam_f
         ECa50sq = self.Ca0max ** 2 / (jnp.exp(self.B * (l - self.l0)) - 1.0)
         T0 = self.Tmax * self.Ca0 ** 2 / (self.Ca0 ** 2 + ECa50sq)
@@ -117,8 +119,8 @@ class ActiveMaterialAdapter:
     mat: Any
 
     def psi(self, F, Fa, frame):
-        Fa_inv = jnp.linalg.inv(Fa)
-        Fe = F @ Fa_inv
-        rows = [Fa @ frame[i] for i in range(frame.shape[0])]
-        tilde = jnp.stack([r / jnp.linalg.norm(r) for r in rows])
+        Fa_inv = inv_small(Fa)
+        Fe = mmul(F, Fa_inv)
+        rows = [mv(Fa, frame[i]) for i in range(frame.shape[0])]
+        tilde = jnp.stack([r / jnp.sqrt(vdot(r, r)) for r in rows])
         return self.mat.psi(Fe, tilde)

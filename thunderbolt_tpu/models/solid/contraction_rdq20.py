@@ -25,6 +25,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from thunderbolt_tpu.utils.smallmat import mv, vdot
+
 
 def smooth_abs(v, eps):
     """C1 regularization of |v| (parity: ``smooth_abs``, src/utils.jl:580)."""
@@ -201,8 +203,8 @@ class RDQ20MFModel:
         """N(Q, F): (XB1 + XB3) * overlap(|F f0|) (``contraction.jl:628``)."""
         if F is None:
             return Q[17] + Q[19]
-        f = F @ frame[0]
-        lam = jnp.sqrt(f @ f)
+        f = mv(F, frame[0])
+        lam = jnp.sqrt(vdot(f, f))
         return (Q[17] + Q[19]) * self.fraction_single_overlap(lam)
 
     def local_solve(self, Qprev, lam, lam_prev, Ca, t, dt, iters=4):

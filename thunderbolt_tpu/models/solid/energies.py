@@ -23,20 +23,26 @@ from typing import Any
 
 import jax.numpy as jnp
 
+from thunderbolt_tpu.utils.smallmat import (
+    det_small, mtm, mv, vtmv, vdot, trace3)
+
 
 def invariants(F, frame=None):
     """Common invariants of C = F^T F (+ fiber invariants when frame given)."""
-    C = F.T @ F
-    I1 = jnp.trace(C)
-    I3 = jnp.linalg.det(C)
+    C = mtm(F)
+    I1 = trace3(C)
+    I3 = det_small(C)
     out = {"C": C, "I1": I1, "I3": I3, "J": jnp.sqrt(I3)}
+    # VPU broadcast-reduces (smallmat): under the package's "highest"
+    # matmul precision, 3x3 dot_generals lower to multi-pass MXU ops
+    # measured 4-40x slower in the AD hot path.
     if frame is not None:
         f0 = frame[0]
-        out["I4f"] = f0 @ C @ f0
+        out["I4f"] = vtmv(f0, C, f0)
         if frame.shape[0] > 1:
             s0 = frame[1]
-            out["I4s"] = s0 @ C @ s0
-            out["I8fs"] = (f0 @ C @ s0 + s0 @ C @ f0) / 2.0
+            out["I4s"] = vtmv(s0, C, s0)
+            out["I8fs"] = (vtmv(f0, C, s0) + vtmv(s0, C, f0)) / 2.0
     return out
 
 
@@ -159,15 +165,15 @@ class Guccione1991PassiveModel:
 
     def psi(self, F, frame):
         f0, s0, n0 = frame[0], frame[1], frame[2]
-        C = F.T @ F
-        I3 = jnp.linalg.det(C)
+        C = mtm(F)
+        I3 = det_small(C)
         E = 0.5 * (C - jnp.eye(3, dtype=F.dtype))
-        Eff = f0 @ E @ f0
-        Ess = s0 @ E @ s0
-        Enn = n0 @ E @ n0
-        Efs = f0 @ E @ s0
-        Esn = s0 @ E @ n0
-        Efn = f0 @ E @ n0
+        Eff = vtmv(f0, E, f0)
+        Ess = vtmv(s0, E, s0)
+        Enn = vtmv(n0, E, n0)
+        Efs = vtmv(f0, E, s0)
+        Esn = vtmv(s0, E, n0)
+        Efn = vtmv(f0, E, n0)
         Q = (self.Bff * Eff ** 2 + self.Bss * Ess ** 2 + self.Bnn * Enn ** 2
              + 2 * self.Bns * Esn ** 2 + 2 * self.Bfs * Efs ** 2
              + 2 * self.Bfn * Efn ** 2)
@@ -270,9 +276,9 @@ class NeoHookeanModel:
     lam: float = 1.0
 
     def psi(self, F, frame=None):
-        C = F.T @ F
-        I1 = jnp.trace(C)
-        J = jnp.linalg.det(F)
+        C = mtm(F)
+        I1 = trace3(C)
+        J = det_small(F)
         lJ = jnp.log(J)
         return 0.5 * self.mu * (I1 - 3.0 - 2.0 * lJ) + 0.5 * self.lam * lJ ** 2
 
@@ -284,8 +290,8 @@ class LinearSpringModel:
 
     def psi(self, F, frame):
         f0 = frame[0]
-        Ff = F @ f0
-        I4 = Ff @ Ff
+        Ff = mv(F, f0)
+        I4 = vdot(Ff, Ff)
         return self.eta / 2.0 * (I4 - 1.0) ** 2
 
 
@@ -297,6 +303,6 @@ class SimpleActiveSpring:
 
     def psi(self, F, frame):
         f0 = frame[0]
-        Ff = F @ f0
-        I4 = Ff @ Ff
+        Ff = mv(F, f0)
+        I4 = vdot(Ff, Ff)
         return self.a_f / 2.0 * (I4 - 1.0) ** 2

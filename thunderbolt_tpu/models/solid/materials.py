@@ -24,6 +24,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from thunderbolt_tpu.utils.smallmat import mmul, mv, vdot
+
 from thunderbolt_tpu.models.coefficients import (
     setup_coefficient_cache, evaluate_coefficient)
 from thunderbolt_tpu.models.solid.energies import NullEnergyModel
@@ -131,8 +133,8 @@ class ActiveStressModel(MaterialModel):
 
     def _condensed_state(self, F, frame, aux):
         cm = self.contraction_model
-        f = F @ frame[0]
-        lam = jnp.sqrt(f @ f)
+        f = mv(F, frame[0])
+        lam = jnp.sqrt(vdot(f, f))
         Q = cm.model.local_solve(aux["Qprev"], lam, aux["lam_prev"],
                                  aux.get("Ca", 0.0), aux["t"], aux["dt"])
         return Q, lam
@@ -225,5 +227,5 @@ class PrestressedMechanicalModel(MaterialModel):
         F0 = aux.get("F0", jnp.eye(3, dtype=F.dtype))
         inner_aux = {k: v for k, v in aux.items() if k != "F0"}
         # chain rule: P = P_inner(F F0) F0^T
-        P_in = self.inner_model.first_piola(F @ F0, frame, inner_aux)
-        return P_in @ F0.T
+        P_in = self.inner_model.first_piola(mmul(F, F0), frame, inner_aux)
+        return mmul(P_in, jnp.swapaxes(F0, -1, -2))

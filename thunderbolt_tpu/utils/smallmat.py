@@ -52,3 +52,50 @@ def inv_small(J, det=None):
         row2 = jnp.stack([c20, c21, c22], axis=-1)
         return jnp.stack([row0, row1, row2], axis=-2) * idet[..., None, None]
     raise ValueError(f"inv_small supports dims 1-3, got {d}")
+
+
+# ---------------------------------------------------------------------------
+# VPU-friendly small contractions
+#
+# Under the package-wide "highest" matmul precision every 3x3 `@` in the
+# per-qp material AD chain lowers to multi-pass MXU dot_generals at ~0.05%
+# systolic-array utilization — measured 4-40x slower than the same math as
+# broadcast multiply-reduce on the VPU (which is also exactly-f32, so the
+# precision flag becomes irrelevant). Use these for all per-quadrature-point
+# tensor algebra; keep `@`/einsum for genuinely large contractions.
+# ---------------------------------------------------------------------------
+
+import jax.numpy as _jnp
+
+
+def mtm(F):
+    """F^T F over the last two axes (broadcast-reduce, no dot_general)."""
+    return _jnp.sum(F[..., :, :, None] * F[..., :, None, :], axis=-3)
+
+
+def mmul(A, B):
+    """A @ B over the last two axes without dot_general."""
+    return _jnp.sum(A[..., :, :, None] * B[..., None, :, :], axis=-2)
+
+
+def mv(A, x):
+    """A @ x (matrix-vector) without dot_general."""
+    return _jnp.sum(A * x[..., None, :], axis=-1)
+
+
+def vtmv(x, A, y):
+    """x^T A y without dot_general."""
+    return _jnp.sum(A * (x[..., :, None] * y[..., None, :]), axis=(-2, -1))
+
+
+def vdot(x, y):
+    """x . y without dot_general."""
+    return _jnp.sum(x * y, axis=-1)
+
+
+def outer(x, y):
+    return x[..., :, None] * y[..., None, :]
+
+
+def trace3(A):
+    return A[..., 0, 0] + A[..., 1, 1] + A[..., 2, 2]
