@@ -71,3 +71,33 @@ def test_lattice_ideal_lv():
     mesh = tb.generate_ideal_lv_mesh(10, 3, 4)
     fn = _compare(mesh, bcs=(tb.ConstantPressureBC(0.1, "Endocardium"),))
     assert fn._lattice_plan.spill is not None  # apex plug spills
+
+
+def test_newmark_lattice_cg_matches_lu():
+    """Newmark stage J = K + c M on the scatter-free BlockDIA path (CG
+    Newton) must match the host-LU CSR path."""
+    mesh = tb.generate_mesh("hex8", (6, 2, 2), (0, 0, 0), (3.0, 0.5, 0.5))
+    mat = tb.PK1Model(tb.NeoHookeanModel(mu=5.0, lam=10.0))
+    model = tb.ElastodynamicsModel("d", "v", mat, rho=1.0)
+    disc = tb.FiniteElementDiscretization(
+        {"d": tb.FieldSpec(order=1, ncomponents=3)},
+        dbcs=[tb.Dirichlet("d", "left", 0.0)], dtype=jnp.float64)
+
+    def march(fn, nm):
+        u0 = jnp.zeros(fn.solution_size)
+        st = nm.init(fn, u0, jnp.zeros_like(u0), 0.0)
+        st = tb.NewmarkState(st.u, st.v + 0.01, st.a, st.t)
+        return nm.solve(fn, st, 0.05, 0.01)
+
+    fn = tb.semidiscretize(model, disc, mesh)
+    assert fn._lattice_plan is not None and fn.M_bdia is not None
+    st_cg = march(fn, tb.NewmarkSolver(newton=tb.NewtonRaphsonSolver(
+        inner="cg", tol=1e-8, inner_rtol=1e-10, inner_maxiter=4000)))
+
+    fn2 = tb.semidiscretize(model, disc, mesh)
+    fn2._lattice_plan = None
+    fn2.M_bdia = None
+    st_lu = march(fn2, tb.NewmarkSolver(
+        newton=tb.NewtonRaphsonSolver(inner="lu", tol=1e-8)))
+    np.testing.assert_allclose(np.asarray(st_cg.u), np.asarray(st_lu.u),
+                               atol=1e-8)

@@ -325,12 +325,35 @@ def _(model: ElastodynamicsModel, disc: FiniteElementDiscretization,
     ncomp = mesh.sdim
     mvals = _vector_mass(fn.batches, fn.volume_elem_maps, fn.pattern,
                          model.rho, ncomp, disc.dtype)
-    return ElastodynamicsFunction(
+    fne = ElastodynamicsFunction(
         dh=fn.dh, field=fn.field, pattern=fn.pattern, batches=fn.batches,
         material=fn.material, mat_caches=fn.mat_caches,
         wbc_kernels=fn.wbc_kernels, constraints=fn.constraints,
         volume_elem_maps=fn.volume_elem_maps,
         M=csr_to_ell(fn.pattern, mvals), mass_vals=mvals, rho=model.rho)
+    plan = getattr(fn, "_lattice_plan", None)
+    fne._lattice_plan = plan
+    if plan is not None:
+        # mass in the plan's BlockDIA layout (offsets/spill aligned with K)
+        # so Newmark's J = K + c M stays on the scatter-free path
+        Mes = []
+        for batch in fn.batches:
+            rho_val = model.rho
+            if hasattr(model.rho, "setup"):
+                rho_val = evaluate_coefficient(
+                    setup_coefficient_cache(model.rho, batch), 0.0)
+            Me = element_mass(batch, rho_val)
+            eye = jnp.eye(ncomp, dtype=Me.dtype)
+            Mv = jnp.einsum("cab,ij->caibj", Me, eye)
+            nd = Me.shape[1] * ncomp
+            Mes.append(Mv.reshape(-1, nd, nd))
+        for (res_fn, tan_fn, dofs, em) in fn.wbc_kernels:
+            nf, nd = dofs.shape
+            Mes.append(jnp.zeros((nf, nd, nd), disc.dtype))
+        fne.M_bdia = plan.assemble_matrix(Mes)
+    else:
+        fne.M_bdia = None
+    return fne
 
 
 @semidiscretize.register

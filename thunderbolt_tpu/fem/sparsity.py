@@ -330,6 +330,23 @@ class BlockDIAMatrix:
         k = self.offsets.index(0)
         return jnp.diagonal(self.blocks[k], axis1=1, axis2=2).reshape(-1)
 
+    def add_scaled(self, other: "BlockDIAMatrix", c):
+        """self + c * other for operators sharing offsets and spill layout
+        (e.g. K and M assembled through one LatticeAssemblyPlan)."""
+        assert self.offsets == other.offsets
+        blocks = self.blocks + c * other.blocks
+        if self.spill_vals is None and other.spill_vals is None:
+            return BlockDIAMatrix(self.offsets, blocks, self.nent,
+                                  self.ncomp)
+        sv = self.spill_vals if self.spill_vals is not None else 0.0
+        ov = other.spill_vals if other.spill_vals is not None else 0.0
+        rows = self.spill_rows if self.spill_rows is not None \
+            else other.spill_rows
+        cols = self.spill_cols if self.spill_cols is not None \
+            else other.spill_cols
+        return BlockDIAMatrix(self.offsets, blocks, self.nent, self.ncomp,
+                              spill_rows=rows, spill_cols=cols,
+                              spill_vals=sv + c * ov)
     def block_jacobi_inv(self):
         """r -> D_block^{-1} r with the [c,c] diagonal blocks inverted in
         closed form — a materially stronger preconditioner than scalar

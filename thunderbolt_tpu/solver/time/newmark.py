@@ -63,6 +63,17 @@ class _NewmarkStageFunction:
         kvals = kvals + c * self.fn.mass_vals
         return kvals, r
 
+    def assemble_operator(self, u, t, u_pred, c, *extra):
+        """Scatter-free stage operator J = K + c M on lattice meshes (both
+        in the shared BlockDIA layout); CSR fallback otherwise."""
+        M_bdia = getattr(self.fn, "M_bdia", None)
+        if M_bdia is None:
+            kvals, r = self.assemble(u, t, u_pred, c, *extra)
+            return self.jacobian_matrix(kvals), r
+        A, r = self.fn.assemble_operator(u, t, *extra)
+        r = r + c * M_bdia.mv(u - u_pred)
+        return A.add_scaled(M_bdia, c), r
+
     def jacobian_matrix(self, kvals):
         return self.fn.jacobian_matrix(kvals)
 
