@@ -105,14 +105,29 @@ class FormBatch:
     def geometry(self):
         """In-kernel geometry: (dNdx [nc,nqp,nb,sdim], detJw [nc,nqp]).
 
-        J[s,r] = d x_s / d xi_r; for non-degenerate square Jacobians only
-        (surface batches use FacetBatch)."""
+        J[s,r] = d x_s / d xi_r. Square Jacobians invert directly;
+        lower-dimensional cells embedded in a higher-dimensional space
+        (Purkinje-style line2-in-3D cables, the reference's
+        mixed-dimensional fixture ``test/testfixtures.jl:20-43``) use the
+        tangential pseudo-inverse: dN/dx = dN (J^T J)^-1 J^T with area
+        element sqrt(det J^T J) — gradients live in the cell's tangent
+        space."""
         if self.geo_detJw is not None and self.geo_dNdx is not None:
             return self.geo_dNdx, self.geo_detJw
         J = jnp.einsum("qbr,cbs->cqsr", self.dNgeo, self.Xe)
-        detJ = det_small(J)
-        Jinv = inv_small(J, detJ)
-        dNdx = jnp.einsum("qbr,cqrs->cqbs", self.dN, Jinv)
+        rdim = J.shape[-1]
+        sdim = J.shape[-2]
+        if rdim == sdim:
+            detJ = det_small(J)
+            Jinv = inv_small(J, detJ)
+            dNdx = jnp.einsum("qbr,cqrs->cqbs", self.dN, Jinv)
+        else:
+            G = jnp.einsum("cqsr,cqst->cqrt", J, J)       # J^T J [rdim,rdim]
+            detG = det_small(G)
+            Ginv = inv_small(G, detG)
+            Jpinv = jnp.einsum("cqrt,cqst->cqrs", Ginv, J)  # (J^T J)^-1 J^T
+            dNdx = jnp.einsum("qbr,cqrs->cqbs", self.dN, Jpinv)
+            detJ = jnp.sqrt(detG)
         detJw = detJ * self.wq[None, :]
         if self.cell_weight is not None:
             detJw = detJw * self.cell_weight[:, None]

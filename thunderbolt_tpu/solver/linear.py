@@ -129,9 +129,22 @@ def schur_complement_solve(A_solve: Callable, B, C, f, g):
     W = jax.vmap(A_solve, in_axes=1, out_axes=1)(B)      # A^-1 B, [n, m]
     xf = A_solve(f)                                      # A^-1 f
     S = C @ W                                            # [m, m]
-    y = jnp.linalg.solve(S, C @ xf - g)
+    y = _small_dense_solve(S, C @ xf - g)
     x = xf - W @ y
     return x, y
+
+
+def _small_dense_solve(S, b):
+    """Solve the tiny (m x m) Schur system without LuDecomposition — TPU
+    only implements LU for f32, and the multiplier count is 1-4 anyway."""
+    m = S.shape[0]
+    if m == 1:
+        return b / S[0, 0]
+    if m <= 3:
+        from thunderbolt_tpu.utils.smallmat import det_small, inv_small
+        return inv_small(S, det_small(S)) @ b
+    x, _ = cg(lambda v: S @ v, b, rtol=1e-12, atol=0.0, maxiter=16 * m)
+    return x
 
 
 class SchurComplementLinearSolver:
