@@ -124,6 +124,28 @@ class AffineSteadyStateFunction:
     rhs: Any
     constraints: Any
 
+    def solve(self, rtol=1e-10, atol=1e-12, maxiter=10000):
+        """Direct steady solve: -K u = f with Dirichlet elimination +
+        Jacobi-CG (the ``init(problem, solver)`` one-shot path of the
+        reference's steady diffusion, ``fem.jl:300,325``)."""
+        from thunderbolt_tpu.solver.linear import cg, jacobi_preconditioner
+        import jax.numpy as jnp
+        A_raw = self.K
+        # K from the diffusion form is negative-definite: solve (-K) u = f
+        negK = type(A_raw)(A_raw.cols, -A_raw.vals, A_raw.diag_pos)
+        ch = self.constraints
+        f = self.rhs(0.0) if callable(self.rhs) else self.rhs
+        if ch is not None:
+            A = ch.apply_operator(negK)
+            b = ch.apply_rhs(negK, f)
+        else:
+            A, b = negK, f
+        x, info = cg(A.mv, b, Minv=jacobi_preconditioner(A.diagonal()),
+                     rtol=rtol, atol=atol, maxiter=maxiter)
+        if not bool(info.converged):
+            raise RuntimeError(f"steady solve did not converge: {info}")
+        return x
+
 
 @dataclass
 class PointwiseODEFunction:
