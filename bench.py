@@ -45,7 +45,7 @@ def main():
     u0 = tb.setvariable(
         u0, odeform, "s", lambda x: np.where(x[:, 1] >= 1.25, 0.1, 0.0))
     alg = tb.LieTrotterGodunov((
-        tb.BackwardEulerSolver(rtol=1e-5, atol=1e-6, maxiter=200),
+        tb.BackwardEulerSolver(rtol=1e-5, atol=1e-6, solver="chebyshev"),
         tb.AdaptiveForwardEulerSubstepper(reaction_threshold=0.1)))
 
     dt = 1.0

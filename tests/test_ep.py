@@ -252,3 +252,27 @@ def test_cell_index_coordinates():
     idx = np.asarray(cs.at_qps(batch))
     assert idx.shape == (6, 4, 1)
     assert np.allclose(idx[:, 0, 0], np.arange(6))
+
+
+def test_chebyshev_heat_solver_accuracy():
+    """Fixed-count Chebyshev BE (no inner products) matches a
+    tight-tolerance CG backward-Euler step to ~1e-6 — and beats CG's own
+    adaptive-stop error at the same nominal tolerance."""
+    import numpy as np
+    mesh = tb.generate_mesh("quad4", (24, 24), (0.0, 0.0), (2.5, 2.5))
+    model = tb.MonodomainModel(
+        chi=1.0, Cm=1.0, kappa=np.diag([4.5e-5, 2.0e-5]),
+        stim=tb.NoStimulationProtocol(), ion=tb.FHNModel())
+    ode = tb.semidiscretize(
+        tb.ReactionDiffusionSplit(model),
+        tb.FiniteElementDiscretization({"phi_m": 1}, dtype=jnp.float64),
+        mesh)
+    hf = ode.functions[0]
+    rng = np.random.default_rng(0)
+    phi = jnp.asarray(rng.uniform(-0.2, 1.0, hf.solution_size))
+    ref = tb.BackwardEulerSolver(rtol=1e-13, atol=1e-15,
+                                 maxiter=5000).make_step(hf, 1.0)(phi, 0.0)
+    chb = tb.BackwardEulerSolver(rtol=1e-6, atol=1e-8,
+                                 solver="chebyshev").make_step(hf, 1.0)(
+        phi, 0.0)
+    assert float(jnp.abs(chb - ref).max()) < 1e-6

@@ -174,3 +174,80 @@ class SchurComplementLinearSolver:
 
     def solve(self, Avec: Callable, B, C, f, g):
         return schur_complement_solve(self._inner_solve(Avec), B, C, f, g)
+
+
+def lanczos_bounds(Bmv: Callable, n: int, dtype=jnp.float32, iters: int = 60,
+                   seed: int = 0):
+    """Extremal eigenvalue estimates of a symmetric operator via Lanczos
+    with full reorthogonalization (setup-time only; host tridiag eig).
+    Returns (lam_min, lam_max) floats."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    iters = min(iters, n)
+    v = jnp.asarray(rng.standard_normal(n), dtype)
+    v = v / jnp.sqrt(jnp.sum(v * v))
+    V = [v]
+    alphas, betas = [], []
+    beta = 0.0
+    v_prev = jnp.zeros_like(v)
+    for k in range(iters):
+        w = Bmv(v)
+        alpha = jnp.sum(v * w)
+        w = w - alpha * v - beta * v_prev
+        # full reorthogonalization (small iter count; robustness > speed)
+        for u in V:
+            w = w - jnp.sum(u * w) * u
+        beta_new = jnp.sqrt(jnp.sum(w * w))
+        alphas.append(float(alpha))
+        betas.append(float(beta_new))
+        if float(beta_new) < 1e-12:
+            break
+        v_prev = v
+        v = w / beta_new
+        V.append(v)
+        beta = beta_new
+    T = np.diag(alphas)
+    off = betas[: len(alphas) - 1]
+    T += np.diag(off, 1) + np.diag(off, -1)
+    ev = np.linalg.eigvalsh(T)
+    return float(ev[0]), float(ev[-1])
+
+
+def chebyshev(A: Callable, b, x0=None, *, lam_min, lam_max, iters,
+              Minv: Optional[Callable] = None):
+    """Fixed-count preconditioned Chebyshev iteration on an SPD operator.
+
+    Unlike CG this has NO inner products — the whole solve is a static
+    chain of SpMV + axpy that XLA fuses and that carries no sequential
+    reduction dependencies; on TPU this makes it the method of choice for
+    the extremely well-conditioned backward-Euler heat systems
+    (kappa ~ 2-5 after Jacobi), where the iteration count is known a
+    priori from the spectral interval."""
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    if Minv is None:
+        Minv = lambda r: r
+    theta = 0.5 * (lam_max + lam_min)
+    delta = 0.5 * (lam_max - lam_min)
+    sigma1 = theta / delta
+    rho = 1.0 / sigma1
+    x = x0
+    r = b - A(x)
+    d = Minv(r) / theta
+    for _ in range(iters):
+        x = x + d
+        r = r - A(d)
+        z = Minv(r)
+        rho_new = 1.0 / (2.0 * sigma1 - rho)
+        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * z
+        rho = rho_new
+    return x
+
+
+def chebyshev_iterations(kappa: float, rtol: float) -> int:
+    """Iterations for ||e_k|| <= rtol ||e_0|| on condition number kappa."""
+    import math
+    q = (math.sqrt(kappa) - 1.0) / (math.sqrt(kappa) + 1.0)
+    if q <= 0.0:
+        return 1
+    return max(1, int(math.ceil(math.log(2.0 / rtol) / -math.log(q))))

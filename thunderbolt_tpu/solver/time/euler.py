@@ -58,6 +58,11 @@ class BackwardEulerSolver:
     atol: float = 1e-6
     maxiter: int = 500
     preconditioner: str = "jacobi"
+    #: "cg" (adaptive, reduction-per-iteration) or "chebyshev" (fixed
+    #: count from setup-time Lanczos eigenbounds — NO inner products, the
+    #: whole solve is one fusible SpMV/axpy chain; right for the
+    #: well-conditioned fixed-dt heat systems of operator splitting)
+    solver: str = "cg"
 
     def _ops(self, fn):
         """Prefer the DIA fast path (no gathers) when available."""
@@ -130,6 +135,28 @@ class BackwardEulerSolver:
         Minv = jacobi_preconditioner(A.diagonal()) \
             if self.preconditioner == "jacobi" else None
         source = fn.source
+
+        if self.solver == "chebyshev":
+            from thunderbolt_tpu.solver.linear import (
+                lanczos_bounds, chebyshev, chebyshev_iterations)
+            diag = A.diagonal()
+            s = 1.0 / jnp.sqrt(jnp.abs(diag))
+            lmin, lmax = lanczos_bounds(
+                lambda v: s * A.mv(s * v), diag.shape[0], diag.dtype)
+            # widen: Lanczos approximates extremal eigenvalues from inside
+            lmin, lmax = 0.9 * lmin, 1.02 * lmax
+            iters = chebyshev_iterations(lmax / lmin, self.rtol)
+
+            def step(u, t):
+                b = M.mv(u)
+                if source is not None:
+                    b = b + dt * source(t + dt)
+                if ch is not None:
+                    b = ch.apply_rhs(A_raw, b)
+                return chebyshev(A.mv, b, x0=u, lam_min=lmin,
+                                 lam_max=lmax, iters=iters, Minv=Minv)
+
+            return step
 
         def step(u, t):
             b = M.mv(u)
