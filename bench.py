@@ -55,7 +55,7 @@ def main():
     integ.step(150)
     integ.u.block_until_ready()
 
-    nsteps = 2000
+    nsteps = 20000
     t0 = time.perf_counter()
     integ.step(nsteps)
     integ.u.block_until_ready()
