@@ -179,35 +179,49 @@ class SchurComplementLinearSolver:
 def lanczos_bounds(Bmv: Callable, n: int, dtype=jnp.float32, iters: int = 60,
                    seed: int = 0):
     """Extremal eigenvalue estimates of a symmetric operator via Lanczos
-    with full reorthogonalization (setup-time only; host tridiag eig).
+    with full reorthogonalization. The recursion runs ON DEVICE and the
+    (alpha, beta) tridiagonal crosses the host boundary ONCE (a host-side
+    per-iteration `float()` costs a full round-trip on tunneled chips);
+    host eigvalsh of the tiny tridiagonal finishes the job.
     Returns (lam_min, lam_max) floats."""
     import numpy as np
     rng = np.random.default_rng(seed)
     iters = min(iters, n)
-    v = jnp.asarray(rng.standard_normal(n), dtype)
-    v = v / jnp.sqrt(jnp.sum(v * v))
-    V = [v]
-    alphas, betas = [], []
-    beta = 0.0
-    v_prev = jnp.zeros_like(v)
-    for k in range(iters):
-        w = Bmv(v)
-        alpha = jnp.sum(v * w)
-        w = w - alpha * v - beta * v_prev
-        # full reorthogonalization (small iter count; robustness > speed)
-        for u in V:
-            w = w - jnp.sum(u * w) * u
-        beta_new = jnp.sqrt(jnp.sum(w * w))
-        alphas.append(float(alpha))
-        betas.append(float(beta_new))
-        if float(beta_new) < 1e-12:
-            break
-        v_prev = v
-        v = w / beta_new
-        V.append(v)
-        beta = beta_new
-    T = np.diag(alphas)
-    off = betas[: len(alphas) - 1]
+    v0 = jnp.asarray(rng.standard_normal(n), dtype)
+    v0 = v0 / jnp.sqrt(jnp.sum(v0 * v0))
+
+    def run():
+        V = jnp.zeros((iters + 1, n), dtype).at[0].set(v0)
+        alphas = jnp.zeros(iters, dtype)
+        betas = jnp.zeros(iters, dtype)
+
+        def body(k, carry):
+            V, alphas, betas = carry
+            v = V[k]
+            w = Bmv(v)
+            alpha = jnp.sum(v * w)
+            # full reorthogonalization against ALL stored vectors (rows
+            # past k are zero, so the projection is exact); two passes —
+            # one-pass classical Gram-Schmidt loses orthogonality beyond
+            # ~30 Lanczos steps and the Ritz values explode
+            w = w - (V @ w) @ V
+            w = w - (V @ w) @ V
+            beta = jnp.sqrt(jnp.sum(w * w))
+            vn = jnp.where(beta > 1e-12, 1.0, 0.0) * w / jnp.maximum(
+                beta, 1e-30)
+            V = V.at[k + 1].set(vn)
+            return (V, alphas.at[k].set(alpha), betas.at[k].set(beta))
+
+        _, alphas, betas = jax.lax.fori_loop(0, iters, body,
+                                             (V, alphas, betas))
+        return alphas, betas
+
+    alphas, betas = jax.device_get(jax.jit(run)())
+    # truncate at breakdown (invariant subspace found)
+    stop = np.nonzero(betas < 1e-10)[0]
+    m = int(stop[0]) + 1 if stop.size else iters
+    T = np.diag(alphas[:m]).astype(np.float64)
+    off = betas[: m - 1].astype(np.float64)
     T += np.diag(off, 1) + np.diag(off, -1)
     ev = np.linalg.eigvalsh(T)
     return float(ev[0]), float(ev[-1])
