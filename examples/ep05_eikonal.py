@@ -1,0 +1,54 @@
+"""EP tutorial 5: eikonal activation maps.
+
+Mirrors the topic of ``docs/src/literate-tutorials/ep05_eikonal.jl`` (a
+content stub in the reference — no eikonal solver exists there): instead
+of marching the full monodomain reaction-diffusion system, the activation
+wavefront is computed directly as the viscosity solution of the
+anisotropic eikonal equation with fiber-aligned conduction velocities —
+a few thousand vectorized Bellman-Ford sweeps on the TPU instead of tens
+of thousands of PDE steps. Geometry/velocities follow the Niederer 2011
+benchmark slab (fibers along x, ~3:1 anisotropy).
+
+Run:  python examples/ep05_eikonal.py
+"""
+
+import os
+import sys
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import time
+
+import numpy as np
+import jax.numpy as jnp
+
+import thunderbolt_tpu as tb
+from thunderbolt_tpu.models.eikonal import solve_eikonal
+
+LX, LY, LZ = 20.0, 7.0, 3.0     # mm
+h = 0.25
+mesh = tb.generate_mesh(
+    "hex8", (int(LX / h), int(LY / h), int(LZ / h)), (0, 0, 0),
+    (LX, LY, LZ))
+print(f"slab {mesh.nnodes} nodes, h = {h} mm")
+
+# conduction velocities (mm/ms): fast along the fiber (x) axis
+V = np.diag([0.6, 0.25, 0.25])
+
+# stimulus: the benchmark's 1.5 mm corner cube, activated at t = 0
+src = np.nonzero((mesh.nodes[:, 0] <= 1.5) & (mesh.nodes[:, 1] <= 1.5)
+                 & (mesh.nodes[:, 2] <= 1.5))[0]
+
+t0 = time.perf_counter()
+T = solve_eikonal(mesh, V, src)
+T.block_until_ready()
+print(f"eikonal solve: {time.perf_counter()-t0:.2f} s "
+      f"({mesh.nnodes} nodes)")
+
+corner = int(np.argmin(np.linalg.norm(mesh.nodes - [LX, LY, LZ], axis=1)))
+print(f"far-corner activation: {float(T[corner]):.1f} ms "
+      f"(Niederer-family full-EP runs give ~40-60 ms at these speeds)")
+
+io = tb.ParaViewWriter("out/EP05_eikonal")
+io.store_timestep(0.0, mesh, {"activation_ms": np.asarray(T)})
+io.finalize()
+print("wrote out/EP05_eikonal.pvd")

@@ -239,6 +239,7 @@ from thunderbolt_tpu.models.fluid.circuit import (
     PressureSource,
     build_rsafdq2022_circuit,
 )
+from thunderbolt_tpu.models.eikonal import solve_eikonal
 from thunderbolt_tpu.models.ecg import (
     Plonsey1964ECGGaussCache,
     Geselowitz1989ECGLeadCache,
