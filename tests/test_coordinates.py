@@ -149,3 +149,44 @@ def test_fit_basal_plane():
     box = tb.generate_mesh("hex8", (3, 3, 3))
     c2, n2 = tb.fit_basal_plane(box)
     assert np.isclose(np.linalg.norm(n2), 1.0)
+
+
+def test_biv_coordinate_system_roundtrip(tmp_path):
+    """BiV coordinates: construct from nodal data (the Cobiveco-import
+    workflow — the reference also only ships the container + VTK readback,
+    ``read_vtk_cobivec``, ``io.jl:264``), write/read through VTU, and use
+    as a CoordinateSystemCoefficient."""
+    import thunderbolt_tpu as tb
+    from thunderbolt_tpu.io.vtk import write_vtu, read_vtu
+    from thunderbolt_tpu.fem.dofs import DofHandler
+    from thunderbolt_tpu.fem.forms import make_form_batch
+
+    mesh = tb.generate_mesh("hex8", (4, 3, 3))
+    n = mesh.nnodes
+    x = mesh.nodes
+    fields = {
+        "transmural": x[:, 0],
+        "apicobasal": x[:, 2],
+        "rotational": np.arctan2(x[:, 1] - 0.5, x[:, 0] - 0.5)
+        / (2 * np.pi) + 0.5,
+        "transventricular": (x[:, 1] > 0.5).astype(float),
+    }
+    p = str(tmp_path / "cobiveco.vtu")
+    write_vtu(p, mesh, point_data=fields)
+    nodes_b, blocks_b, pdata = read_vtu(p)
+    cs = tb.BiVCoordinateSystem(
+        mesh, {k: np.asarray(pdata[k]) for k in fields})
+    for k, v in fields.items():
+        np.testing.assert_allclose(cs.nodal[k], v, atol=1e-6)
+
+    # evaluate at quadrature points through the coefficient protocol
+    dh = DofHandler(mesh).add_field("u", order=1).close()
+    batch = make_form_batch(dh, dh.subdofs[0], dtype=jnp.float64)
+    coeff = tb.CoordinateSystemCoefficient(cs)
+    cache = tb.setup_coefficient_cache(coeff, batch)
+    vals = tb.evaluate_coefficient(cache, 0.0)
+    assert vals.shape[:2] == (batch.ncells, batch.nqp)
+    assert vals.shape[-1] == 4
+    # transmural at qps must stay within the nodal range
+    assert float(vals[..., 0].min()) >= -1e-9
+    assert float(vals[..., 0].max()) <= 1.0 + 1e-9
