@@ -15,10 +15,11 @@ import os
 import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-# quasi-static mechanics is dominated by host direct solves; run on CPU
-# (remove for Krylov-based large-scale runs on the TPU)
+# runs TPU-native: the homotopy path drives the fully jitted Newton
+# (scatter-free lattice assembly + BiCGStab — active-stress tangents are
+# nonsymmetric, so CG is not applicable); set JAX_PLATFORMS=cpu to force
+# host execution
 import jax
-jax.config.update("jax_platforms", "cpu")
 
 import thunderbolt_tpu as tb
 
@@ -46,12 +47,13 @@ model = tb.QuasiStaticModel(
 disc = tb.FiniteElementDiscretization(
     {"displacement": tb.FieldSpec(order=1, ncomponents=3)},
     dbcs=[tb.Dirichlet("displacement", "Base", 0.0)],
-    dtype=jnp.float64)
+    dtype=jnp.float32)
 fn = tb.semidiscretize(model, disc, mesh)
 
 # 4. march the activation with homotopy-wrapped Newton
 solver = tb.HomotopyPathSolver(
-    tb.NewtonRaphsonSolver(tol=1e-6, inner="lu", max_iter=15))
+    tb.NewtonRaphsonSolver(tol=1e-4, inner="bicgstab", inner_rtol=1e-5,
+                           inner_maxiter=4000, max_iter=20))
 io = tb.ParaViewWriter("CM01_active_lv")
 
 
@@ -66,7 +68,7 @@ def store(t, u):
     print(f"t = {t:6.1f}   apex displacement = {apex}")
 
 
-u, rep = solver.solve(fn, jnp.zeros(fn.solution_size, jnp.float64),
+u, rep = solver.solve(fn, jnp.zeros(fn.solution_size, jnp.float32),
                       (0.0, 100.0), dt=20.0, store=store)
 io.finalize()
 print(f"done: {rep}")
