@@ -86,17 +86,24 @@ def bicgstab(A: Callable, b, x0=None, *, Minv: Optional[Callable] = None,
     def body(s):
         x, r, p, v, rho, alpha, omega, k = s
         rho_new = dot(rhat, r)
-        beta = (rho_new / rho) * (alpha / omega)
+        tiny = jnp.asarray(1e-30, b.dtype) if b.dtype != jnp.float32 \
+            else jnp.asarray(1e-30, b.dtype)
+        beta = (rho_new / _nz(rho)) * (alpha / _nz(omega))
         p = r + beta * (p - omega * v)
         phat = Minv(p)
         v = A(phat)
-        alpha = rho_new / dot(rhat, v)
+        alpha = rho_new / _nz(dot(rhat, v))
         s_vec = r - alpha * v
         shat = Minv(s_vec)
         t = A(shat)
-        omega = dot(t, s_vec) / jnp.maximum(dot(t, t), 1e-30)
-        x = x + alpha * phat + omega * shat
-        r = s_vec - omega * t
+        omega = dot(t, s_vec) / _nz(dot(t, t))
+        x_new = x + alpha * phat + omega * shat
+        r_new = s_vec - omega * t
+        # breakdown guard (rho/omega ~ 0 at near-convergence in f32):
+        # freeze the iterate instead of propagating NaN/Inf
+        ok = jnp.isfinite(jnp.sum(x_new)) & jnp.isfinite(jnp.sum(r_new))
+        x = jnp.where(ok, x_new, x)
+        r = jnp.where(ok, r_new, jnp.zeros_like(r))  # forces loop exit
         return (x, r, p, v, rho_new, alpha, omega, k + 1)
 
     init = (x0, r0, jnp.zeros_like(b), jnp.zeros_like(b), one, one, one,
@@ -104,6 +111,11 @@ def bicgstab(A: Callable, b, x0=None, *, Minv: Optional[Callable] = None,
     x, r, p, v, rho, alpha, omega, k = jax.lax.while_loop(cond, body, init)
     rnorm = jnp.sqrt(dot(r, r))
     return x, KrylovInfo(k, rnorm, rnorm * rnorm <= tol2)
+
+
+def _nz(x, eps=1e-30):
+    """Sign-preserving guard against division-by-~zero breakdowns."""
+    return jnp.where(jnp.abs(x) > eps, x, jnp.where(x < 0, -eps, eps))
 
 
 def jacobi_preconditioner(diag):

@@ -144,6 +144,10 @@ class NewtonRaphsonSolver:
                     du, _ = kfun(A.mv, r, Minv=Minv, rtol=eta,
                                  atol=cfg.inner_atol,
                                  maxiter=cfg.inner_maxiter)
+                    # a Krylov breakdown must not poison the carry: a NaN
+                    # step fails the line search and backtracking cleanly
+                    # only if du itself stays finite
+                    du = jnp.where(jnp.isfinite(du), du, 0.0)
                     u_full = u - du
                     rn_full = rnorm_of(u_full, t, extra)
 
