@@ -25,11 +25,12 @@ def _two_region_mesh(N=24):
 @pytest.fixture(scope="module")
 def multidomain():
     mesh = _two_region_mesh()
-    # pacemaker: FHN pushed into auto-oscillation via a negative offset d;
-    # tissue: standard excitable FHN
+    # pacemaker: FHN pushed into auto-oscillation via a POSITIVE recovery
+    # offset d (the s-nullcline then meets the cubic on its unstable middle
+    # branch -> limit cycle); tissue: standard excitable FHN
     pacemaker = tb.MonodomainModel(
         chi=1.0, Cm=1.0, kappa=1e-3, stim=tb.NoStimulationProtocol(),
-        ion=tb.FHNModel(d=-0.08))
+        ion=tb.FHNModel(d=0.08))
     tissue = tb.MonodomainModel(
         chi=1.0, Cm=1.0, kappa=1e-3, stim=tb.NoStimulationProtocol(),
         ion=tb.FHNModel())
