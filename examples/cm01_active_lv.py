@@ -54,7 +54,7 @@ fn = tb.semidiscretize(model, disc, mesh)
 solver = tb.HomotopyPathSolver(
     tb.NewtonRaphsonSolver(tol=1e-4, inner="bicgstab", inner_rtol=1e-5,
                            inner_maxiter=4000, max_iter=20))
-io = tb.ParaViewWriter("CM01_active_lv")
+io = tb.ParaViewWriter("out/CM01_active_lv")
 
 
 def store(t, u):
