@@ -57,7 +57,15 @@ def test_compute_chamber_volume_free_function():
                                   field="displacement")
     assert np.isfinite(float(V))
     assert 0.0 < float(V) < 10.0
-    # displacing inward along the surface normal must shrink the volume
-    u2 = u.at[:].set(0.0)
-    V2 = tb.compute_chamber_volume(fn.dh, u2 + 0.0, "Endocardium")
-    np.testing.assert_allclose(float(V2), float(V), rtol=1e-12)
+    # uniform inflation (displace radially outward in the xy-plane) must
+    # GROW the cavity volume; deflation must shrink it
+    X = fn.dh.field_dof_coords("displacement").reshape(-1, 3)
+    r = np.linalg.norm(X[:, :2], axis=1, keepdims=True)
+    radial = np.where(r > 1e-9, X[:, :2] / np.maximum(r, 1e-9), 0.0)
+    d = np.zeros_like(X)
+    d[:, :2] = 0.02 * radial
+    V_out = tb.compute_chamber_volume(fn.dh, jnp.asarray(d.reshape(-1)),
+                                      "Endocardium")
+    V_in = tb.compute_chamber_volume(fn.dh, jnp.asarray(-d.reshape(-1)),
+                                     "Endocardium")
+    assert float(V_out) > float(V) > float(V_in)
