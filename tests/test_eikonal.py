@@ -40,3 +40,23 @@ def test_multiple_sources_and_offset_times():
     mid = int(np.argmin(np.linalg.norm(mesh.nodes - [1, 1], axis=1)))
     # sqrt(2) from either source; the t=0 source wins
     assert abs(float(T[mid]) - np.sqrt(2.0)) < 0.15
+
+
+def test_callable_velocity_tensor():
+    """Velocity as a callable x -> [sdim, sdim] (fiber-field style),
+    evaluated per edge midpoint."""
+    import jax.numpy as jnp
+    mesh = tb.generate_mesh("quad4", (20, 20), (0, 0), (2.0, 2.0))
+
+    def V(x):
+        # fast along x in the lower half, isotropic slow in the upper
+        fast = jnp.where(x[1] < 1.0, 2.0, 0.5)
+        return jnp.diag(jnp.stack([fast, jnp.asarray(0.5)]))
+
+    n0 = int(np.argmin(np.linalg.norm(mesh.nodes - [0, 0], axis=1)))
+    T = solve_eikonal(mesh, V, [n0])
+    lo = int(np.argmin(np.linalg.norm(mesh.nodes - [2.0, 0.0], axis=1)))
+    hi = int(np.argmin(np.linalg.norm(mesh.nodes - [2.0, 2.0], axis=1)))
+    # 2 units at speed 2 = 1.0 along the fast floor
+    assert abs(float(T[lo]) - 1.0) < 0.15
+    assert float(T[hi]) > float(T[lo]) + 0.5
