@@ -43,7 +43,7 @@ u0 = tb.setvariable(u0, odeform, "s",
 
 # 5. operator splitting: implicit heat step + adaptive explicit cells
 alg = tb.LieTrotterGodunov((
-    tb.BackwardEulerSolver(rtol=1e-5, atol=1e-6),
+    tb.BackwardEulerSolver(rtol=1e-5, atol=1e-6, solver="chebyshev"),
     tb.AdaptiveForwardEulerSubstepper(reaction_threshold=0.1),
 ))
 
