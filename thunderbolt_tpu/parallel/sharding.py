@@ -27,8 +27,23 @@ from thunderbolt_tpu.disc.functions import GenericSplitFunction, AffineODEFuncti
 
 
 def make_device_mesh(n_devices: Optional[int] = None, axis: str = "shard"):
+    """1D device mesh over exactly ``n_devices`` devices.
+
+    Errors (instead of silently truncating to a 1-device mesh) when the
+    backend exposes fewer devices than requested — a short mesh would
+    validate nothing. For an n-device virtual CPU mesh set
+    ``JAX_PLATFORMS=cpu`` + ``--xla_force_host_platform_device_count=n``
+    before backend init (see ``__graft_entry__.dryrun_multichip``).
+    """
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise RuntimeError(
+                f"make_device_mesh: requested {n_devices} devices but the "
+                f"{devs[0].platform} backend exposes only {len(devs)}; "
+                "force a virtual CPU mesh via JAX_PLATFORMS=cpu and "
+                "XLA_FLAGS=--xla_force_host_platform_device_count=<n> "
+                "before jax initializes.")
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
 
