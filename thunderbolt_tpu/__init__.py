@@ -212,6 +212,7 @@ from thunderbolt_tpu.models.coupling import (
 from thunderbolt_tpu.solver.linear import (
     cg,
     bicgstab,
+    gmres,
     jacobi_preconditioner,
     SchurComplementLinearSolver,
     schur_complement_solve,

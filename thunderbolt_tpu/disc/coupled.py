@@ -191,7 +191,13 @@ class BlockedNewtonSolver:
     def solve(self, fn: RSAFDQ20223DFunction, w0, t, V_targets):
         if self.inner == "lu":
             return self.solve_lu(fn, w0, t, V_targets)
-        return self.solve_device(fn, w0, t, V_targets)
+        w, stats = self.solve_device(fn, w0, t, V_targets)
+        if not stats.converged:
+            # CG on an indefinite mechanics tangent can stall; retry on the
+            # robust host-LU path before reporting failure (the docstring's
+            # own caveat — advisor round-1 finding)
+            return self.solve_lu(fn, w0, t, V_targets)
+        return w, stats
 
     def solve_device(self, fn: RSAFDQ20223DFunction, w0, t, V_targets):
         from thunderbolt_tpu.solver.linear import (
@@ -199,7 +205,8 @@ class BlockedNewtonSolver:
         ch = fn.mech.constraints
         cfg = self
 
-        run = fn.__dict__.get("_blocked_jit_device")
+        cache_key = ("_blocked_jit_device", self)
+        run = fn.__dict__.get(cache_key)
         if run is None:
             def assemble(w, t, V_targets):
                 kvals, B, r_u, r_p = fn.assemble(w, t, V_targets)
@@ -260,7 +267,7 @@ class BlockedNewtonSolver:
                                      cfg.rtol * rnorm0)
                 return w, it, rn, (status == 1) | (rn <= target)
 
-            fn.__dict__["_blocked_jit_device"] = run
+            fn.__dict__[cache_key] = run
 
         w, it, rnorm, conv = jax.device_get(run(w0, t, V_targets))
         return jnp.asarray(w), NewtonStats(int(it), float(rnorm),

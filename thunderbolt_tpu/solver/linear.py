@@ -80,14 +80,12 @@ def bicgstab(A: Callable, b, x0=None, *, Minv: Optional[Callable] = None,
     one = jnp.asarray(1.0, b.dtype)
 
     def cond(s):
-        x, r, p, v, rho, alpha, omega, k = s
-        return (dot(r, r) > tol2) & (k < maxiter)
+        x, r, p, v, rho, alpha, omega, k, broke = s
+        return (~broke) & (dot(r, r) > tol2) & (k < maxiter)
 
     def body(s):
-        x, r, p, v, rho, alpha, omega, k = s
+        x, r, p, v, rho, alpha, omega, k, broke = s
         rho_new = dot(rhat, r)
-        tiny = jnp.asarray(1e-30, b.dtype) if b.dtype != jnp.float32 \
-            else jnp.asarray(1e-30, b.dtype)
         beta = (rho_new / _nz(rho)) * (alpha / _nz(omega))
         p = r + beta * (p - omega * v)
         phat = Minv(p)
@@ -100,22 +98,118 @@ def bicgstab(A: Callable, b, x0=None, *, Minv: Optional[Callable] = None,
         x_new = x + alpha * phat + omega * shat
         r_new = s_vec - omega * t
         # breakdown guard (rho/omega ~ 0 at near-convergence in f32):
-        # freeze the iterate instead of propagating NaN/Inf
+        # freeze the last finite iterate/residual and flag the breakdown
+        # so the caller sees converged=False with the true residual norm
         ok = jnp.isfinite(jnp.sum(x_new)) & jnp.isfinite(jnp.sum(r_new))
         x = jnp.where(ok, x_new, x)
-        r = jnp.where(ok, r_new, jnp.zeros_like(r))  # forces loop exit
-        return (x, r, p, v, rho_new, alpha, omega, k + 1)
+        r = jnp.where(ok, r_new, r)
+        return (x, r, p, v, rho_new, alpha, omega, k + 1, ~ok)
 
     init = (x0, r0, jnp.zeros_like(b), jnp.zeros_like(b), one, one, one,
-            jnp.asarray(0, jnp.int32))
-    x, r, p, v, rho, alpha, omega, k = jax.lax.while_loop(cond, body, init)
+            jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    x, r, p, v, rho, alpha, omega, k, broke = jax.lax.while_loop(
+        cond, body, init)
     rnorm = jnp.sqrt(dot(r, r))
-    return x, KrylovInfo(k, rnorm, rnorm * rnorm <= tol2)
+    return x, KrylovInfo(k, rnorm, (~broke) & (rnorm * rnorm <= tol2))
 
 
 def _nz(x, eps=1e-30):
     """Sign-preserving guard against division-by-~zero breakdowns."""
     return jnp.where(jnp.abs(x) > eps, x, jnp.where(x < 0, -eps, eps))
+
+
+def gmres(A: Callable, b, x0=None, *, Minv: Optional[Callable] = None,
+          rtol=1e-5, atol=1e-6, maxiter=1000, restart=30, dot=_default_dot):
+    """Restarted GMRES(m) with right preconditioning.
+
+    Parity with the reference's ``KrylovJL_GMRES`` front-end
+    (``src/solver/linear*.jl`` via LinearSolve.jl) — the robust choice for
+    the nonsymmetric active-stress tangents where BiCGStab can break down.
+
+    TPU-native shape: one jitted ``while_loop`` over restart cycles; each
+    cycle is a static ``fori_loop`` of ``restart`` Arnoldi steps (classical
+    Gram-Schmidt, two passes, expressed as dense [m+1, n] matvecs that XLA
+    maps onto the MXU) with on-the-fly Givens rotations, followed by an
+    on-device triangular back-solve. No per-iteration host sync.
+    """
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    if Minv is None:
+        Minv = lambda r: r
+    m = int(restart)
+    n = b.shape[0]
+    dtype = b.dtype
+    bnorm = jnp.sqrt(dot(b, b))
+    tol = jnp.maximum(atol, rtol * bnorm)
+    eps = jnp.asarray(1e-30, dtype)
+
+    def arnoldi_cycle(x):
+        r = b - A(x)
+        beta = jnp.sqrt(dot(r, r))
+        V = jnp.zeros((m + 1, n), dtype)
+        V = V.at[0].set(r / jnp.maximum(beta, eps))
+        R = jnp.zeros((m, m), dtype)        # rotated upper-triangular H
+        cs = jnp.zeros(m, dtype)
+        sn = jnp.zeros(m, dtype)
+        g = jnp.zeros(m + 1, dtype).at[0].set(beta)
+
+        def step(j, carry):
+            V, R, cs, sn, g = carry
+            w = A(Minv(V[j]))
+            # two-pass classical GS; rows > j of V are zero so the full
+            # matvec projects exactly onto the built Krylov basis
+            h1 = V @ w
+            w = w - h1 @ V
+            h2 = V @ w
+            w = w - h2 @ V
+            h = h1 + h2                      # [m+1]
+            hb = jnp.sqrt(dot(w, w))
+            vn = jnp.where(hb > 1e-12, 1.0, 0.0) * w / jnp.maximum(hb, eps)
+            V = V.at[j + 1].set(vn)
+            h = h.at[j + 1].set(hb)
+            # apply previous rotations to column j
+            def rot(i, hcol):
+                hi, hi1 = hcol[i], hcol[i + 1]
+                return hcol.at[i].set(cs[i] * hi + sn[i] * hi1) \
+                           .at[i + 1].set(-sn[i] * hi + cs[i] * hi1)
+            h = jax.lax.fori_loop(0, j, rot, h)
+            # new rotation annihilating h[j+1]
+            denom = jnp.sqrt(h[j] ** 2 + h[j + 1] ** 2)
+            c = jnp.where(denom > eps, h[j] / jnp.maximum(denom, eps), 1.0)
+            s = jnp.where(denom > eps, h[j + 1] / jnp.maximum(denom, eps),
+                          0.0)
+            cs = cs.at[j].set(c)
+            sn = sn.at[j].set(s)
+            h = h.at[j].set(c * h[j] + s * h[j + 1]).at[j + 1].set(0.0)
+            R = R.at[:, j].set(h[:m])
+            g = g.at[j + 1].set(-s * g[j]).at[j].set(c * g[j])
+            return (V, R, cs, sn, g)
+
+        V, R, cs, sn, g = jax.lax.fori_loop(
+            0, m, step, (V, R, cs, sn, g))
+        # back-substitution R y = g[:m] (upper triangular, tiny static m)
+        def back(i, y):
+            j = m - 1 - i
+            acc = g[j] - jnp.sum(R[j] * y)
+            return y.at[j].set(acc / _nz(R[j, j]))
+        y = jax.lax.fori_loop(0, m, back, jnp.zeros(m, dtype))
+        return x + Minv(y @ V[:m])
+
+    def cond(s):
+        x, r2, k = s
+        return (r2 > tol * tol) & (k < maxiter)
+
+    def body(s):
+        x, _, k = s
+        x = arnoldi_cycle(x)
+        r = b - A(x)
+        return (x, dot(r, r), k + m)
+
+    r0 = b - A(x0)
+    x, r2, k = jax.lax.while_loop(
+        cond, body, (x0, dot(r0, r0), jnp.asarray(0, jnp.int32)))
+    rnorm = jnp.sqrt(r2)
+    return x, KrylovInfo(k, rnorm, r2 <= tol * tol)
 
 
 def jacobi_preconditioner(diag):

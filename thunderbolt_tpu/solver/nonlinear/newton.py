@@ -76,7 +76,11 @@ class NewtonRaphsonSolver:
         ch = fn.constraints
         extra = fn.newton_extra() if hasattr(fn, "newton_extra") else ()
 
-        run = fn.__dict__.get("_newton_jit_full") \
+        # cache key includes the solver config: two NewtonRaphsonSolvers
+        # with different tolerances solving the same function object must
+        # not share a compiled loop that baked in the first one's settings
+        cache_key = ("_newton_jit_full", self)
+        run = fn.__dict__.get(cache_key) \
             if hasattr(fn, "__dict__") else None
         if run is None:
             cfg = self
@@ -103,7 +107,9 @@ class NewtonRaphsonSolver:
                 rnorm0 = rnorm_of(u0, t, extra)
                 target = jnp.maximum(jnp.asarray(cfg.tol, dt_),
                                      cfg.rtol * rnorm0)
-                hist0 = jnp.zeros(cfg.max_iter + 1, dt_).at[0].set(rnorm0)
+                # hist[i] = residual at the START of iteration i (host-loop
+                # semantics); written in the body, no duplicate seed
+                hist0 = jnp.zeros(cfg.max_iter + 1, dt_)
                 # status: 0 running / 1 converged / 2 nonfinite / 3 growth
                 carry0 = (u0, rnorm0, jnp.asarray(cfg.inner_rtol, dt_),
                           jnp.asarray(0, jnp.int32),   # growth count
@@ -185,7 +191,7 @@ class NewtonRaphsonSolver:
                         accept_full, lambda _: u_full, backtrack,
                         operand=None)
                     u_new = jnp.where(status == 0, u_new, u)
-                    hist = hist.at[it + 1].set(rnorm)
+                    hist = hist.at[it].set(rnorm)
                     return (u_new, rnorm, eta, growth, it + 1, status, hist)
 
                 u, rnorm_last, eta, growth, it, status, hist = \
@@ -195,17 +201,21 @@ class NewtonRaphsonSolver:
                 return u, it, rnorm_fin, converged, status, hist
 
             try:
-                fn.__dict__["_newton_jit_full"] = run
+                fn.__dict__[cache_key] = run
             except (AttributeError, TypeError):
                 pass
 
         u, it, rnorm, converged, status, hist = run(u0, t, extra)
         # ONE batched host readback — separate scalar pulls each pay a
         # full device round-trip (tens of ms on tunneled chips)
-        it, rnorm, converged, hist = jax.device_get(
-            (it, rnorm, converged, hist))
-        it = int(it)
-        history = tuple(hist[: it + 1].tolist())
+        it, rnorm, converged, status, hist = jax.device_get(
+            (it, rnorm, converged, status, hist))
+        # loop `it` counts body executions; the terminating body (status
+        # set) performed no update, matching the host loop's returned
+        # iteration index `it - 1`
+        nhist = int(it)
+        it = nhist - (1 if int(status) != 0 else 0)
+        history = tuple(hist[:nhist].tolist())
         return u, NewtonStats(it, float(rnorm), bool(converged), history)
 
     def solve_host(self, fn, u0, t, monitor=None):
@@ -218,7 +228,8 @@ class NewtonRaphsonSolver:
         ch = fn.constraints
         extra = fn.newton_extra() if hasattr(fn, "newton_extra") else ()
 
-        jits = fn.__dict__.get("_newton_jits") if hasattr(fn, "__dict__") \
+        jits_key = ("_newton_jits", self.inner)
+        jits = fn.__dict__.get(jits_key) if hasattr(fn, "__dict__") \
             else None
         if jits is None:
             # host-LU needs the CSR values; the lattice BlockDIA operator
@@ -261,7 +272,7 @@ class NewtonRaphsonSolver:
 
             jits = (assemble_j, rnorm_j, krylov_j)
             try:
-                fn.__dict__["_newton_jits"] = jits
+                fn.__dict__[jits_key] = jits
             except (AttributeError, TypeError):
                 pass
         assemble_j, rnorm_j, krylov_j = jits

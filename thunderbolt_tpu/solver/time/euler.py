@@ -137,6 +137,14 @@ class BackwardEulerSolver:
         source = fn.source
 
         if self.solver == "chebyshev":
+            if self.preconditioner != "jacobi":
+                # the Lanczos bounds below are for the Jacobi-symmetrized
+                # operator; Chebyshev has no residual check, so running on
+                # a different spectral interval would diverge SILENTLY
+                raise ValueError(
+                    "solver='chebyshev' requires preconditioner='jacobi' "
+                    "(spectral bounds are estimated on the Jacobi-scaled "
+                    "operator)")
             from thunderbolt_tpu.solver.linear import (
                 lanczos_bounds, chebyshev, chebyshev_iterations)
             diag = A.diagonal()
