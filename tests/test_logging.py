@@ -49,3 +49,34 @@ def test_newton_monitor_receives_iterations():
     assert st.converged
     assert len(seen) == st.iterations + 1
     assert all(np.isfinite(r) for _, r in seen)
+
+
+def test_vtk_newton_monitor_writes_fields(tmp_path):
+    """VTKNewtonMonitor writes one VTU per Newton iteration containing the
+    residual, increment, and iterate fields (parity:
+    ``src/solver/logging.jl:101-120``)."""
+    import os
+    from thunderbolt_tpu.io.vtk import read_vtu
+
+    mesh = tb.generate_mesh("hex8", (3, 2, 2))
+    mat = tb.PK1Model(tb.NeoHookeanModel(mu=2.0, lam=4.0))
+    model = tb.QuasiStaticModel(
+        "d", mat, (tb.ConstantPressureBC(0.005, "top"),))
+    disc = tb.FiniteElementDiscretization(
+        {"d": tb.FieldSpec(order=1, ncomponents=3)},
+        dbcs=[tb.Dirichlet("d", "left", 0.0)], dtype=jnp.float64)
+    fn = tb.semidiscretize(model, disc, mesh)
+    mon = tb.VTKNewtonMonitor(mesh=mesh, fn=fn, outdir=str(tmp_path))
+    mon.new_solve()
+    sol = tb.NewtonRaphsonSolver(tol=1e-10, inner="cg", inner_rtol=1e-12)
+    u, st = sol.solve(fn, jnp.zeros(fn.solution_size), 0.0, monitor=mon)
+    assert st.converged
+    files = sorted(f for f in os.listdir(tmp_path) if f.endswith(".vtu"))
+    # one file per iteration that performed an update
+    assert len(files) == st.iterations
+    pts, blocks, pdata = read_vtu(os.path.join(tmp_path, files[0]))
+    assert "residual" in pdata and "increment" in pdata and "u" in pdata
+    res = np.asarray(pdata["residual"]).reshape(mesh.nnodes, 3)
+    assert np.isfinite(res).all()
+    # first iteration's residual is the (nonzero) initial load imbalance
+    assert np.abs(res).max() > 0

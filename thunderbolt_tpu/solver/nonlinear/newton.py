@@ -327,6 +327,10 @@ class NewtonRaphsonSolver:
             else:
                 du, info = krylov_j(A, r, eta, self.inner_atol,
                                     self.inner_maxiter, self.inner)
+            if monitor is not None and hasattr(monitor, "step_fields"):
+                # per-iteration residual/increment field dumps
+                # (VTKNewtonMonitor; ref src/solver/logging.jl:101-120)
+                monitor.step_fields(it, u, r, du)
             # line search: prefer decrease, but fall back to the FULL step
             # (non-monotone Newton) rather than a crippled tiny step
             u_full = u - du

@@ -47,9 +47,15 @@ class Integrator:
         self.t = float(tspan[0])
         self.tspan = (float(tspan[0]), float(tspan[1]))
         self.u = u0
+        self.u0 = u0
         self.stats = IntegratorStats()
         self._step = alg.make_step(fn, self.dt)
         self._advance = jax.jit(self._make_advance())
+        #: remainder-dt step closures for save times off the dt grid
+        #: (tstop fitting, ref ``diffeq-interface.jl:226`` step_header!);
+        #: keyed on the rounded remainder so a regular saveat grid
+        #: compiles its partial step once
+        self._partial_steps = {}
 
     def _make_advance(self):
         step = self._step
@@ -72,16 +78,39 @@ class Integrator:
         return self
 
     def advance_to(self, t_target: float, rtol=1e-8):
+        """Advance to ``t_target``, fitting the final step to land exactly
+        on it when the target is off the dt grid (tstop fitting — parity:
+        ``step_header!``, ``diffeq-interface.jl:226``). Full steps run in
+        one jitted fori_loop; the remainder re-makes the step closure for
+        the partial dt (cheap: A = M - dt K re-forms, mirroring the
+        reference's dt-change path, ``euler.jl:110-116``) and caches it."""
         delta = t_target - self.t
         if delta <= rtol * self.dt:
             return self
-        nsteps = int(round(delta / self.dt))
-        if abs(nsteps * self.dt - delta) > 1e-6 * max(1.0, abs(delta)):
-            raise ValueError(
-                f"save time {t_target} is not a multiple of dt={self.dt} "
-                f"from t={self.t}; choose saveat on the dt grid")
-        self.step(nsteps)
+        nsteps = int(np.floor(delta / self.dt + 1e-9))
+        rem = delta - nsteps * self.dt
+        if nsteps > 0:
+            self.step(nsteps)
+        if rem > rtol * self.dt:
+            key = round(rem, 12)
+            pstep = self._partial_steps.get(key)
+            if pstep is None:
+                pstep = jax.jit(self.alg.make_step(self.fn, rem))
+                self._partial_steps[key] = pstep
+            self.u = pstep(self.u, jnp.asarray(self.t, self.u.dtype))
+            self.stats.naccept += 1
         self.t = t_target  # kill fp drift
+        return self
+
+    def reinit(self, u0=None, t0=None, tf=None):
+        """Reset for a fresh solve on the same compiled machinery (parity:
+        ``reinit!``, ``diffeq-interface.jl:91-121``). ``u0`` defaults to
+        the initial condition this integrator was built with."""
+        self.u = self.u0 if u0 is None else u0
+        self.t = float(self.tspan[0] if t0 is None else t0)
+        if tf is not None:
+            self.tspan = (self.t, float(tf))
+        self.stats = IntegratorStats()
         return self
 
     def solve(self):
@@ -141,9 +170,11 @@ class AdaptiveSplitIntegrator:
         self.fn = fn
         self.rtc = rtc
         self.u = u0
+        self.u0 = u0
         self.t = float(tspan[0])
         self.tspan = tspan
-        self.dt = float(dt0 if dt0 is not None else rtc.dt_bounds[1])
+        self.dt0 = float(dt0 if dt0 is not None else rtc.dt_bounds[1])
+        self.dt = self.dt0
         self.stats = IntegratorStats()
 
         heat, cells = fn.functions
@@ -183,6 +214,21 @@ class AdaptiveSplitIntegrator:
         self.dt = float(dt)
         self.stats.naccept += int(n)
         return self
+
+    def reinit(self, u0=None, t0=None, tf=None):
+        """Parity: ``reinit!`` (``diffeq-interface.jl:91-121``)."""
+        self.u = self.u0 if u0 is None else u0
+        self.t = float(self.tspan[0] if t0 is None else t0)
+        if tf is not None:
+            self.tspan = (self.t, float(tf))
+        self.dt = self.dt0
+        self.stats = IntegratorStats()
+        return self
+
+    def check_error(self):
+        if not bool(jnp.isfinite(self.u).all()):
+            return ReturnCode.Unstable
+        return ReturnCode.Success
 
     def solve(self):
         self.advance_to(self.tspan[1])

@@ -36,22 +36,57 @@ class DefaultProgressMonitor:
 
 @dataclass
 class VTKNewtonMonitor:
-    """Dump the residual field per Newton iteration to VTU
-    (``logging.jl:101``)."""
+    """Dump the residual + increment fields per Newton iteration to VTU
+    (parity: ``src/solver/logging.jl:101-120`` — per-iteration
+    ``newton-monitor-<step>-<iter>.vtu`` debug files).
+
+    Pass as ``monitor=`` to ``NewtonRaphsonSolver.solve``; the host Newton
+    loop logs ``__call__(it, rnorm)`` and feeds the residual and Newton
+    increment vectors to :meth:`step_fields`, which reorders the primary
+    field's dofs to mesh-node order and writes one VTU per iteration.
+    """
 
     mesh: object
     fn: object
     outdir: str = "./newton-debug"
-    _count: int = 0
+    basename: str = "newton-monitor"
+    #: bumped once per nonlinear solve so files from successive time/load
+    #: steps don't collide
+    solve_count: int = 0
 
-    def make(self, u_getter):
-        from thunderbolt_tpu.io.vtk import write_vtu
+    def __post_init__(self):
         import os
         os.makedirs(self.outdir, exist_ok=True)
 
-        def monitor(it, rnorm):
-            log_nlsolve.debug("vtk-newton it=%d |r|=%.3e", it, rnorm)
-        return monitor
+    def new_solve(self):
+        self.solve_count += 1
+
+    def __call__(self, it, rnorm):
+        log_nlsolve.debug("vtk-newton it=%d |r|=%.3e", it, rnorm)
+
+    def _field_to_nodes(self, vec):
+        """Reorder the primary field's slice of a dof vector to
+        [nnodes(, ncomp)] mesh-node order (unset nodes -> 0)."""
+        import numpy as np
+        fi = self.fn.dh.fields[self.fn.field]
+        vals = np.asarray(vec)[fi.offset:fi.offset + fi.ndofs]
+        vals = vals.reshape(fi.nentities, fi.ncomponents)
+        out = np.zeros((self.mesh.nnodes, fi.ncomponents), vals.dtype)
+        mask = fi.entity_nodes >= 0
+        out[fi.entity_nodes[mask]] = vals[mask]
+        return out if fi.ncomponents > 1 else out[:, 0]
+
+    def step_fields(self, it, u, r, du):
+        from thunderbolt_tpu.io.vtk import write_vtu
+        import os
+        path = os.path.join(
+            self.outdir, f"{self.basename}-{self.solve_count}-{it}.vtu")
+        write_vtu(path, self.mesh, point_data={
+            "residual": self._field_to_nodes(r),
+            "increment": self._field_to_nodes(du),
+            "u": self._field_to_nodes(u),
+        })
+        log_nlsolve.debug("vtk-newton wrote %s", path)
 
 
 # ---------------------------------------------------------------------------
