@@ -43,5 +43,16 @@ def _solve(celltype):
 
 def test_land2015_problem1_hex():
     deflection, rep = _solve("hex8")
-    # the reference asserts 3.17 +- 0.02 at the same discretization
-    assert abs(deflection - 3.17) < 0.03, deflection
+    # reference strictness: 3.17 +- 0.02 (land2015.jl:95-100); measured
+    # 3.1550 on this discretization
+    assert abs(deflection - 3.17) < 0.02, deflection
+
+
+@pytest.mark.slow
+def test_land2015_problem1_tet():
+    """The reference validates BOTH Hex and Tet meshes
+    (``land2015.jl:95-100``) — tet4 geometry exercises the P2 tet path
+    with the same Guccione + SimpleCompressionPenalty setup. Measured
+    3.1699."""
+    deflection, rep = _solve("tet4")
+    assert abs(deflection - 3.17) < 0.02, deflection

@@ -94,8 +94,15 @@ def uniform_refinement(mesh: Mesh, n: int = 1) -> Mesh:
     return mesh
 
 
-def _refine_once(mesh: Mesh) -> Mesh:
-    p2 = elevate_to_quadratic(mesh)
+def _refine_once(mesh: Mesh, return_parents: bool = False):
+    """One uniform refinement. With ``return_parents=True`` also returns,
+    for every NEW node, the tuple of parent node ids (original nodes keep
+    their indices — coarse nodes are the first ``mesh.nnodes`` nodes of
+    the fine mesh), which is exactly the multigrid prolongation table."""
+    if return_parents:
+        p2, parents = elevate_to_quadratic(mesh, return_parents=True)
+    else:
+        p2 = elevate_to_quadratic(mesh)
     new_blocks = []
     cellset_children: Dict[int, List[int]] = {}
     gchild = 0
@@ -143,6 +150,8 @@ def _refine_once(mesh: Mesh) -> Mesh:
     for k, cells in mesh.cellsets.items():
         out.cellsets[k] = np.asarray(sorted(
             ch for c in cells for ch in cellset_children[int(c)]), np.int64)
+    if return_parents:
+        return out, parents
     return out
 
 
@@ -276,8 +285,12 @@ _MFEM_TYPES = {1: ("line2", 2), 2: ("tri3", 3), 3: ("quad4", 4),
 
 
 
-def reorder_mesh_rcm(mesh: Mesh) -> Mesh:
+def reorder_mesh_rcm(mesh: Mesh, return_perm: bool = False):
     """Reverse Cuthill-McKee node reordering.
+
+    With ``return_perm=True`` also returns ``perm`` (new node i = old node
+    ``perm[i]``) so callers can remap node-indexed side tables (multigrid
+    transfer/injection maps).
 
     Minimizes the mesh (and hence dof) bandwidth so the gather-free
     DIA/BlockDIA SpMV fast paths engage on unstructured meshes (generated
@@ -311,6 +324,8 @@ def reorder_mesh_rcm(mesh: Mesh) -> Mesh:
                cellsets={k: v.copy() for k, v in mesh.cellsets.items()})
     for k, v in mesh.nodesets.items():
         out.nodesets[k] = np.sort(inv[v])
+    if return_perm:
+        return out, perm
     return out
 
 

@@ -29,20 +29,11 @@ from thunderbolt_tpu.mesh.mesh import ElementBlock
 
 
 def refine_with_parents(mesh: Mesh):
-    """One uniform refinement + (fine node -> coarse parent nodes) map."""
-    p2, parents = elevate_to_quadratic(mesh, return_parents=True)
-    new_blocks = []
-    for b, b2 in zip(mesh.blocks, p2.blocks):
-        tpl = _child_templates(b.celltype)
-        conns = []
-        for c in range(b.ncells):
-            row = b2.connectivity[c]
-            for t in tpl:
-                conns.append(row[list(t)])
-        new_blocks.append(ElementBlock(b.celltype,
-                                       np.asarray(conns, np.int32)))
-    fine = Mesh(p2.nodes, new_blocks, facetsets={}, cellsets={})
-    return fine, parents
+    """One uniform refinement + (fine node -> coarse parent nodes) map.
+    Facetsets/nodesets/cellsets transfer like ``uniform_refinement`` (the
+    mechanics hierarchy needs each level's BCs)."""
+    from thunderbolt_tpu.mesh.tools import _refine_once
+    return _refine_once(mesh, return_parents=True)
 
 
 @dataclass
