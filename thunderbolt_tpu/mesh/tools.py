@@ -285,6 +285,39 @@ _MFEM_TYPES = {1: ("line2", 2), 2: ("tri3", 3), 3: ("quad4", 4),
 
 
 
+def renumber_mesh_nodes(mesh: Mesh, perm) -> Mesh:
+    """Relabel mesh nodes by ``perm`` (new node i = old node ``perm[i]``).
+
+    Connectivity and nodesets are remapped; facetsets/cellsets are
+    cell-indexed and survive unchanged. Used by the RCM reorder and by the
+    multigrid hierarchy's per-level renumbering."""
+    perm = np.asarray(perm, np.int64)
+    inv = np.empty(mesh.nnodes, dtype=np.int64)
+    inv[perm] = np.arange(mesh.nnodes)
+    blocks = [ElementBlock(b.celltype,
+                           inv[b.connectivity].astype(np.int32))
+              for b in mesh.blocks]
+    out = Mesh(mesh.nodes[perm], blocks,
+               facetsets={k: v.copy() for k, v in mesh.facetsets.items()},
+               cellsets={k: v.copy() for k, v in mesh.cellsets.items()})
+    for k, v in mesh.nodesets.items():
+        out.nodesets[k] = np.sort(inv[v])
+    return out
+
+
+def lexsort_node_perm(mesh: Mesh, quantum: float = 1e-6) -> np.ndarray:
+    """Node permutation sorting by quantized (z, y, x) coordinates.
+
+    On lattice-structured geometries (box meshes and their uniform
+    refinements) this recovers the generator's native lattice ordering, so
+    constant-stride neighbor offsets — and with them the DIA/BlockDIA
+    gather-free SpMV paths — re-engage on refined meshes."""
+    q = np.round(mesh.nodes /
+                 (np.ptp(mesh.nodes, axis=0).max() * quantum)
+                 ).astype(np.int64)
+    return np.lexsort(tuple(q[:, d] for d in range(q.shape[1])))
+
+
 def reorder_mesh_rcm(mesh: Mesh, return_perm: bool = False):
     """Reverse Cuthill-McKee node reordering.
 
@@ -313,17 +346,9 @@ def reorder_mesh_rcm(mesh: Mesh, return_perm: bool = False):
     g = sp.coo_matrix((np.ones(sum(r.size for r in rows), np.int8),
                        (np.concatenate(rows), np.concatenate(cols))),
                       shape=(n, n)).tocsr()
-    perm = np.asarray(reverse_cuthill_mckee(g, symmetric_mode=True))
-    inv = np.empty(n, dtype=np.int64)
-    inv[perm] = np.arange(n)
-    blocks = [ElementBlock(b.celltype,
-                           inv[b.connectivity].astype(np.int32))
-              for b in mesh.blocks]
-    out = Mesh(mesh.nodes[perm], blocks,
-               facetsets={k: v.copy() for k, v in mesh.facetsets.items()},
-               cellsets={k: v.copy() for k, v in mesh.cellsets.items()})
-    for k, v in mesh.nodesets.items():
-        out.nodesets[k] = np.sort(inv[v])
+    perm = np.asarray(reverse_cuthill_mckee(g, symmetric_mode=True),
+                      dtype=np.int64)
+    out = renumber_mesh_nodes(mesh, perm)
     if return_perm:
         return out, perm
     return out

@@ -255,6 +255,96 @@ def pad_form_batch(batch, multiple):
         cell_weight=w)
 
 
+class ShardedMechanicsFunction:
+    """Dof-distributed mechanics: row/entity-partitions the assembled
+    operator AND the solution/residual vectors over the device mesh, so
+    per-chip memory scales with ndofs / n_devices (VERDICT r1 item 3 —
+    element-sharded assembly alone keeps the Krylov state replicated and
+    caps multi-chip problems at single-chip sizes).
+
+    Wraps an (ideally element-sharded, see ``shard_quasistatic_function``)
+    QuasiStaticFunction; every residual/operator product is pinned with
+    ``with_sharding_constraint`` so the Newton/CG iterates inside the
+    one-dispatch jitted loop stay partitioned: BlockDIA diagonals shard
+    along the entity axis (the static slice shifts become ICI
+    collective-permute halos under GSPMD), ELL rows shard like the EP heat
+    path (``sharding.py:159``), dots psum. The EP dof partition is the
+    template; this is its BlockDIA analog."""
+
+    def __init__(self, fn, mesh: Mesh, axis: str = "shard"):
+        self.fn = fn
+        self.mesh = mesh
+        self.axis = axis
+        self.vec_spec = NamedSharding(mesh, P(axis))
+
+    def __getattr__(self, name):
+        # delegate everything else (dh, constraints, pattern, caches, ...)
+        return getattr(self.__dict__["fn"], name)
+
+    # -- sharding pins -----------------------------------------------------
+
+    def _vec(self, v):
+        return jax.lax.with_sharding_constraint(v, self.vec_spec)
+
+    def _op(self, A):
+        from thunderbolt_tpu.fem.sparsity import (
+            ELLMatrix, BlockDIAMatrix, MaskedOperator)
+        mesh, axis = self.mesh, self.axis
+
+        def pin(x, spec):
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, spec))
+
+        if isinstance(A, MaskedOperator):
+            return MaskedOperator(self._op(A.A), pin(A.free_mask, P(axis)))
+        if isinstance(A, BlockDIAMatrix):
+            blocks = pin(A.blocks, P(None, axis, None, None))
+            return BlockDIAMatrix(A.offsets, blocks, A.nent, A.ncomp,
+                                  spill_rows=A.spill_rows,
+                                  spill_cols=A.spill_cols,
+                                  spill_vals=A.spill_vals)
+        if isinstance(A, ELLMatrix):
+            return ELLMatrix(pin(A.cols, P(axis, None)),
+                             pin(A.vals, P(axis, None)),
+                             None if A.diag_pos is None
+                             else pin(A.diag_pos, P(axis)))
+        return A
+
+    # -- the Newton-facing protocol ---------------------------------------
+
+    def residual(self, u, t, *extra):
+        return self._vec(self.fn.residual(self._vec(u), t, *extra))
+
+    def assemble(self, u, t, *extra):
+        kvals, r = self.fn.assemble(self._vec(u), t, *extra)
+        return kvals, self._vec(r)
+
+    def assemble_operator(self, u, t, *extra):
+        A, r = self.fn.assemble_operator(self._vec(u), t, *extra)
+        return self._op(A), self._vec(r)
+
+    def jacobian_matrix(self, kvals):
+        return self._op(self.fn.jacobian_matrix(kvals))
+
+    def newton_extra(self):
+        fn = self.fn
+        return fn.newton_extra() if hasattr(fn, "newton_extra") else ()
+
+    def place(self, u):
+        """Physically distribute a state vector over the mesh."""
+        return jax.device_put(u, self.vec_spec)
+
+
+def shard_mechanics_dofs(fn, mesh: Mesh, axis: str = "shard",
+                         shard_elements: bool = True):
+    """Full multi-chip mechanics: element-sharded assembly + dof-sharded
+    operator/Krylov. Returns a function usable anywhere a
+    QuasiStaticFunction is (NewtonRaphsonSolver, homotopy, Newmark)."""
+    base = shard_quasistatic_function(fn, mesh, axis) if shard_elements \
+        else fn
+    return ShardedMechanicsFunction(base, mesh, axis)
+
+
 def shard_quasistatic_function(fn, mesh: Mesh, axis: str = "shard"):
     """Shard a QuasiStaticFunction's element batches over the device mesh:
     cells are the parallel axis; per-element kernels are embarrassingly

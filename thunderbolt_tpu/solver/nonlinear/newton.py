@@ -57,6 +57,10 @@ class NewtonRaphsonSolver:
     #: Newton on soft structures is non-monotone; strict monotone guards
     #: (reference Theta_k checks) stall on slender-beam problems
     max_growth_iters: int = 6
+    #: optional preconditioner factory ``(A, u, t, extra) -> Minv`` called
+    #: at every linearization point (e.g. ``MechanicsGMGPreconditioner``);
+    #: None keeps the block-Jacobi/Jacobi default
+    precon: Any = None
 
     def solve(self, fn, u0, t, monitor=None):
         """Solve fn.residual(u, t) = 0 from u0; returns (u, NewtonStats).
@@ -143,9 +147,12 @@ class NewtonRaphsonSolver:
                             jnp.clip(f.gamma * (rnorm / rnorm_prev) ** 2,
                                      f.eta_min, f.eta_max),
                             eta).astype(dt_)
-                    Minv = A.block_jacobi_inv() \
-                        if hasattr(A, "block_jacobi_inv") \
-                        else jacobi_preconditioner(A.diagonal())
+                    if cfg.precon is not None:
+                        Minv = cfg.precon(A, u, t, extra)
+                    elif hasattr(A, "block_jacobi_inv"):
+                        Minv = A.block_jacobi_inv()
+                    else:
+                        Minv = jacobi_preconditioner(A.diagonal())
                     kfun = cg if cfg.inner == "cg" else bicgstab
                     du, _ = kfun(A.mv, r, Minv=Minv, rtol=eta,
                                  atol=cfg.inner_atol,
@@ -228,7 +235,7 @@ class NewtonRaphsonSolver:
         ch = fn.constraints
         extra = fn.newton_extra() if hasattr(fn, "newton_extra") else ()
 
-        jits_key = ("_newton_jits", self.inner)
+        jits_key = ("_newton_jits", self.inner, self.precon)
         jits = fn.__dict__.get(jits_key) if hasattr(fn, "__dict__") \
             else None
         if jits is None:
@@ -260,12 +267,16 @@ class NewtonRaphsonSolver:
             # EVERY Newton iteration — measured seconds per iteration on a
             # remote chip vs milliseconds once cached here.
             from functools import partial
+            cfg_precon = self.precon
 
             @partial(jax.jit, static_argnames=("maxiter", "method"))
-            def krylov_j(A, r, eta, atol, maxiter, method):
-                Minv = A.block_jacobi_inv() \
-                    if hasattr(A, "block_jacobi_inv") \
-                    else jacobi_preconditioner(A.diagonal())
+            def krylov_j(A, u, t, extra, r, eta, atol, maxiter, method):
+                if cfg_precon is not None:
+                    Minv = cfg_precon(A, u, t, extra)
+                elif hasattr(A, "block_jacobi_inv"):
+                    Minv = A.block_jacobi_inv()
+                else:
+                    Minv = jacobi_preconditioner(A.diagonal())
                 f = cg if method == "cg" else bicgstab
                 return f(A.mv, r, Minv=Minv, rtol=eta, atol=atol,
                          maxiter=maxiter)
@@ -325,7 +336,8 @@ class NewtonRaphsonSolver:
                 solver.current_A = A
                 du, info = solver(A.mv, r)
             else:
-                du, info = krylov_j(A, r, eta, self.inner_atol,
+                du, info = krylov_j(A, u, t, extra, r, eta,
+                                    self.inner_atol,
                                     self.inner_maxiter, self.inner)
             if monitor is not None and hasattr(monitor, "step_fields"):
                 # per-iteration residual/increment field dumps
