@@ -276,15 +276,86 @@ class ShardedMechanicsFunction:
         self.mesh = mesh
         self.axis = axis
         self.vec_spec = NamedSharding(mesh, P(axis))
+        c = fn.dh.fields[fn.field].ncomponents
+        n = fn.dh.ndofs
+        ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        # pad the ENTITY axis to the device count (XLA shardings demand
+        # divisibility); padded dofs are identity rows decoupled from the
+        # physics — the mechanics analog of ``pad_split_function``
+        self.c = c
+        self.n = n
+        self.nent = n // c
+        self.nent_pad = round_up(self.nent, ndev)
+        self.npad = self.nent_pad * c - n
+        ch = fn.constraints
+        if ch is not None and self.npad:
+            from thunderbolt_tpu.fem.constraints import ConstraintHandler
+            ch = ConstraintHandler(
+                jnp.pad(ch.free_mask, (0, self.npad),
+                        constant_values=True), ch.cdofs, ch.cvals)
+        self.constraints = ch
 
     def __getattr__(self, name):
-        # delegate everything else (dh, constraints, pattern, caches, ...)
+        # delegate everything else (dh, pattern, caches, material, ...)
         return getattr(self.__dict__["fn"], name)
+
+    @property
+    def solution_size(self):
+        return self.n + self.npad
+
+    def unpad(self, u):
+        """Strip the device-count padding from a solution vector."""
+        return u[: self.n]
+
+    def update_internal_state(self, u, t, dt):
+        if hasattr(self.fn, "update_internal_state"):
+            self.fn.update_internal_state(self.unpad(u), t, dt)
 
     # -- sharding pins -----------------------------------------------------
 
     def _vec(self, v):
         return jax.lax.with_sharding_constraint(v, self.vec_spec)
+
+    def _pad_vec(self, v):
+        return v if not self.npad else jnp.pad(v, (0, self.npad))
+
+    def _pad_op(self, A):
+        if not self.npad:
+            return A
+        from thunderbolt_tpu.fem.sparsity import (
+            ELLMatrix, BlockDIAMatrix, MaskedOperator)
+        if isinstance(A, MaskedOperator):
+            return MaskedOperator(
+                self._pad_op(A.A),
+                jnp.pad(A.free_mask, (0, self.npad), constant_values=True))
+        if isinstance(A, BlockDIAMatrix):
+            k0 = A.offsets.index(0)
+            npe = self.nent_pad - A.nent
+            pad_blocks = jnp.zeros(
+                (len(A.offsets), npe) + A.blocks.shape[2:], A.blocks.dtype)
+            pad_blocks = pad_blocks.at[k0].set(
+                jnp.eye(A.ncomp, dtype=A.blocks.dtype))
+            return BlockDIAMatrix(
+                A.offsets, jnp.concatenate([A.blocks, pad_blocks], axis=1),
+                self.nent_pad, A.ncomp, spill_rows=A.spill_rows,
+                spill_cols=A.spill_cols, spill_vals=A.spill_vals)
+        if isinstance(A, ELLMatrix):
+            k = A.cols.shape[1]
+            extra = (self.n + jnp.arange(self.npad,
+                                         dtype=A.cols.dtype))[:, None]
+            cols = jnp.concatenate(
+                [A.cols, jnp.broadcast_to(extra, (self.npad, k))])
+            pvals = jnp.zeros((self.npad, k),
+                              A.vals.dtype).at[:, 0].set(1.0)
+            vals = jnp.concatenate([A.vals, pvals])
+            dpos = None
+            if A.diag_pos is not None:
+                dpos = jnp.concatenate(
+                    [A.diag_pos,
+                     (self.n + jnp.arange(self.npad,
+                                          dtype=A.diag_pos.dtype)) * k])
+            return ELLMatrix(cols, vals, dpos)
+        raise TypeError(f"unsupported operator {type(A).__name__}")
 
     def _op(self, A):
         from thunderbolt_tpu.fem.sparsity import (
@@ -313,26 +384,29 @@ class ShardedMechanicsFunction:
     # -- the Newton-facing protocol ---------------------------------------
 
     def residual(self, u, t, *extra):
-        return self._vec(self.fn.residual(self._vec(u), t, *extra))
+        r = self.fn.residual(self.unpad(self._vec(u)), t, *extra)
+        return self._vec(self._pad_vec(r))
 
     def assemble(self, u, t, *extra):
-        kvals, r = self.fn.assemble(self._vec(u), t, *extra)
-        return kvals, self._vec(r)
+        kvals, r = self.fn.assemble(self.unpad(self._vec(u)), t, *extra)
+        return kvals, self._vec(self._pad_vec(r))
 
     def assemble_operator(self, u, t, *extra):
-        A, r = self.fn.assemble_operator(self._vec(u), t, *extra)
-        return self._op(A), self._vec(r)
+        A, r = self.fn.assemble_operator(self.unpad(self._vec(u)), t,
+                                         *extra)
+        return self._op(self._pad_op(A)), self._vec(self._pad_vec(r))
 
     def jacobian_matrix(self, kvals):
-        return self._op(self.fn.jacobian_matrix(kvals))
+        return self._op(self._pad_op(self.fn.jacobian_matrix(kvals)))
 
     def newton_extra(self):
         fn = self.fn
         return fn.newton_extra() if hasattr(fn, "newton_extra") else ()
 
     def place(self, u):
-        """Physically distribute a state vector over the mesh."""
-        return jax.device_put(u, self.vec_spec)
+        """Pad a state to the device-count stride and physically
+        distribute it over the mesh."""
+        return jax.device_put(self._pad_vec(jnp.asarray(u)), self.vec_spec)
 
 
 def shard_mechanics_dofs(fn, mesh: Mesh, axis: str = "shard",
