@@ -23,7 +23,7 @@ from thunderbolt_tpu.mesh.elements import get_element
 
 
 _P2_FAMILY = {"line2": "line3", "tri3": "tri6", "quad4": "quad9",
-              "tet4": "tet10", "hex8": "hex27"}
+              "tet4": "tet10", "hex8": "hex27", "wedge6": "wedge18"}
 _P1_FAMILY = {v: k for k, v in _P2_FAMILY.items()}
 
 

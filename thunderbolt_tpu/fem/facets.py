@@ -15,7 +15,8 @@ import jax.numpy as jnp
 from typing import Optional
 
 from thunderbolt_tpu.mesh.mesh import Mesh
-from thunderbolt_tpu.mesh.elements import get_element, FACET_TYPE
+from thunderbolt_tpu.mesh.elements import get_element, FACET_TYPE, \
+    facet_type
 from thunderbolt_tpu.mesh.quadrature import quadrature_rule, default_degree
 from thunderbolt_tpu.fem.dofs import DofHandler
 
@@ -27,7 +28,7 @@ def facet_basis_indices(el, lf: int):
     fac = el.facets[lf]
     idx = list(fac)
     if el.order == 2:
-        facet_el = get_element(FACET_TYPE_OF(el))
+        facet_el = get_element(facet_type(el, lf))
         nv = len(el.vertices)
         # for each facet-element edge (a,b), find the matching cell edge
         for (a, b) in facet_el.edges:
@@ -117,10 +118,19 @@ def make_facet_batch(dh: DofHandler, field: str, facetset: str,
         gel = block.element
         sub = [s for s in dh.subdata(field, bi)][0]
         fel = get_element(sub.field_celltype)
-        # facet element tables (shared across facets of same type)
+        # facet element tables (shared across facets of same type; mixed
+        # wedge facetsets — caps + sides in ONE set — are rejected, split
+        # the set by surface instead)
+        ft_geo = facet_type(gel, int(lf))
+        if N is not None and ft_geo != _batch_ft[0]:
+            raise NotImplementedError(
+                f"facetset {facetset!r} mixes facet types "
+                f"({_batch_ft[0]} and {ft_geo}); split it into "
+                "per-surface sets")
         if N is None:
-            f_geo_el = get_element(FACET_TYPE_OF(gel))
-            f_fld_el = get_element(FACET_TYPE_OF(fel))
+            _batch_ft = (ft_geo,)
+            f_geo_el = get_element(ft_geo)
+            f_fld_el = get_element(facet_type(fel, int(lf)))
             deg = degree if degree is not None \
                 else default_degree(f_fld_el.order)
             qr = quadrature_rule(f_geo_el.name, deg)

@@ -197,6 +197,91 @@ class SimplexElement(ReferenceElement):
 
 
 # ----------------------------------------------------------------------------
+# Wedge (triangular prism): simplex (x,y) x tensor (z)
+# ----------------------------------------------------------------------------
+
+class WedgeElement(ReferenceElement):
+    """P1/P2 Lagrange prism: tri(x, y) ⊗ line(z on [0, 1]).
+
+    Parity: the reference's cell-geometry union includes ``Wedge``
+    (``src/mesh/meshes.jl:15-16``; its ideal-LV generator emits wedge apex
+    cells, ``generators.jl:584``). Node ordering is VTK: wedge6 = bottom
+    triangle then top; wedge18 (VTK 32, biquadratic-quadratic wedge) adds
+    9 edge midpoints (bottom, top, vertical) and the 3 side-face centers —
+    exactly the tri6 ⊗ line3 tensor basis, so shape functions are plain
+    products."""
+
+    def __init__(self, name, order, **kw):
+        # (tri node index, z level index) per node; z levels [0, 1, 1/2]
+        if order == 1:
+            pairs = [(0, 0), (1, 0), (2, 0), (0, 1), (1, 1), (2, 1)]
+        else:
+            pairs = (
+                [(0, 0), (1, 0), (2, 0), (0, 1), (1, 1), (2, 1)] +
+                [(3, 0), (4, 0), (5, 0)] +     # bottom edge mids
+                [(3, 1), (4, 1), (5, 1)] +     # top edge mids
+                [(0, 2), (1, 2), (2, 2)] +     # vertical edge mids
+                [(3, 2), (4, 2), (5, 2)])      # side face centers
+        tri_nodes = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0],
+                              [0.5, 0.0], [0.5, 0.5], [0.0, 0.5]])
+        z_nodes = np.array([0.0, 1.0, 0.5])
+        ref_nodes = np.array([[*tri_nodes[t], z_nodes[z]]
+                              for t, z in pairs])
+        object.__setattr__(self, "_pairs", tuple(pairs))
+        super().__init__(name=name, dim=3, order=order,
+                         ref_nodes=ref_nodes, **kw)
+
+    def _tri_tabs(self, xy):
+        lam0 = 1.0 - xy[..., 0] - xy[..., 1]
+        lam = np.stack([lam0, xy[..., 0], xy[..., 1]], axis=-1)
+        dlam = np.array([[-1.0, -1.0], [1.0, 0.0], [0.0, 1.0]])
+        if self.order == 1:
+            N = lam
+            dN = np.broadcast_to(dlam, lam.shape[:-1] + (3, 2)).copy()
+            return N, dN
+        pairs = ((0, 1), (1, 2), (2, 0))
+        N = np.concatenate(
+            [lam * (2 * lam - 1)] +
+            [4 * (lam[..., a] * lam[..., b])[..., None] for a, b in pairs],
+            axis=-1)
+        dN = np.zeros(lam.shape[:-1] + (6, 2))
+        for i in range(3):
+            dN[..., i, :] = (4 * lam[..., i, None] - 1) * dlam[i]
+        for k, (a, b) in enumerate(pairs):
+            dN[..., 3 + k, :] = 4 * (lam[..., a, None] * dlam[b] +
+                                     lam[..., b, None] * dlam[a])
+        return N, dN
+
+    def _z_tabs(self, z):
+        if self.order == 1:
+            N = np.stack([1.0 - z, z], axis=-1)
+            dN = np.stack([-np.ones_like(z), np.ones_like(z)], axis=-1)
+            return N, dN
+        N = np.stack([(1 - z) * (1 - 2 * z), z * (2 * z - 1),
+                      4 * z * (1 - z)], axis=-1)
+        dN = np.stack([4 * z - 3, 4 * z - 1, 4 - 8 * z], axis=-1)
+        return N, dN
+
+    def shape(self, xi):
+        xi = np.atleast_2d(np.asarray(xi, dtype=np.float64))
+        Nt, _ = self._tri_tabs(xi[..., :2])
+        Nz, _ = self._z_tabs(xi[..., 2])
+        return np.stack([Nt[..., t] * Nz[..., z]
+                         for t, z in self._pairs], axis=-1)
+
+    def grad(self, xi):
+        xi = np.atleast_2d(np.asarray(xi, dtype=np.float64))
+        Nt, dNt = self._tri_tabs(xi[..., :2])
+        Nz, dNz = self._z_tabs(xi[..., 2])
+        out = np.zeros(xi.shape[:-1] + (self.nnodes, 3))
+        for i, (t, z) in enumerate(self._pairs):
+            out[..., i, 0] = dNt[..., t, 0] * Nz[..., z]
+            out[..., i, 1] = dNt[..., t, 1] * Nz[..., z]
+            out[..., i, 2] = Nt[..., t] * dNz[..., z]
+        return out
+
+
+# ----------------------------------------------------------------------------
 # Catalog
 # ----------------------------------------------------------------------------
 
@@ -298,6 +383,29 @@ def _build_catalog():
         vertices=tuple(range(8)), edges=hex_edges, facets=hex_facets, vtk_type=29,
         faces=vtk_hex_faces, has_center_node=True,
     )
+
+    # --- wedge / prism (VTK 13 / 32): bottom tri, top tri, sides ---
+    wedge_edges = (
+        (0, 1), (1, 2), (2, 0),        # bottom
+        (3, 4), (4, 5), (5, 3),        # top
+        (0, 3), (1, 4), (2, 5),        # vertical
+    )
+    # outward-normal ordering: bottom (-z), top (+z), three sides
+    wedge_facets = (
+        (0, 2, 1), (3, 4, 5),
+        (0, 1, 4, 3), (1, 2, 5, 4), (2, 0, 3, 5),
+    )
+    wedge_faces = ((0, 1, 4, 3), (1, 2, 5, 4), (2, 0, 3, 5))
+    cat["wedge6"] = WedgeElement(
+        "wedge6", 1,
+        vertices=tuple(range(6)), edges=wedge_edges, facets=wedge_facets,
+        vtk_type=13,
+    )
+    cat["wedge18"] = WedgeElement(
+        "wedge18", 2,
+        vertices=tuple(range(6)), edges=wedge_edges, facets=wedge_facets,
+        vtk_type=32, faces=wedge_faces,
+    )
     return cat
 
 
@@ -320,9 +428,11 @@ P1_OF = {
     "quad4": "quad4", "quad9": "quad4",
     "tet4": "tet4", "tet10": "tet4",
     "hex8": "hex8", "hex27": "hex8",
+    "wedge6": "wedge6", "wedge18": "wedge6",
 }
 
-#: facet cell type of each cell type (for surface quadrature / IO)
+#: facet cell type of each cell type (for surface quadrature / IO);
+#: wedges have MIXED facets — use ``facet_type(el, lf)`` for those
 FACET_TYPE = {
     "line2": None, "line3": None,
     "tri3": "line2", "tri6": "line3",
@@ -330,3 +440,16 @@ FACET_TYPE = {
     "tet4": "tri3", "tet10": "tri6",
     "hex8": "quad4", "hex27": "quad9",
 }
+
+_WEDGE_FACET_TYPES = {
+    "wedge6": ("tri3", "tri3", "quad4", "quad4", "quad4"),
+    "wedge18": ("tri6", "tri6", "quad9", "quad9", "quad9"),
+}
+
+
+def facet_type(el, local_facet: int) -> str:
+    """Facet cell type of ``el``'s ``local_facet`` — per-facet aware
+    (wedges mix triangles and quadrilaterals)."""
+    if el.name in _WEDGE_FACET_TYPES:
+        return _WEDGE_FACET_TYPES[el.name][local_facet]
+    return FACET_TYPE[el.name]

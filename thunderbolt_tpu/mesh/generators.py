@@ -84,7 +84,8 @@ def generate_mesh(celltype: str, dims, corner_min=None, corner_max=None) -> Mesh
     cmax = np.ones(dim) if corner_max is None else np.asarray(corner_max, float)
 
     base = {"line3": "line2", "tri6": "tri3", "quad9": "quad4",
-            "tet10": "tet4", "hex27": "hex8"}.get(celltype, celltype)
+            "tet10": "tet4", "hex27": "hex8",
+            "wedge18": "wedge6"}.get(celltype, celltype)
 
     nodes, shape = _grid_nodes(dims, cmin, cmax)
     nid = _nid(shape)
@@ -133,6 +134,17 @@ def generate_mesh(celltype: str, dims, corner_min=None, corner_max=None) -> Mesh
                         if vol < 0:
                             tet[1], tet[2] = tet[2], tet[1]
                         cells.append(tet)
+    elif base == "wedge6":
+        # each hex column cell -> two prisms split along the xy diagonal
+        for i in range(dims[0]):
+            for j in range(dims[1]):
+                for k in range(dims[2]):
+                    ll, lr = nid(i, j, k), nid(i + 1, j, k)
+                    ur, ul = nid(i + 1, j + 1, k), nid(i, j + 1, k)
+                    tl, tr = nid(i, j, k + 1), nid(i + 1, j, k + 1)
+                    tur, tul = nid(i + 1, j + 1, k + 1), nid(i, j + 1, k + 1)
+                    cells.append([ll, lr, ur, tl, tr, tur])
+                    cells.append([ll, ur, ul, tl, tur, tul])
     else:
         raise KeyError(celltype)
 
@@ -156,7 +168,7 @@ def elevate_to_quadratic(mesh: Mesh, return_parents: bool = False):
     1/len(parents) each).
     """
     p2_of = {"line2": "line3", "tri3": "tri6", "quad4": "quad9",
-             "tet4": "tet10", "hex8": "hex27"}
+             "tet4": "tet10", "hex8": "hex27", "wedge6": "wedge18"}
     nodes = [mesh.nodes]
     nextid = mesh.nnodes
     edge_ids = {}

@@ -128,6 +128,16 @@ def quadrature_rule(celltype: str, degree: int) -> QuadratureRule:
         return _tri_rule(min(degree, 5))
     if base == "tet":
         return _tet_rule(min(degree, 5))
+    if base == "wed":
+        # prism = tri(x, y) x line(z on [0, 1])
+        tr = _tri_rule(min(degree, 5))
+        zx, zw = _gauss_1d(max(1, (degree + 2) // 2))
+        zx, zw = (zx + 1.0) / 2.0, zw / 2.0
+        pts = np.concatenate(
+            [np.repeat(tr.points, zx.size, axis=0),
+             np.tile(zx, tr.points.shape[0])[:, None]], axis=1)
+        ws = (tr.weights[:, None] * zw[None, :]).ravel()
+        return QuadratureRule(pts, ws)
     raise KeyError(celltype)
 
 
@@ -146,7 +156,7 @@ def nodal_rule(celltype: str) -> QuadratureRule:
     el = get_element(celltype)
     ref_vol = {
         "lin": 2.0, "qua": 4.0, "hex": 8.0,
-        "tri": 0.5, "tet": 1.0 / 6.0,
+        "tri": 0.5, "tet": 1.0 / 6.0, "wed": 0.5,
     }[celltype[:3]]
     n = el.nnodes
     return QuadratureRule(el.ref_nodes.copy(), np.full(n, ref_vol / n))

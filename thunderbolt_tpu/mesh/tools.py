@@ -26,7 +26,7 @@ from thunderbolt_tpu.mesh.generators import elevate_to_quadratic
 
 
 _P2_OF = {"line2": "line3", "tri3": "tri6", "quad4": "quad9",
-          "tet4": "tet10", "hex8": "hex27"}
+          "tet4": "tet10", "hex8": "hex27", "wedge6": "wedge18"}
 
 
 @lru_cache(maxsize=None)
@@ -81,6 +81,18 @@ def _child_templates(celltype: str):
             if vol < 0:
                 idx[1], idx[2] = idx[2], idx[1]
             children.append(tuple(idx))
+    elif celltype == "wedge6":
+        # 4 sub-triangles x 2 z-halves -> 8 child wedges
+        tri = corners[:3, :2]
+        m01, m12, m20 = ((tri[0] + tri[1]) / 2, (tri[1] + tri[2]) / 2,
+                         (tri[2] + tri[0]) / 2)
+        subtris = ([tri[0], m01, m20], [m01, tri[1], m12],
+                   [m20, m12, tri[2]], [m01, m12, m20])
+        for z0, z1 in ((0.0, 0.5), (0.5, 1.0)):
+            for st in subtris:
+                pts = [np.array([p[0], p[1], z]) for z in (z0, z1)
+                       for p in st]
+                children.append(tuple(find(p) for p in pts))
     else:
         raise KeyError(celltype)
     return tuple(children)
@@ -204,6 +216,32 @@ def hexahedralize(mesh: Mesh) -> Mesh:
             elif ct == "hex8":
                 for t in _child_templates("hex8"):
                     hexes.append(r[list(t)])
+            elif ct == "wedge6":
+                # wedge18 cols: 6-8 bottom mids, 9-11 top mids, 12-14
+                # vertical mids, 15-17 side-face centers; create the two
+                # cap centroids (shared with stacked neighbors) + the cell
+                # centroid -> one hex per vertex (6)
+                fc = {}
+                for fac in ((0, 2, 1), (3, 4, 5)):
+                    orig = tuple(sorted(int(conn[c, i]) for i in fac))
+                    if orig not in tet_face_ids:
+                        tet_face_ids[orig] = new_node(
+                            mesh.nodes[list(orig)].mean(axis=0))
+                    fc[frozenset(fac)] = tet_face_ids[orig]
+                cB = fc[frozenset((0, 2, 1))]
+                cT = fc[frozenset((3, 4, 5))]
+                g = new_node(mesh.nodes[conn[c]].mean(axis=0))
+                # (vertex, edge-mid cols around it in-cap, cap centroid,
+                #  vertical-mid col, side-face-center cols)
+                for v, (ma, mb), cap, mv, (qa, qb) in (
+                        (0, (6, 8), cB, 12, (15, 17)),
+                        (1, (7, 6), cB, 13, (16, 15)),
+                        (2, (8, 7), cB, 14, (17, 16)),
+                        (3, (11, 9), cT, 12, (17, 15)),
+                        (4, (9, 10), cT, 13, (15, 16)),
+                        (5, (10, 11), cT, 14, (16, 17))):
+                    hexes.append([r[v], r[ma], cap, r[mb],
+                                  r[mv], r[qa], g, r[qb]])
             elif ct == "tet4":
                 # face centroids (shared with neighbors) + cell centroid
                 fc = {}
@@ -250,8 +288,9 @@ def hexahedralize(mesh: Mesh) -> Mesh:
                 ns.update(facet_nodes(bb2.element, int(lf),
                                       bb2.connectivity[lc]))
                 bb = mesh.blocks[bi]
-                if bb.celltype == "tet4":
-                    fac = bb.element.facets[int(lf)]
+                fac = bb.element.facets[int(lf)]
+                if bb.celltype == "tet4" or \
+                        (bb.celltype == "wedge6" and len(fac) == 3):
                     key = tuple(sorted(int(bb.connectivity[lc, i])
                                        for i in fac))
                     ns.add(tet_face_ids[key])
@@ -410,8 +449,10 @@ def load_mfem_grid(filename: str) -> Mesh:
     return mesh
 
 
+#: openCARP element tags; "Pr" prisms map to wedge6 (openCARP orders prism
+#: nodes bottom-triangle-then-top, matching the VTK wedge ordering)
 _CARP_TYPES = {"Ln": ("line2", 2), "Tr": ("tri3", 3), "Qd": ("quad4", 4),
-               "Tt": ("tet4", 4), "Hx": ("hex8", 8)}
+               "Tt": ("tet4", 4), "Hx": ("hex8", 8), "Pr": ("wedge6", 6)}
 
 
 def load_carp_grid(basename: str) -> Mesh:

@@ -30,6 +30,145 @@ def _kernel(offsets, lo, n, xp_ref, diags_ref, out_ref):
     out_ref[:, :] = acc
 
 
+def _cheb_kernel(offsets, lo, hi, T, Wf, iters, lam_min, lam_max,
+                 xp_hbm, b_hbm, diags_hbm, sinv_hbm, out_ref,
+                 xbuf, bbuf, dgbuf, svbuf, sems):
+    """One tile of the temporally-blocked fused Chebyshev solve.
+
+    All ``iters`` polynomial iterations run on a VMEM-resident window of
+    width ``Wf = T + (iters+2)*(lo+hi)``: the diagonals and both iterate
+    vectors are read from HBM ONCE per solve instead of once per
+    iteration. Interior-tile halos are REAL neighbor values (DMA'd from
+    the shared padded arrays), so only the outer fringe decays — the halo
+    width accounts for exactly that."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t = pl.program_id(0)
+    start = t * T
+    copies = [
+        pltpu.make_async_copy(xp_hbm.at[:, pl.ds(start, Wf)], xbuf,
+                              sems.at[0]),
+        pltpu.make_async_copy(b_hbm.at[:, pl.ds(start, Wf)], bbuf,
+                              sems.at[1]),
+        pltpu.make_async_copy(diags_hbm.at[:, pl.ds(start, Wf)], dgbuf,
+                              sems.at[2]),
+        pltpu.make_async_copy(sinv_hbm.at[:, pl.ds(start, Wf)], svbuf,
+                              sems.at[3]),
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    diags = dgbuf[:, :]
+    sinv = svbuf[:, :]
+
+    def amv(v):
+        # valid on [lo, Wf-hi); the fringe is zero-padded (counted in the
+        # halo decay budget)
+        core = jnp.zeros((1, Wf - lo - hi), v.dtype)
+        for k, d in enumerate(offsets):
+            core = core + diags[k, lo:Wf - hi][None, :] * \
+                v[:, lo + d:Wf - hi + d]
+        return jnp.pad(core, ((0, 0), (lo, hi)))
+
+    theta = 0.5 * (lam_max + lam_min)
+    delta = 0.5 * (lam_max - lam_min)
+    sigma1 = theta / delta
+    rho = 1.0 / sigma1
+
+    x = xbuf[:, :]
+    r = bbuf[:, :] - amv(x)
+    d = sinv * r * (1.0 / theta)
+    for _ in range(iters):
+        x = x + d
+        r = r - amv(d)
+        z = sinv * r
+        rho_new = 1.0 / (2.0 * sigma1 - rho)
+        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * z
+        rho = rho_new
+    out_ref[:, :] = x[:, (iters + 2) * lo:(iters + 2) * lo + T]
+
+
+def cheb_fused_fits(A: DIAMatrix, iters, tile=1 << 16):
+    """Static feasibility of the fused solve (halo must not dominate)."""
+    n = A.n
+    lo = -min(min(A.offsets), 0)
+    hi = max(max(A.offsets), 0)
+    T = max(128, min(int(tile), -(-n // 128) * 128))
+    return (iters + 2) * (lo + hi) <= T
+
+
+def chebyshev_dia_fused(A: DIAMatrix, b, x0, *, lam_min, lam_max, iters,
+                        sinv=None, tile=1 << 16, interpret=False):
+    """Fixed-count Jacobi-preconditioned Chebyshev solve of A x = b with
+    ALL iterations fused in VMEM (VERDICT r1 item 4).
+
+    The XLA path re-reads the ``ndiag`` diagonal arrays from HBM every
+    iteration — at 1024^2 (1.05M dofs, 9 diagonals) that repeated traffic
+    is the measured bottleneck of the monodomain heat solve. Here the row
+    space is cut into tiles of ``T`` rows extended by ``(iters+2)*(lo+hi)``
+    halo cells; each tile DMAs its window once and runs the whole
+    polynomial recurrence on-chip (temporal blocking; interior halos are
+    real neighbor values so per-tile results are exact).
+
+    Returns None when the halo would dominate the tile (deep 3D stencils /
+    tiny problems) — callers fall back to the XLA chain."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    import functools
+    import numpy as np
+
+    n = A.n
+    lo = -min(min(A.offsets), 0)
+    hi = max(max(A.offsets), 0)
+    K = iters + 2
+    halo_l, halo_r = K * lo, K * hi
+    T = max(128, min(int(tile), -(-n // 128) * 128))
+    if halo_l + halo_r > T:
+        return None  # halo-dominated; XLA path wins
+    ntiles = -(-n // T)
+    n_pad = ntiles * T
+    Wf = T + halo_l + halo_r
+    # DMA windows are [t*T, t*T + Wf): total padded length
+    L = (ntiles - 1) * T + Wf
+    dtype = b.dtype
+    if sinv is None:
+        sinv = 1.0 / A.diagonal()
+
+    def padg(v, left):
+        return jnp.pad(v, (left, L - left - v.shape[0]))
+
+    xp = padg(x0.astype(dtype), halo_l)[None, :]
+    bp = padg(b.astype(dtype), halo_l)[None, :]
+    sp = padg(sinv.astype(dtype), halo_l)[None, :]
+    dg = jnp.stack([padg(A.diags[k].astype(dtype), halo_l)
+                    for k in range(len(A.offsets))])
+
+    kern = functools.partial(
+        _cheb_kernel, A.offsets, lo, hi, T, Wf, iters,
+        float(lam_min), float(lam_max))
+    nd = len(A.offsets)
+    y = pl.pallas_call(
+        kern,
+        grid=(ntiles,),
+        out_shape=jax.ShapeDtypeStruct((1, n_pad), dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        out_specs=pl.BlockSpec((1, T), lambda t: (0, t),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((1, Wf), dtype),
+            pltpu.VMEM((1, Wf), dtype),
+            pltpu.VMEM((nd, Wf), dtype),
+            pltpu.VMEM((1, Wf), dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        interpret=interpret,
+    )(xp, bp, dg, sp)
+    return y[0, :n]
+
+
 def dia_mv_pallas(A: DIAMatrix, x, interpret=False):
     """y = A @ x with the whole operand set staged in VMEM.
 

@@ -63,6 +63,13 @@ class BackwardEulerSolver:
     #: whole solve is one fusible SpMV/axpy chain; right for the
     #: well-conditioned fixed-dt heat systems of operator splitting)
     solver: str = "cg"
+    #: chebyshev only: fuse ALL polynomial iterations into one
+    #: VMEM-resident Pallas kernel on TPU (temporally-blocked DIA tiles;
+    #: the diagonals are read from HBM once per SOLVE instead of once per
+    #: iteration — the measured large-mesh bottleneck). Auto-falls back to
+    #: the XLA chain off-TPU, on non-DIA operators, or when the temporal
+    #: halo would dominate the tile.
+    use_pallas: bool = True
 
     def _ops(self, fn):
         """Prefer the DIA fast path (no gathers) when available."""
@@ -155,12 +162,28 @@ class BackwardEulerSolver:
             lmin, lmax = 0.9 * lmin, 1.02 * lmax
             iters = chebyshev_iterations(lmax / lmin, self.rtol)
 
+            fused = None
+            from thunderbolt_tpu.fem.sparsity import DIAMatrix
+            if self.use_pallas and isinstance(A, DIAMatrix) \
+                    and jax.default_backend() == "tpu":
+                from thunderbolt_tpu.ops.pallas_dia import (
+                    cheb_fused_fits, chebyshev_dia_fused)
+                if cheb_fused_fits(A, iters):
+                    sinv = 1.0 / diag
+
+                    def fused(b, u):
+                        return chebyshev_dia_fused(
+                            A, b, u, lam_min=lmin, lam_max=lmax,
+                            iters=iters, sinv=sinv)
+
             def step(u, t):
                 b = M.mv(u)
                 if source is not None:
                     b = b + dt * source(t + dt)
                 if ch is not None:
                     b = ch.apply_rhs(A_raw, b)
+                if fused is not None:
+                    return fused(b, u)
                 return chebyshev(A.mv, b, x0=u, lam_min=lmin,
                                  lam_max=lmax, iters=iters, Minv=Minv)
 
