@@ -1,0 +1,182 @@
+"""Benchmarks for BASELINE.md driver configs 3-5 (mechanics + coupling).
+
+Prints one JSON line per config:
+  {"metric", "value", "unit", "vs_baseline"}
+
+Configs (BASELINE.md "Baseline protocol for the rebuild"):
+  3. Passive Holzapfel-Ogden ideal-LV inflation — quasi-static Newton with
+     rule-based fibers (cf. ``cm01`` tutorial, ``energies.jl:136``).
+     Metric: Newton iterations/second (assembly + Krylov + line search,
+     one-dispatch jitted loop).
+  4. Actively contracting LV, Newmark-beta implicit dynamics
+     (``test/integration/test_elastodynamics.jl``). Metric: time steps/s.
+  5. 3D-0D coupled heartbeat (LV + RSAFDQ2022 circulation,
+     ``cm03_3d0d-coupling.jl``). Metric: wall-clock seconds for one FULL
+     800 ms heartbeat (400 coupled Schur-Newton steps at dt = 2 ms).
+
+vs_baseline denominators are the documented reference-CPU protocol
+estimates appended to BASELINE.md (the reference publishes no numbers and
+Julia is absent from this container) — replace when a Julia toolchain is
+available.
+
+Run: python bench_configs.py          (uses the TPU chip; first compiles
+                                       are remote and slow, ~1-3 min each)
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# BASELINE.md protocol estimates (reference CPU, 16-core box)
+REF_CPU = {
+    "newton_iters_per_sec": 8.0,    # config 3
+    "newmark_steps_per_sec": 1.0,   # config 4
+    "heartbeat_seconds": 1200.0,    # config 5
+}
+
+
+def _lv_microstructure(mesh):
+    import thunderbolt_tpu as tb
+    cs = tb.compute_lv_coordinate_system(mesh)
+    return tb.create_microstructure_model(
+        cs, endo_helix_angle=np.deg2rad(60.0),
+        epi_helix_angle=np.deg2rad(-60.0))
+
+
+def config3_passive_inflation():
+    """HO2009 passive LV inflation: Newton iterations/second."""
+    import thunderbolt_tpu as tb
+    mesh = tb.generate_ideal_lv_mesh(12, 3, 6)
+    micro = _lv_microstructure(mesh)
+    material = tb.PK1Model(tb.HolzapfelOgden2009Model(),
+                           microstructure_model=micro)
+    model = tb.QuasiStaticModel(
+        "displacement", material,
+        (tb.ConstantPressureBC(0.12, "Endocardium"),
+         tb.NormalSpringBC(0.5, "Epicardium")))
+    disc = tb.FiniteElementDiscretization(
+        {"displacement": tb.FieldSpec(order=1, ncomponents=3)},
+        dbcs=[tb.Dirichlet("displacement", "Base", 0.0)],
+        dtype=jnp.float32)
+    fn = tb.semidiscretize(model, disc, mesh)
+    newton = tb.NewtonRaphsonSolver(tol=5e-4, inner="bicgstab",
+                                    inner_rtol=1e-5, inner_maxiter=2000,
+                                    max_iter=30)
+    hom = tb.HomotopyPathSolver(newton)
+    u0 = jnp.zeros(fn.solution_size, jnp.float32)
+    # warm: compile + first ramp
+    u, rep = hom.solve(fn, u0, 1.0)
+    total0 = sum(s.iterations for s in rep.stats)
+    t0 = time.perf_counter()
+    u, rep = hom.solve(fn, u0, 1.0)
+    el = time.perf_counter() - t0
+    iters = max(1, sum(s.iterations for s in rep.stats))
+    val = iters / el
+    print(json.dumps({
+        "metric": "config3_passive_lv_newton_iters_per_sec",
+        "value": round(val, 2), "unit": "iters/s",
+        "vs_baseline": round(val / REF_CPU["newton_iters_per_sec"], 1)}),
+        flush=True)
+
+
+def config4_active_newmark():
+    """Actively contracting LV, Newmark implicit dynamics: steps/s."""
+    import thunderbolt_tpu as tb
+    mesh = tb.generate_ideal_lv_mesh(12, 3, 6)
+    micro = _lv_microstructure(mesh)
+    calcium = tb.AnalyticalCoefficient(
+        lambda x, t: jnp.clip(t / 50.0, 0.0, 1.0))
+    material = tb.ActiveStressModel(
+        material_model=tb.HolzapfelOgden2009Model(),
+        active_stress_model=tb.SimpleActiveStress(Tmax=10.0),
+        contraction_model=tb.CaDrivenInternalSarcomereModel(
+            tb.PelceSunLangeveld1995Model(), calcium),
+        microstructure_model=micro)
+    model = tb.ElastodynamicsModel(
+        "displacement", material,
+        (tb.NormalSpringBC(1.0, "Epicardium"),), rho=1.1e-3)
+    disc = tb.FiniteElementDiscretization(
+        {"displacement": tb.FieldSpec(order=1, ncomponents=3)},
+        dbcs=[tb.Dirichlet("displacement", "Base", 0.0)],
+        dtype=jnp.float32)
+    fn = tb.semidiscretize(model, disc, mesh)
+    solver = tb.NewmarkSolver(newton=tb.NewtonRaphsonSolver(
+        tol=5e-4, inner="bicgstab", inner_rtol=1e-5,
+        inner_maxiter=2000, max_iter=30))
+    state = solver.init(fn)
+    dt = 1.0
+    for _ in range(3):   # warm: compile + activation onset
+        state, stats = solver.step(fn, state, dt)
+        assert stats.converged, stats
+    nsteps = 20
+    t0 = time.perf_counter()
+    for _ in range(nsteps):
+        state, stats = solver.step(fn, state, dt)
+    jax.block_until_ready(state.u)
+    el = time.perf_counter() - t0
+    val = nsteps / el
+    print(json.dumps({
+        "metric": "config4_active_lv_newmark_steps_per_sec",
+        "value": round(val, 2), "unit": "steps/s",
+        "vs_baseline": round(val / REF_CPU["newmark_steps_per_sec"], 1)}),
+        flush=True)
+
+
+def config5_coupled_heartbeat():
+    """3D-0D coupled heartbeat: wall-clock for one full 800 ms beat."""
+    import thunderbolt_tpu as tb
+    mesh = tb.generate_ideal_lv_mesh(12, 3, 6)
+    mesh.nodes[:] = mesh.nodes * 5.14
+    material = tb.PK1Model(tb.NeoHookeanModel(mu=2.0, lam=10.0))
+    coupler = tb.LumpedFluidSolidCoupler(
+        (tb.ChamberVolumeCoupling("Endocardium", "lv"),),
+        "displacement",
+        volume_method=tb.RSAFDQ2022SurrogateVolume(
+            h=(0.0, 0.0, 1.0), b=(0.0, 0.0, 0.2 * 5.14)))
+    circuit = tb.RSAFDQ2022LumpedCircuitModel(lv_pressure_given=False)
+    coupled = tb.RSAFDQ2022Model(
+        tb.QuasiStaticModel("displacement", material, ()), circuit, coupler)
+    disc = tb.FiniteElementDiscretization(
+        {"displacement": tb.FieldSpec(order=1, ncomponents=3)},
+        dbcs=[tb.Dirichlet("displacement", "Base", 0.0)],
+        dtype=jnp.float32)
+    fn3d, circ = tb.semidiscretize(tb.RSAFDQ2022Split(coupled), disc, mesh)
+    solver = tb.Coupled3D0DSolver(
+        newton=tb.BlockedNewtonSolver(tol=1e-4, max_iter=25,
+                                      inner="schur_cg"))
+    w, c = solver.init(fn3d, circ, jnp.float32)
+    V0 = float(fn3d.volumes(w[: fn3d.nmech])[0])
+    c = c.at[circ.volume_index("lv")].set(V0)
+    t, dt = 0.0, 2.0
+    # warm: compile the blocked Newton + 0D integrator
+    for _ in range(2):
+        w, c, stats = solver.step(fn3d, circ, w, c, t, dt)
+        t += dt
+    t0 = time.perf_counter()
+    nsteps = 399  # remaining steps of the 800 ms beat
+    for _ in range(nsteps):
+        w, c, stats = solver.step(fn3d, circ, w, c, t, dt)
+        if not stats.converged:
+            raise RuntimeError(f"coupled step diverged at t={t}: {stats}")
+        t += dt
+    jax.block_until_ready(w)
+    el = (time.perf_counter() - t0) * (400.0 / nsteps)
+    print(json.dumps({
+        "metric": "config5_full_heartbeat_wallclock",
+        "value": round(el, 1), "unit": "s/beat",
+        "vs_baseline": round(REF_CPU["heartbeat_seconds"] / el, 1)}),
+        flush=True)
+
+
+if __name__ == "__main__":
+    import sys
+    which = sys.argv[1:] or ["3", "4", "5"]
+    if "3" in which:
+        config3_passive_inflation()
+    if "4" in which:
+        config4_active_newmark()
+    if "5" in which:
+        config5_coupled_heartbeat()

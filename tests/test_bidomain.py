@@ -47,6 +47,7 @@ def _march(fn, u0, nsteps):
     return u
 
 
+@pytest.mark.slow
 def test_equal_anisotropy_reduces_to_monodomain():
     mesh = tb.generate_mesh("quad4", (12, 12), (0.0, 0.0), (2.5, 2.5))
     ki = np.array([[4.5e-3, 0.0], [0.0, 2.0e-3]])

@@ -3,6 +3,7 @@ mechanics Krylov path (48x over gather-ELL on the chip), matrix-free
 Dirichlet elimination, and the RCM mesh reordering tool."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -24,6 +25,7 @@ def _mech(mesh, dbc_set, pressure_set="top"):
     return tb.semidiscretize(model, disc, mesh)
 
 
+@pytest.mark.slow
 def test_block_dia_matches_ell():
     mesh = tb.generate_mesh("hex8", (4, 3, 3))
     fn = _mech(mesh, "left")

@@ -98,6 +98,7 @@ def test_split_steppers_agree():
     assert err < 5e-2, err
 
 
+@pytest.mark.slow
 def test_strang_more_accurate_than_lie():
     """Strang splitting beats Lie-Trotter against a fine-dt reference."""
     _, odeform, u0, _ = _spiral_setup(N=8, dtype=jnp.float64)

@@ -75,6 +75,7 @@ def test_volume_tying_tracks_target():
     assert float(w2[n]) < 0
 
 
+@pytest.mark.slow
 def test_coupled_heartbeat_steps():
     """Full RSAFDQ2022 circuit coupled to the LV: a few steps stay finite,
     the 3D volume follows the circuit volume, pressures are sane."""

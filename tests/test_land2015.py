@@ -41,6 +41,7 @@ def _solve(celltype):
     return float(np.asarray(u).reshape(-1, 3)[probe, 2]), rep
 
 
+@pytest.mark.slow
 def test_land2015_problem1_hex():
     deflection, rep = _solve("hex8")
     # reference strictness: 3.17 +- 0.02 (land2015.jl:95-100); measured

@@ -67,12 +67,14 @@ def test_lattice_ring_seam_spill():
     assert fn._lattice_plan.spill is not None  # wrap cells must spill
 
 
+@pytest.mark.slow
 def test_lattice_ideal_lv():
     mesh = tb.generate_ideal_lv_mesh(10, 3, 4)
     fn = _compare(mesh, bcs=(tb.ConstantPressureBC(0.1, "Endocardium"),))
     assert fn._lattice_plan.spill is not None  # apex plug spills
 
 
+@pytest.mark.slow
 def test_newmark_lattice_cg_matches_lu():
     """Newmark stage J = K + c M on the scatter-free BlockDIA path (CG
     Newton) must match the host-LU CSR path."""

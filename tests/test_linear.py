@@ -92,6 +92,7 @@ def test_bicgstab_healthy_still_converges():
                                rtol=0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_newton_history_parity_jitted_vs_host():
     """The jitted one-dispatch Newton and the host loop must report the
     same iteration count and residual history on the same problem
@@ -118,6 +119,7 @@ def test_newton_history_parity_jitted_vs_host():
     np.testing.assert_allclose(np.asarray(u_j), np.asarray(u_h), atol=1e-8)
 
 
+@pytest.mark.slow
 def test_newton_jit_cache_keyed_on_config():
     """Two solvers with different settings on the same function object must
     not share a compiled loop (advisor round-1 medium finding)."""

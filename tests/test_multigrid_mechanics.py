@@ -65,6 +65,7 @@ def test_hierarchy_transfers_sets():
         assert "left" in m.facetsets and "right" in m.facetsets
 
 
+@pytest.mark.slow
 def test_coarse_operator_is_galerkin():
     """On nested affine (box) levels the rediscretized coarse tangent
     equals P^T A_f P on the free dofs — the property that guarantees the
@@ -114,6 +115,7 @@ def _mg_cg_iters(h, amp=0.03, maxiter=200):
     return int(info.iterations), res, int(infob.iterations)
 
 
+@pytest.mark.slow
 def test_mg_cg_level_independent():
     """MG-CG iteration counts stay roughly flat across refinement levels
     and beat block-Jacobi CG (the reference-parity 'preconditions the
@@ -129,6 +131,7 @@ def test_mg_cg_level_independent():
     assert iters[3] < 30, iters
 
 
+@pytest.mark.slow
 def test_mg_precon_inside_jitted_newton():
     """NewtonRaphsonSolver(precon=mg) converges through the one-dispatch
     jitted loop and matches the unpreconditioned solve."""

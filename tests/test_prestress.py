@@ -47,6 +47,7 @@ def test_constant_prestress_shifts_equilibrium():
     assert float(jnp.abs(r).max()) > 1e-3
 
 
+@pytest.mark.slow
 def test_sellier_recovers_unloaded_beam():
     """Inflate a beam to get a 'target' geometry, then recover the
     unloaded reference from the target + load; must match the true

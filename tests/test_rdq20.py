@@ -59,6 +59,7 @@ def test_isometric_twitch():
     assert abs(float(Q[:16].sum()) - 1.0) < 1e-10
 
 
+@pytest.mark.slow
 def test_rate_dependence_and_wrapper():
     """Shortening velocity reduces tension (force-velocity); the
     AsRateIndependent wrapper removes the dependence."""
@@ -77,6 +78,7 @@ def test_rate_dependence_and_wrapper():
     assert np.allclose(np.asarray(d_ri), np.asarray(d_still))
 
 
+@pytest.mark.slow
 def test_local_solve_and_tangent():
     m = RDQ20MFModel()
     Q0 = jnp.asarray(m.default_initial_state())

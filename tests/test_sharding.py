@@ -48,6 +48,7 @@ def test_sharded_matches_single_device():
         np.abs(u_shard - u_ref).max()
 
 
+@pytest.mark.slow
 def test_padding_transparent():
     """pad/unpad round-trips and the padded step reproduces the unpadded."""
     odeform, u0, alg = _setup(N=7)  # 64 dofs -> pad to multiple of 24
@@ -114,6 +115,7 @@ def test_sharded_mechanics_newton_matches():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_dof_distributed_mechanics_newton():
     """Dof-DISTRIBUTED mechanics (VERDICT r1 item 3): the assembled
     operator, residual and Newton/Krylov iterates are row/entity-

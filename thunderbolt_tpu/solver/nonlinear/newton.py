@@ -23,7 +23,17 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from thunderbolt_tpu.solver.linear import cg, bicgstab, jacobi_preconditioner
+from thunderbolt_tpu.solver.linear import (
+    cg, bicgstab, gmres, jacobi_preconditioner)
+
+
+def _krylov_fn(inner: str):
+    """inner -> solver callable ('cg' | 'bicgstab' | 'gmres')."""
+    try:
+        return {"cg": cg, "bicgstab": bicgstab, "gmres": gmres}[inner]
+    except KeyError:
+        raise ValueError(f"unknown inner solver {inner!r}; expected "
+                         "'cg', 'bicgstab', 'gmres' or 'lu'") from None
 
 
 @dataclass
@@ -153,7 +163,7 @@ class NewtonRaphsonSolver:
                         Minv = A.block_jacobi_inv()
                     else:
                         Minv = jacobi_preconditioner(A.diagonal())
-                    kfun = cg if cfg.inner == "cg" else bicgstab
+                    kfun = _krylov_fn(cfg.inner)
                     du, _ = kfun(A.mv, r, Minv=Minv, rtol=eta,
                                  atol=cfg.inner_atol,
                                  maxiter=cfg.inner_maxiter)
@@ -277,7 +287,7 @@ class NewtonRaphsonSolver:
                     Minv = A.block_jacobi_inv()
                 else:
                     Minv = jacobi_preconditioner(A.diagonal())
-                f = cg if method == "cg" else bicgstab
+                f = _krylov_fn(method)
                 return f(A.mv, r, Minv=Minv, rtol=eta, atol=atol,
                          maxiter=maxiter)
 
