@@ -189,8 +189,11 @@ def chebyshev_dia_fused(A: DIAMatrix, b, x0, *, lam_min, lam_max, iters,
         rp = jnp.zeros((1, L), dtype) if first else padg(r)[None, :]
         dp = jnp.zeros((1, L), dtype) if first else padg(d)[None, :]
         sp = padg(sinv.astype(dtype))[None, :]
+        # sublane (first) dim of the diags DMA must be 8-aligned
+        nd_pad = -(-nd // 8) * 8
         dg = jnp.stack([padg(A.diags[k].astype(dtype))
-                        for k in range(nd)])
+                        for k in range(nd)] +
+                       [jnp.zeros(L, dtype)] * (nd_pad - nd))
 
         kern = functools.partial(
             _cheb_seg_kernel, A.offsets, lo, hi, T, Wf, halo_l, its,
@@ -209,7 +212,7 @@ def chebyshev_dia_fused(A: DIAMatrix, b, x0, *, lam_min, lam_max, iters,
                 pltpu.VMEM((1, Wf), dtype),
                 pltpu.VMEM((1, Wf), dtype),
                 pltpu.VMEM((1, Wf), dtype),
-                pltpu.VMEM((nd, Wf), dtype),
+                pltpu.VMEM((nd_pad, Wf), dtype),
                 pltpu.VMEM((1, Wf), dtype),
                 pltpu.SemaphoreType.DMA((6,)),
             ],
