@@ -190,3 +190,53 @@ def test_biv_coordinate_system_roundtrip(tmp_path):
     # transmural at qps must stay within the nodal range
     assert float(vals[..., 0].min()) >= -1e-9
     assert float(vals[..., 0].max()) <= 1.0 + 1e-9
+
+
+def test_biv_coordinate_builder():
+    """In-package Cobiveco-style BiV builder (beyond the reference's
+    import-only model): split the ideal LV's endocardium by rotational
+    angle into two pseudo-ventricle surfaces and build all four fields."""
+    import thunderbolt_tpu as tb
+    mesh = tb.generate_ideal_lv_mesh(12, 3, 6)
+    # label endocardial facets by the angle of their facet centroid
+    endo = mesh.facetset("Endocardium")
+    lv_f, rv_f = [], []
+    for gc, lf in endo:
+        bi, lc = mesh.block_of_cell(int(gc))
+        b = mesh.blocks[bi]
+        from thunderbolt_tpu.mesh.mesh import facet_nodes
+        fn = facet_nodes(b.element, int(lf), b.connectivity[lc])
+        c = mesh.nodes[fn].mean(axis=0)
+        (lv_f if np.arctan2(c[1], c[0]) >= 0.0 else rv_f).append((gc, lf))
+    mesh.facetsets["EndocardiumLV"] = np.asarray(lv_f, np.int64)
+    mesh.facetsets["EndocardiumRV"] = np.asarray(rv_f, np.int64)
+    mesh.nodesets["EndocardiumLV"] = mesh.nodes_of_facetset("EndocardiumLV")
+    mesh.nodesets["EndocardiumRV"] = mesh.nodes_of_facetset("EndocardiumRV")
+
+    cs = tb.compute_biv_coordinate_system(mesh)
+    tm = cs.nodal["transmural"]
+    tv = cs.nodal["transventricular"]
+    ab = cs.nodal["apicobasal"]
+    for f in (tm, tv, ab):
+        assert np.isfinite(f).all()
+        # FEM Laplace on non-obtuse-violating hexes can overshoot [0,1]
+        # slightly (no discrete maximum principle); bound the wiggle
+        assert f.min() >= -0.02 and f.max() <= 1.02
+    # boundary values honored
+    epi = mesh.nodes_of_facetset("Epicardium")
+    lv = mesh.nodeset("EndocardiumLV")
+    rv = mesh.nodeset("EndocardiumRV")
+    interface = np.intersect1d(lv, rv)
+    lv_only = np.setdiff1d(lv, interface)
+    rv_only = np.setdiff1d(rv, interface)
+    assert np.allclose(tm[np.concatenate([lv_only, rv_only])], 0.0,
+                       atol=1e-6)
+    assert np.allclose(tm[np.setdiff1d(epi, np.concatenate([lv, rv]))],
+                       1.0, atol=1e-6)
+    assert np.allclose(tv[lv_only], 0.0, atol=1e-6)
+    assert np.allclose(tv[rv_only], 1.0, atol=1e-6)
+    base = mesh.nodes_of_facetset("Base")
+    assert np.allclose(ab[base], 1.0, atol=1e-6)
+    # the 4-field stack evaluates as a coefficient (pipeline contract)
+    vals = cs.at_dofs(mesh.nodes[:5])
+    assert vals.shape == (5, 4)

@@ -89,6 +89,7 @@ from thunderbolt_tpu.models.coordinates import (
     LVCoordinateSystem,
     BiVCoordinateSystem,
     compute_lv_coordinate_system,
+    compute_biv_coordinate_system,
     compute_midmyocardial_section_coordinate_system,
     solve_laplace_nodal,
     compute_long_axis,

@@ -248,6 +248,71 @@ def compute_midmyocardial_section_coordinate_system(mesh: Mesh) \
     }, axis=np.array([0.0, 0.0, 1.0]))
 
 
+def compute_biv_coordinate_system(
+        mesh: Mesh, *, lv_endo: str = "EndocardiumLV",
+        rv_endo: str = "EndocardiumRV", epi: str = "Epicardium",
+        base: str = "Base") -> BiVCoordinateSystem:
+    """In-package Cobiveco-style BiV coordinates from Laplace solves.
+
+    Beyond the reference: ``BiVCoordinateSystem``
+    (``coordinate_systems.jl:1079``) is import-only there (Cobiveco VTU
+    readback, also supported here via ``io.vtk.read_vtu`` — see
+    ``tests/test_coordinates.py::test_biv_coordinate_system_roundtrip``);
+    this builder produces the four fields for ANY biventricular mesh
+    carrying the named facetsets, following the Cobiveco recipe
+    (Schuler et al. 2021) with harmonic interpolation:
+
+    * transventricular: Laplace with LV endo = 0, RV endo = 1 (Cobiveco
+      thresholds at 1/2 for the hard label; the continuous field is kept);
+    * transmural: Laplace, both endocardia = 0, epicardium = 1;
+    * apicobasal: Laplace, base = 1, apex = 0 (``Apex`` nodeset when
+      present, else the node farthest from the basal plane);
+    * rotational: angle about the long axis in [-pi, pi] (the atan2
+      simplification of Cobiveco's geodesic construction, matching the LV
+      builder).
+    """
+    for name in (lv_endo, rv_endo, epi, base):
+        if name not in mesh.facetsets:
+            raise ValueError(f"mesh lacks facetset {name!r} (available: "
+                             f"{sorted(mesh.facetsets)})")
+    transventricular = solve_laplace_nodal(mesh, [
+        Dirichlet("u", lv_endo, 0.0),
+        Dirichlet("u", rv_endo, 1.0),
+    ])
+    transmural = solve_laplace_nodal(mesh, [
+        Dirichlet("u", lv_endo, 0.0),
+        Dirichlet("u", rv_endo, 0.0),
+        Dirichlet("u", epi, 1.0),
+    ])
+    if "Apex" in mesh.nodesets:
+        apex_set = "Apex"
+    else:
+        c, nrm = fit_basal_plane(mesh, base)
+        d = (mesh.nodes - c) @ nrm
+        apex_node = int(np.argmin(d))
+        mesh.nodesets["_biv_apex"] = np.asarray([apex_node], np.int64)
+        apex_set = "_biv_apex"
+    apicobasal = solve_laplace_nodal(mesh, [
+        Dirichlet("u", base, 1.0),
+        Dirichlet("u", apex_set, 0.0),
+    ])
+    axis, apex, base_c = compute_long_axis(mesh)
+    rel = mesh.nodes - apex
+    tmp = np.array([1.0, 0.0, 0.0])
+    if abs(axis @ tmp) > 0.9:
+        tmp = np.array([0.0, 1.0, 0.0])
+    e1 = np.cross(axis, tmp)
+    e1 /= np.linalg.norm(e1)
+    e2 = np.cross(axis, e1)
+    rotational = np.arctan2(rel @ e2, rel @ e1)
+    return BiVCoordinateSystem(mesh, {
+        "transmural": transmural,
+        "apicobasal": apicobasal,
+        "rotational": rotational,
+        "transventricular": transventricular,
+    }, axis=axis)
+
+
 def compute_relative_rotation(a, b, axis):
     """Signed rotation angle (radians) from direction field `a` to `b`
     about `axis` (parity: heart-axes helpers,
