@@ -156,7 +156,7 @@ def config5_coupled_heartbeat():
         w, c, stats = solver.step(fn3d, circ, w, c, t, dt)
         t += dt
     t0 = time.perf_counter()
-    nsteps = 399  # remaining steps of the 800 ms beat
+    nsteps = 398  # steps 2..400 of the 800 ms beat (2 spent warming)
     for _ in range(nsteps):
         w, c, stats = solver.step(fn3d, circ, w, c, t, dt)
         if not stats.converged:

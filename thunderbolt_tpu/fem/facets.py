@@ -15,8 +15,7 @@ import jax.numpy as jnp
 from typing import Optional
 
 from thunderbolt_tpu.mesh.mesh import Mesh
-from thunderbolt_tpu.mesh.elements import get_element, FACET_TYPE, \
-    facet_type
+from thunderbolt_tpu.mesh.elements import get_element, facet_type
 from thunderbolt_tpu.mesh.quadrature import quadrature_rule, default_degree
 from thunderbolt_tpu.fem.dofs import DofHandler
 
@@ -47,8 +46,6 @@ def facet_basis_indices(el, lf: int):
     return idx
 
 
-def FACET_TYPE_OF(el):
-    return FACET_TYPE[el.name]
 
 
 @jax.tree_util.register_pytree_node_class

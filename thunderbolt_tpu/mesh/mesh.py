@@ -17,7 +17,7 @@ import numpy as np
 from dataclasses import dataclass, field as dfield
 from typing import Dict, List, Optional
 
-from thunderbolt_tpu.mesh.elements import get_element, FACET_TYPE
+from thunderbolt_tpu.mesh.elements import get_element
 
 
 @dataclass

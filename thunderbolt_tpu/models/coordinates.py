@@ -285,17 +285,21 @@ def compute_biv_coordinate_system(
         Dirichlet("u", epi, 1.0),
     ])
     if "Apex" in mesh.nodesets:
-        apex_set = "Apex"
+        apex_set, temp = "Apex", False
     else:
         c, nrm = fit_basal_plane(mesh, base)
         d = (mesh.nodes - c) @ nrm
         apex_node = int(np.argmin(d))
         mesh.nodesets["_biv_apex"] = np.asarray([apex_node], np.int64)
-        apex_set = "_biv_apex"
-    apicobasal = solve_laplace_nodal(mesh, [
-        Dirichlet("u", base, 1.0),
-        Dirichlet("u", apex_set, 0.0),
-    ])
+        apex_set, temp = "_biv_apex", True
+    try:
+        apicobasal = solve_laplace_nodal(mesh, [
+            Dirichlet("u", base, 1.0),
+            Dirichlet("u", apex_set, 0.0),
+        ])
+    finally:
+        if temp:
+            del mesh.nodesets["_biv_apex"]  # don't leak into the mesh
     axis, apex, base_c = compute_long_axis(mesh)
     rel = mesh.nodes - apex
     tmp = np.array([1.0, 0.0, 0.0])

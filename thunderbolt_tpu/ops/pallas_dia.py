@@ -59,36 +59,38 @@ def _cheb_seg_kernel(offsets, lo, hi, T, Wf, halo_l, seg_iters, first,
     for c in copies:
         c.wait()
 
-    diags = dgbuf[:, :]
-    sinv = svbuf[:, :]
-
-    def amv(v):
-        # valid on [lo, Wf-hi); the fringe is zero-padded (counted in the
-        # halo decay budget)
-        core = jnp.zeros((1, Wf - lo - hi), v.dtype)
+    def amv_core(vbuf):
+        # A v on the interior [lo, Wf-hi); the uncomputed fringe is part
+        # of the halo decay budget
+        core = jnp.zeros((1, Wf - lo - hi), vbuf.dtype)
         for k, d in enumerate(offsets):
-            core = core + diags[k, lo:Wf - hi][None, :] * \
-                v[:, lo + d:Wf - hi + d]
-        return jnp.pad(core, ((0, 0), (lo, hi)))
+            core = core + dgbuf[k, lo:Wf - hi][None, :] * \
+                vbuf[:, lo + d:Wf - hi + d]
+        return core
 
-    x = xbuf[:, :]
+    # the recurrence runs as an IN-KERNEL fori_loop updating the scratch
+    # refs in place: an unrolled SSA chain stack-allocates every
+    # iteration's temporaries (measured 28-32 MB > the 16 MB VMEM limit
+    # at T=64k); the loop + refs need only one iteration's worth
     if first:
-        r = bbuf[:, :] - amv(x)
-        d = sinv * r * (1.0 / theta)
-    else:
-        r = rbuf[:, :]
+        rbuf[:, :] = bbuf[:, :]
+        rbuf[:, lo:Wf - hi] = rbuf[:, lo:Wf - hi] - amv_core(xbuf)
+        dbuf[:, :] = svbuf[:, :] * rbuf[:, :] * (1.0 / theta)
+
+    def body(i, rho):
         d = dbuf[:, :]
-    rho = rho0
-    for _ in range(seg_iters):
-        x = x + d
-        r = r - amv(d)
-        z = sinv * r
+        xbuf[:, :] = xbuf[:, :] + d
+        rbuf[:, lo:Wf - hi] = rbuf[:, lo:Wf - hi] - amv_core(dbuf)
         rho_new = 1.0 / (2.0 * sigma1 - rho)
-        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * z
-        rho = rho_new
-    xo_ref[:, :] = x[:, halo_l:halo_l + T]
-    ro_ref[:, :] = r[:, halo_l:halo_l + T]
-    do_ref[:, :] = d[:, halo_l:halo_l + T]
+        dbuf[:, :] = (rho_new * rho) * d + \
+            ((2.0 * rho_new / delta) * svbuf[:, :]) * rbuf[:, :]
+        return rho_new
+
+    jax.lax.fori_loop(0, seg_iters, body,
+                      jnp.asarray(rho0, xbuf.dtype))
+    xo_ref[:, :] = xbuf[:, halo_l:halo_l + T]
+    ro_ref[:, :] = rbuf[:, halo_l:halo_l + T]
+    do_ref[:, :] = dbuf[:, halo_l:halo_l + T]
 
 
 def _seg_halo(its, lo, hi):

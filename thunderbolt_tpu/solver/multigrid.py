@@ -386,7 +386,8 @@ class MechanicsGMGPreconditioner:
 
     def __init__(self, hierarchy: MechanicsHierarchy, presmooth: int = 2,
                  postsmooth: int = 2, cheb_fraction: float = 4.0,
-                 lanczos_iters: int = 24, coarse_dense_max: int = 6000):
+                 lanczos_iters: int = 24, lanczos_safety: float = 1.15,
+                 coarse_dense_max: int = 6000):
         self.h = hierarchy
         #: Chebyshev smoothing degrees. Keep presmooth == postsmooth: the
         #: polynomial smoother is A-self-adjoint, so equal degrees make the
@@ -400,6 +401,15 @@ class MechanicsGMGPreconditioner:
         #: interval above the actual spectrum and guts the smoother
         self.cheb_fraction = cheb_fraction
         self.lanczos_iters = lanczos_iters
+        #: widening applied to the Lanczos lam_max estimate before the
+        #: min() with the guaranteed bound. Lanczos approaches lam_max
+        #: from BELOW; with full two-pass reorthogonalization and a
+        #: continuum-topped FEM spectrum 24 steps land within a few
+        #: percent, but isolated clustered tops can lag — if smoothing
+        #: ever diverges (CG stalls at inner_maxiter), raise this or
+        #: lanczos_iters. The min() caps the damage of an overestimate at
+        #: the inf-norm bound.
+        self.lanczos_safety = lanczos_safety
         n0 = self.h.functions[0].dh.ndofs
         if n0 > coarse_dense_max:
             raise ValueError(
@@ -497,7 +507,7 @@ class MechanicsGMGPreconditioner:
                              u_fine.dtype)
             est = _lanczos_lam_max(A.mv, Dinv, v0,
                                    min(self.lanczos_iters, A.shape[0]))
-            return jnp.minimum(ub, 1.1 * est)
+            return jnp.minimum(ub, self.lanczos_safety * est)
 
         chf = h.fine_function.constraints
         masks[-1] = None if chf is None else chf.free_mask

@@ -157,57 +157,63 @@ class NewtonRaphsonSolver:
                             jnp.clip(f.gamma * (rnorm / rnorm_prev) ** 2,
                                      f.eta_min, f.eta_max),
                             eta).astype(dt_)
-                    if cfg.precon is not None:
-                        Minv = cfg.precon(A, u, t, extra)
-                    elif hasattr(A, "block_jacobi_inv"):
-                        Minv = A.block_jacobi_inv()
-                    else:
-                        Minv = jacobi_preconditioner(A.diagonal())
-                    kfun = _krylov_fn(cfg.inner)
-                    du, _ = kfun(A.mv, r, Minv=Minv, rtol=eta,
-                                 atol=cfg.inner_atol,
-                                 maxiter=cfg.inner_maxiter)
-                    # a Krylov breakdown must not poison the carry: a NaN
-                    # step fails the line search and backtracking cleanly
-                    # only if du itself stays finite
-                    du = jnp.where(jnp.isfinite(du), du, 0.0)
-                    u_full = u - du
-                    rn_full = rnorm_of(u_full, t, extra)
+                    def solve_and_search(_):
+                        # the whole inner stage — preconditioner setup
+                        # (MG rediscretizes every coarse level), Krylov
+                        # solve, line search — is gated behind the status
+                        # check: the terminating iteration's update is
+                        # discarded anyway, so this work would be dead
+                        if cfg.precon is not None:
+                            Minv = cfg.precon(A, u, t, extra)
+                        elif hasattr(A, "block_jacobi_inv"):
+                            Minv = A.block_jacobi_inv()
+                        else:
+                            Minv = jacobi_preconditioner(A.diagonal())
+                        kfun = _krylov_fn(cfg.inner)
+                        du, _ = kfun(A.mv, r, Minv=Minv, rtol=eta,
+                                     atol=cfg.inner_atol,
+                                     maxiter=cfg.inner_maxiter)
+                        # a Krylov breakdown must not poison the carry: a
+                        # NaN step fails the line search and backtracking
+                        # cleanly only if du itself stays finite
+                        du = jnp.where(jnp.isfinite(du), du, 0.0)
+                        u_full = u - du
+                        rn_full = rnorm_of(u_full, t, extra)
 
-                    def backtrack(_):
-                        def bt_cond(s):
-                            alpha, rn, k = s
-                            return (~(jnp.isfinite(rn) & (rn < rnorm))
-                                    ) & (k < cfg.max_backtracks)
+                        def backtrack(_):
+                            def bt_cond(s):
+                                alpha, rn, k = s
+                                return (~(jnp.isfinite(rn) & (rn < rnorm))
+                                        ) & (k < cfg.max_backtracks)
 
-                        def bt_body(s):
-                            alpha, _, k = s
-                            rn = rnorm_of(u - alpha * du, t, extra)
-                            return (alpha * 0.5, rn, k + 1)
+                            def bt_body(s):
+                                alpha, _, k = s
+                                rn = rnorm_of(u - alpha * du, t, extra)
+                                return (alpha * 0.5, rn, k + 1)
 
-                        a0 = jnp.asarray(0.5, dt_)
-                        alpha, rn, k = jax.lax.while_loop(
-                            bt_cond, bt_body,
-                            (a0, jnp.asarray(jnp.inf, dt_),
-                             jnp.asarray(0, jnp.int32)))
-                        # bt loop leaves alpha already halved past the
-                        # accepted value
-                        alpha_acc = alpha * 2.0
-                        good = jnp.isfinite(rn) & (rn < rnorm)
-                        u_bt = jnp.where(good, u - alpha_acc * du,
-                                         jnp.where(jnp.isfinite(rn_full),
-                                                   u_full,
-                                                   u - (2.0 **
-                                                        -cfg.max_backtracks
-                                                        ) * du))
-                        return u_bt
+                            a0 = jnp.asarray(0.5, dt_)
+                            alpha, rn, k = jax.lax.while_loop(
+                                bt_cond, bt_body,
+                                (a0, jnp.asarray(jnp.inf, dt_),
+                                 jnp.asarray(0, jnp.int32)))
+                            # bt loop leaves alpha already halved past the
+                            # accepted value
+                            alpha_acc = alpha * 2.0
+                            good = jnp.isfinite(rn) & (rn < rnorm)
+                            return jnp.where(
+                                good, u - alpha_acc * du,
+                                jnp.where(jnp.isfinite(rn_full), u_full,
+                                          u - (2.0 ** -cfg.max_backtracks
+                                               ) * du))
 
-                    accept_full = jnp.isfinite(rn_full) & \
-                        (rn_full <= 0.9 * rnorm)
-                    u_new = jax.lax.cond(
-                        accept_full, lambda _: u_full, backtrack,
-                        operand=None)
-                    u_new = jnp.where(status == 0, u_new, u)
+                        accept_full = jnp.isfinite(rn_full) & \
+                            (rn_full <= 0.9 * rnorm)
+                        return jax.lax.cond(
+                            accept_full, lambda _: u_full, backtrack,
+                            operand=None)
+
+                    u_new = jax.lax.cond(status == 0, solve_and_search,
+                                         lambda _: u, operand=None)
                     hist = hist.at[it].set(rnorm)
                     return (u_new, rnorm, eta, growth, it + 1, status, hist)
 
@@ -376,5 +382,8 @@ class NewtonRaphsonSolver:
                     u = u - (2.0 ** -self.max_backtracks) * du
             rnorm_prev = rnorm
         rnorm = float(rnorm_only(u))
-        return u, NewtonStats(self.max_iter, rnorm, rnorm <= self.tol,
+        # same convergence target as the jitted path: max(tol, rtol*r0)
+        target = max(self.tol, self.rtol * history[0]) if history \
+            else self.tol
+        return u, NewtonStats(self.max_iter, rnorm, rnorm <= target,
                               tuple(history))

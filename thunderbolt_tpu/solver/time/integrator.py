@@ -95,6 +95,11 @@ class Integrator:
             key = round(rem, 12)
             pstep = self._partial_steps.get(key)
             if pstep is None:
+                # bounded cache: irregular save grids would otherwise
+                # compile and RETAIN one executable per distinct remainder
+                if len(self._partial_steps) >= 8:
+                    self._partial_steps.pop(
+                        next(iter(self._partial_steps)))
                 pstep = jax.jit(self.alg.make_step(self.fn, rem))
                 self._partial_steps[key] = pstep
             self.u = pstep(self.u, jnp.asarray(self.t, self.u.dtype))
