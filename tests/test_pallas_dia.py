@@ -60,15 +60,28 @@ def test_fused_single_segment_matches_xla(heat):
     assert err < 1e-5 * float(jnp.abs(x_ref).max()) + 1e-6, err
 
 
-def test_fused_multi_segment_matches_xla(heat):
-    """Small tile forces the segmented path: the recurrence state (x, r,
-    d, rho) must round-trip HBM between segments exactly."""
-    A, b, u, lmin, lmax, iters, x_ref = heat
+def test_fused_multi_segment_matches_xla():
+    """A tile too small for the full iteration count forces the segmented
+    path: the recurrence state (x, r, d, rho) must round-trip HBM between
+    segments exactly. Needs a wider stencil (128^2 mesh, lo=129) so the
+    1024-aligned halo can split at tile=2048."""
+    M, A = _heat_operator(N=128)
+    diag = A.diagonal()
+    s = 1.0 / jnp.sqrt(jnp.abs(diag))
+    lmin, lmax = lanczos_bounds(lambda v: s * A.mv(s * v), A.n,
+                                jnp.float32)
+    lmin, lmax = 0.9 * lmin, 1.02 * lmax
+    iters = chebyshev_iterations(lmax / lmin, 1e-5)
     lo = -min(min(A.offsets), 0)
-    T, seg_lens = _cheb_plan(A.n, lo, lo, iters, 1024)
-    assert len(seg_lens) >= 2, seg_lens
+    plan = _cheb_plan(A.n, lo, lo, iters, 2048)
+    assert plan is not None and len(plan[1]) >= 2, plan
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal(A.n), jnp.float32) * 0.1
+    b = M.mv(u)
+    x_ref = chebyshev(A.mv, b, x0=u, lam_min=lmin, lam_max=lmax,
+                      iters=iters, Minv=jacobi_preconditioner(diag))
     x = chebyshev_dia_fused(A, b, u, lam_min=lmin, lam_max=lmax,
-                            iters=iters, tile=1024, interpret=True)
+                            iters=iters, tile=2048, interpret=True)
     err = float(jnp.max(jnp.abs(x - x_ref)))
     assert err < 1e-5 * float(jnp.abs(x_ref).max()) + 1e-6, err
 

@@ -46,64 +46,90 @@ def _cheb_seg_kernel(offsets, lo, hi, T, Wf, halo_l, seg_iters, first,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    # row layout: every flat array lives as (len/128, 128) — full 128-lane
+    # rows with a large sublane dim, so the VPU runs at full register
+    # occupancy (a (1, W) layout uses ONE of 8 sublanes; measured ~0.75x
+    # XLA at 1024^2). A flat shift by d = q*128 + r is then a row shift
+    # plus a one-row lane carry; the carry's wrap error lands entirely
+    # inside the halo fringe (|d| <= per-application halo, by the decay
+    # budget). All row offsets/sizes are 1024-aligned (8 sublanes x 128
+    # lanes) so DMA slices meet tiling constraints.
     t = pl.program_id(0)
-    start = t * T
+    R = Wf // 128
+    row0 = t * (T // 128)
     srcs = [(xp_hbm, xbuf), (diags_hbm, dgbuf), (sinv_hbm, svbuf)]
     srcs += [(bp_hbm, bbuf)] if first else [(rp_hbm, rbuf),
                                             (dp_hbm, dbuf)]
-    copies = [pltpu.make_async_copy(h.at[:, pl.ds(start, Wf)], v,
-                                    sems.at[i])
-              for i, (h, v) in enumerate(srcs)]
+    copies = []
+    for i, (h, v) in enumerate(srcs):
+        src = h.at[:, pl.ds(row0, R), :] if v is dgbuf \
+            else h.at[pl.ds(row0, R), :]
+        copies.append(pltpu.make_async_copy(src, v, sems.at[i]))
     for c in copies:
         c.start()
     for c in copies:
         c.wait()
 
-    def amv_core(vbuf):
-        # A v on the interior [lo, Wf-hi); the uncomputed fringe is part
-        # of the halo decay budget
-        core = jnp.zeros((1, Wf - lo - hi), vbuf.dtype)
+    def rowshift(v, k):
+        if k == 0:
+            return v
+        z = jnp.zeros((abs(k), 128), v.dtype)
+        if k > 0:
+            return jnp.concatenate([v[k:], z], 0)
+        return jnp.concatenate([z, v[:k]], 0)
+
+    def shift(v, d):
+        q, r = divmod(d, 128)
+        if r == 0:
+            return rowshift(v, q)
+        a = rowshift(v, q)
+        b = rowshift(v, q + 1)
+        return jnp.concatenate([a[:, r:], b[:, :r]], 1)
+
+    sv = svbuf[:, :]
+
+    def amv(v):
+        acc = jnp.zeros((R, 128), v.dtype)
         for k, d in enumerate(offsets):
-            core = core + dgbuf[k, lo:Wf - hi][None, :] * \
-                vbuf[:, lo + d:Wf - hi + d]
-        return core
+            acc = acc + dgbuf[k] * shift(v, d)
+        return acc
 
-    # the recurrence runs as an IN-KERNEL fori_loop updating the scratch
-    # refs in place: an unrolled SSA chain stack-allocates every
-    # iteration's temporaries (measured 28-32 MB > the 16 MB VMEM limit
-    # at T=64k); the loop + refs need only one iteration's worth
+    x = xbuf[:, :]
     if first:
-        rbuf[:, :] = bbuf[:, :]
-        rbuf[:, lo:Wf - hi] = rbuf[:, lo:Wf - hi] - amv_core(xbuf)
-        dbuf[:, :] = svbuf[:, :] * rbuf[:, :] * (1.0 / theta)
-
-    def body(i, rho):
+        r = bbuf[:, :] - amv(x)
+        d = sv * r * (1.0 / theta)
+    else:
+        r = rbuf[:, :]
         d = dbuf[:, :]
-        xbuf[:, :] = xbuf[:, :] + d
-        rbuf[:, lo:Wf - hi] = rbuf[:, lo:Wf - hi] - amv_core(dbuf)
-        rho_new = 1.0 / (2.0 * sigma1 - rho)
-        dbuf[:, :] = (rho_new * rho) * d + \
-            ((2.0 * rho_new / delta) * svbuf[:, :]) * rbuf[:, :]
-        return rho_new
 
-    jax.lax.fori_loop(0, seg_iters, body,
-                      jnp.asarray(rho0, xbuf.dtype))
-    xo_ref[:, :] = xbuf[:, halo_l:halo_l + T]
-    ro_ref[:, :] = rbuf[:, halo_l:halo_l + T]
-    do_ref[:, :] = dbuf[:, halo_l:halo_l + T]
+    def body(i, carry):
+        x, r, d, rho = carry
+        x = x + d
+        r = r - amv(d)
+        rho_new = 1.0 / (2.0 * sigma1 - rho)
+        d = (rho_new * rho) * d + ((2.0 * rho_new / delta) * sv) * r
+        return (x, r, d, rho_new)
+
+    x, r, d, _ = jax.lax.fori_loop(
+        0, seg_iters, body, (x, r, d, jnp.asarray(rho0, x.dtype)))
+    h0 = halo_l // 128
+    xo_ref[:, :] = x[h0:h0 + T // 128]
+    ro_ref[:, :] = r[h0:h0 + T // 128]
+    do_ref[:, :] = d[h0:h0 + T // 128]
 
 
 def _seg_halo(its, lo, hi):
-    """128-aligned (left, right) halo widths for a segment of ``its``
-    iterations (+1 initial-residual application, +1 uncomputed fringe)."""
-    ru = lambda v: -(-v // 128) * 128
+    """1024-aligned (left, right) halo widths for a segment of ``its``
+    iterations (+1 initial-residual application, +1 uncomputed fringe);
+    the alignment keeps every DMA row window at whole (8, 128) tiles."""
+    ru = lambda v: -(-v // 1024) * 1024
     return ru((its + 2) * lo), ru((its + 2) * hi)
 
 
 def _cheb_plan(n, lo, hi, iters, tile):
     """(T, seg_lens) or None: cut ``iters`` into segments whose temporal
     halo fits the tile; balanced so at most two kernel shapes compile."""
-    T = max(128, min(int(tile), -(-n // 128) * 128))
+    T = max(1024, min(int(tile), -(-n // 1024) * 1024))
     its_max = 0
     for its in range(iters, 0, -1):
         hl, hr = _seg_halo(its, lo, hi)
@@ -180,47 +206,49 @@ def chebyshev_dia_fused(A: DIAMatrix, b, x0, *, lam_min, lam_max, iters,
         halo_l, halo_r = _seg_halo(its, lo, hi)
         Wf = T + halo_l + halo_r
         L = (ntiles - 1) * T + Wf
+        R = Wf // 128
 
         def padg(v, left=halo_l, Ltot=L):
-            return jnp.pad(v, (left, Ltot - left - v.shape[0]))
+            # flat -> (rows, 128): full-lane rows with a deep sublane dim
+            return jnp.pad(v, (left, Ltot - left - v.shape[0])
+                           ).reshape(-1, 128)
 
         first = s == 0
-        xp = padg(x)[None, :]
-        bp = padg(b.astype(dtype))[None, :] if first \
-            else jnp.zeros((1, L), dtype)
-        rp = jnp.zeros((1, L), dtype) if first else padg(r)[None, :]
-        dp = jnp.zeros((1, L), dtype) if first else padg(d)[None, :]
-        sp = padg(sinv.astype(dtype))[None, :]
-        # sublane (first) dim of the diags DMA must be 8-aligned
-        nd_pad = -(-nd // 8) * 8
+        xp = padg(x)
+        bp = padg(b.astype(dtype)) if first \
+            else jnp.zeros((L // 128, 128), dtype)
+        rp = jnp.zeros((L // 128, 128), dtype) if first else padg(r)
+        dp = jnp.zeros((L // 128, 128), dtype) if first else padg(d)
+        sp = padg(sinv.astype(dtype))
         dg = jnp.stack([padg(A.diags[k].astype(dtype))
-                        for k in range(nd)] +
-                       [jnp.zeros(L, dtype)] * (nd_pad - nd))
+                        for k in range(nd)])
 
         kern = functools.partial(
             _cheb_seg_kernel, A.offsets, lo, hi, T, Wf, halo_l, its,
             first, theta, delta, sigma1, rhos[done])
-        out3 = [jax.ShapeDtypeStruct((1, n_pad), dtype)] * 3
+        out3 = [jax.ShapeDtypeStruct((n_pad // 128, 128), dtype)] * 3
         x2, r2, d2 = pl.pallas_call(
             kern,
             grid=(ntiles,),
             out_shape=tuple(out3),
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 6,
             out_specs=tuple(
-                pl.BlockSpec((1, T), lambda t: (0, t),
+                pl.BlockSpec((T // 128, 128), lambda t: (t, 0),
                              memory_space=pltpu.VMEM) for _ in range(3)),
             scratch_shapes=[
-                pltpu.VMEM((1, Wf), dtype),
-                pltpu.VMEM((1, Wf), dtype),
-                pltpu.VMEM((1, Wf), dtype),
-                pltpu.VMEM((1, Wf), dtype),
-                pltpu.VMEM((nd_pad, Wf), dtype),
-                pltpu.VMEM((1, Wf), dtype),
+                pltpu.VMEM((R, 128), dtype),
+                pltpu.VMEM((R, 128), dtype),
+                pltpu.VMEM((R, 128), dtype),
+                pltpu.VMEM((R, 128), dtype),
+                pltpu.VMEM((nd, R, 128), dtype),
+                pltpu.VMEM((R, 128), dtype),
                 pltpu.SemaphoreType.DMA((6,)),
             ],
             interpret=interpret,
         )(xp, bp, rp, dp, dg, sp)
-        x, r, d = x2[0, :n], r2[0, :n], d2[0, :n]
+        x = x2.reshape(-1)[:n]
+        r = r2.reshape(-1)[:n]
+        d = d2.reshape(-1)[:n]
         done += its
     return x
 

@@ -63,13 +63,16 @@ class BackwardEulerSolver:
     #: whole solve is one fusible SpMV/axpy chain; right for the
     #: well-conditioned fixed-dt heat systems of operator splitting)
     solver: str = "cg"
-    #: chebyshev only: fuse ALL polynomial iterations into one
-    #: VMEM-resident Pallas kernel on TPU (temporally-blocked DIA tiles;
-    #: the diagonals are read from HBM once per SOLVE instead of once per
-    #: iteration — the measured large-mesh bottleneck). Auto-falls back to
-    #: the XLA chain off-TPU, on non-DIA operators, or when the temporal
-    #: halo would dominate the tile.
-    use_pallas: bool = True
+    #: chebyshev only: run the polynomial iterations inside
+    #: temporally-blocked VMEM-resident Pallas tiles (diagonals read from
+    #: HBM once per segment instead of once per iteration). MEASURED
+    #: SLOWER than the XLA chain on the v5e chip (1024^2: 1.92 vs 1.43
+    #: ms/solve; 512^2: 0.46 vs 0.33) — XLA's fused stencil already runs
+    #: at effective-HBM roofline, and Mosaic lowers each stencil shift to
+    #: full-buffer VMEM copies that outweigh the HBM savings. Kept as
+    #: opt-in infrastructure (exact to 5e-8, interpret-tested) for
+    #: hardware where the roofline trade differs.
+    use_pallas: bool = False
 
     def _ops(self, fn):
         """Prefer the DIA fast path (no gathers) when available."""
