@@ -74,7 +74,7 @@ def test_gradient_matches_fd(name):
 def test_quadrature_volume_and_degree(name):
     el = get_element(name)
     ref_vol = {"lin": 2.0, "qua": 4.0, "hex": 8.0, "tri": 0.5,
-               "tet": 1.0 / 6.0, "wed": 0.5}[name[:3]]
+               "tet": 1.0 / 6.0, "wed": 0.5, "pyr": 4.0 / 3.0}[name[:3]]
     for deg in (1, 2, 3, 4):
         qr = quadrature_rule(name, deg)
         assert np.isclose(qr.weights.sum(), ref_vol, atol=1e-12)

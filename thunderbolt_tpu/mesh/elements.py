@@ -11,9 +11,9 @@ no per-cell ``reinit!`` exists; Jacobians are computed in-kernel from
 gathered node coordinates.
 
 Supported cell types mirror the set the reference handles
-(``src/mesh/meshes.jl`` elementtypes): P1/P2 Lagrange on line, triangle,
-quadrilateral, tetrahedron, hexahedron. Node orderings follow VTK so VTU
-export is a direct dump.
+(``src/mesh/meshes.jl`` LinearCellGeometry): P1/P2 Lagrange on line,
+triangle, quadrilateral, tetrahedron, hexahedron, wedge, plus the linear
+rational pyramid. Node orderings follow VTK so VTU export is a direct dump.
 """
 
 from __future__ import annotations
@@ -282,6 +282,67 @@ class WedgeElement(ReferenceElement):
 
 
 # ----------------------------------------------------------------------------
+# Pyramid: rational P1 basis (quad base x apex)
+# ----------------------------------------------------------------------------
+
+class PyramidElement(ReferenceElement):
+    """Linear pyramid (VTK 14) with the standard rational basis.
+
+    Parity: the reference's cell-geometry union includes ``Pyramid``
+    (``src/mesh/meshes.jl:15-16``) and its MFEM loader emits pyramids
+    (``src/mesh/tools.jl:545``). Reference element: base [-1,1]^2 at
+    zeta=0 (CCW), apex (0,0,1). With u = 1-zeta the basis is
+
+        N_i = (u -+ xi)(u -+ eta) / (4u)   (base corners),   N_4 = zeta.
+
+    Rational, but every facet trace is polynomial: the base trace is the
+    quad4 bilinear basis and each side trace is the tri3 affine basis, so
+    pyramids conform with hex and tet neighbors and the generic facet
+    machinery applies unchanged. Quadrature points never hit the apex;
+    nodal evaluation clamps u (xi*eta = 0 on the apex line keeps values
+    and gradients finite there)."""
+
+    def __init__(self, **kw):
+        ref_nodes = np.array([
+            [-1.0, -1.0, 0.0], [1.0, -1.0, 0.0],
+            [1.0, 1.0, 0.0], [-1.0, 1.0, 0.0],
+            [0.0, 0.0, 1.0]])
+        super().__init__(name="pyramid5", dim=3, order=1,
+                         ref_nodes=ref_nodes, **kw)
+
+    @staticmethod
+    def _split(xi):
+        xi = np.atleast_2d(np.asarray(xi, dtype=np.float64))
+        x, y, z = xi[..., 0], xi[..., 1], xi[..., 2]
+        u = np.maximum(1.0 - z, 1e-12)
+        return x, y, z, u
+
+    def shape(self, xi):
+        x, y, z, u = self._split(xi)
+        return np.stack([
+            (u - x) * (u - y) / (4 * u),
+            (u + x) * (u - y) / (4 * u),
+            (u + x) * (u + y) / (4 * u),
+            (u - x) * (u + y) / (4 * u),
+            z], axis=-1)
+
+    def grad(self, xi):
+        x, y, z, u = self._split(xi)
+        out = np.zeros(x.shape + (5, 3))
+        r = x * y / (u * u)
+        out[..., 0, :] = np.stack(
+            [-(u - y) / (4 * u), -(u - x) / (4 * u), -(1 - r) / 4], axis=-1)
+        out[..., 1, :] = np.stack(
+            [(u - y) / (4 * u), -(u + x) / (4 * u), -(1 + r) / 4], axis=-1)
+        out[..., 2, :] = np.stack(
+            [(u + y) / (4 * u), (u + x) / (4 * u), -(1 - r) / 4], axis=-1)
+        out[..., 3, :] = np.stack(
+            [-(u + y) / (4 * u), (u - x) / (4 * u), -(1 + r) / 4], axis=-1)
+        out[..., 4, 2] = 1.0
+        return out
+
+
+# ----------------------------------------------------------------------------
 # Catalog
 # ----------------------------------------------------------------------------
 
@@ -406,6 +467,17 @@ def _build_catalog():
         vertices=tuple(range(6)), edges=wedge_edges, facets=wedge_facets,
         vtk_type=32, faces=wedge_faces,
     )
+
+    # --- pyramid (VTK 14): quad base CCW, then apex ---
+    cat["pyramid5"] = PyramidElement(
+        vertices=tuple(range(5)),
+        edges=((0, 1), (1, 2), (2, 3), (3, 0),
+               (0, 4), (1, 4), (2, 4), (3, 4)),
+        # outward-normal ordering: base (-z), then four sides
+        facets=((0, 3, 2, 1),
+                (0, 1, 4), (1, 2, 4), (2, 3, 4), (3, 0, 4)),
+        vtk_type=14,
+    )
     return cat
 
 
@@ -429,6 +501,7 @@ P1_OF = {
     "tet4": "tet4", "tet10": "tet4",
     "hex8": "hex8", "hex27": "hex8",
     "wedge6": "wedge6", "wedge18": "wedge6",
+    "pyramid5": "pyramid5",
 }
 
 #: facet cell type of each cell type (for surface quadrature / IO);
@@ -441,15 +514,16 @@ FACET_TYPE = {
     "hex8": "quad4", "hex27": "quad9",
 }
 
-_WEDGE_FACET_TYPES = {
+_MIXED_FACET_TYPES = {
     "wedge6": ("tri3", "tri3", "quad4", "quad4", "quad4"),
     "wedge18": ("tri6", "tri6", "quad9", "quad9", "quad9"),
+    "pyramid5": ("quad4", "tri3", "tri3", "tri3", "tri3"),
 }
 
 
 def facet_type(el, local_facet: int) -> str:
     """Facet cell type of ``el``'s ``local_facet`` — per-facet aware
-    (wedges mix triangles and quadrilaterals)."""
-    if el.name in _WEDGE_FACET_TYPES:
-        return _WEDGE_FACET_TYPES[el.name][local_facet]
+    (wedges and pyramids mix triangles and quadrilaterals)."""
+    if el.name in _MIXED_FACET_TYPES:
+        return _MIXED_FACET_TYPES[el.name][local_facet]
     return FACET_TYPE[el.name]

@@ -145,6 +145,27 @@ def generate_mesh(celltype: str, dims, corner_min=None, corner_max=None) -> Mesh
                     tur, tul = nid(i + 1, j + 1, k + 1), nid(i, j + 1, k + 1)
                     cells.append([ll, lr, ur, tl, tr, tur])
                     cells.append([ll, ur, ul, tl, tur, tul])
+    elif base == "pyramid5":
+        # each hex cell -> 6 pyramids: base = hex face (inward-oriented so
+        # the base normal points at the apex), apex = new centroid node.
+        # Shared quad faces conform across cells.
+        hex_el = get_element("hex8")
+        centroids = []
+        for i in range(dims[0]):
+            for j in range(dims[1]):
+                for k in range(dims[2]):
+                    corners = [
+                        nid(i, j, k), nid(i + 1, j, k),
+                        nid(i + 1, j + 1, k), nid(i, j + 1, k),
+                        nid(i, j, k + 1), nid(i + 1, j, k + 1),
+                        nid(i + 1, j + 1, k + 1), nid(i, j + 1, k + 1),
+                    ]
+                    apex = nodes.shape[0] + len(centroids)
+                    centroids.append(nodes[corners].mean(axis=0))
+                    for fac in hex_el.facets:
+                        cells.append([corners[v] for v in reversed(fac)]
+                                     + [apex])
+        nodes = np.vstack([nodes, np.asarray(centroids)])
     else:
         raise KeyError(celltype)
 
@@ -182,6 +203,11 @@ def elevate_to_quadratic(mesh: Mesh, return_parents: bool = False):
 
     for b in mesh.blocks:
         el = b.element
+        if b.celltype not in p2_of:
+            raise NotImplementedError(
+                f"no quadratic family for {b.celltype!r} (as in the "
+                "reference, pyramids are linear-only — no P2 elevation, "
+                "refinement, or hexahedralization)")
         p2 = get_element(p2_of[b.celltype])
         conn = b.connectivity
         ncells = b.ncells

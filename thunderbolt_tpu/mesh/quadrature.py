@@ -138,6 +138,22 @@ def quadrature_rule(celltype: str, degree: int) -> QuadratureRule:
              np.tile(zx, tr.points.shape[0])[:, None]], axis=1)
         ws = (tr.weights[:, None] * zw[None, :]).ravel()
         return QuadratureRule(pts, ws)
+    if base == "pyr":
+        # conical product: cube [-1,1]^3 -> pyramid via
+        # zeta=(1+c)/2, xi=a(1-zeta), eta=b(1-zeta); Jacobian (1-zeta)^2/2.
+        # One extra Gauss point in zeta absorbs the (1-zeta)^2 factor.
+        n1 = max(1, (degree + 2) // 2)
+        ax, aw = _gauss_1d(n1)
+        cx, cw = _gauss_1d(n1 + 1)
+        zeta = (1.0 + cx) / 2.0
+        pts, ws = [], []
+        for a, wa in zip(ax, aw):
+            for b, wb in zip(ax, aw):
+                for z, wc in zip(zeta, cw):
+                    u = 1.0 - z
+                    pts.append([a * u, b * u, z])
+                    ws.append(wa * wb * wc * u * u / 2.0)
+        return QuadratureRule(np.asarray(pts), np.asarray(ws))
     raise KeyError(celltype)
 
 
@@ -156,7 +172,7 @@ def nodal_rule(celltype: str) -> QuadratureRule:
     el = get_element(celltype)
     ref_vol = {
         "lin": 2.0, "qua": 4.0, "hex": 8.0,
-        "tri": 0.5, "tet": 1.0 / 6.0, "wed": 0.5,
+        "tri": 0.5, "tet": 1.0 / 6.0, "wed": 0.5, "pyr": 4.0 / 3.0,
     }[celltype[:3]]
     n = el.nnodes
     return QuadratureRule(el.ref_nodes.copy(), np.full(n, ref_vol / n))

@@ -318,8 +318,11 @@ def hexahedralize(mesh: Mesh) -> Mesh:
 # external loaders
 # ---------------------------------------------------------------------------
 
+#: MFEM geometry ids; prism/pyramid orderings match VTK directly
+#: (the reference maps them too: ``tools.jl:543-545``)
 _MFEM_TYPES = {1: ("line2", 2), 2: ("tri3", 3), 3: ("quad4", 4),
-               4: ("tet4", 4), 5: ("hex8", 8)}
+               4: ("tet4", 4), 5: ("hex8", 8),
+               6: ("wedge6", 6), 7: ("pyramid5", 5)}
 
 
 
@@ -503,7 +506,8 @@ def load_voom2_grid(basename: str) -> Mesh:
         parts = [int(v) for v in lines[1 + k].split()]
         nn = parts[1]
         conn = [v - 1 for v in parts[2:2 + nn]]
-        name = {2: "line2", 3: "tri3", 4: "tet4", 8: "hex8"}[nn]
+        name = {2: "line2", 3: "tri3", 4: "tet4", 5: "pyramid5",
+                6: "wedge6", 8: "hex8"}[nn]
         blocks.setdefault(name, []).append(conn)
     return Mesh(nodes, [ElementBlock(n, np.asarray(c, np.int32))
                         for n, c in blocks.items()])
