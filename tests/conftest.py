@@ -22,3 +22,13 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Suite wall-clock is dominated by XLA compile time of the many jitted
+# solver configurations; a persistent compilation cache makes re-runs (and
+# xdist workers hitting identical programs) skip those compiles entirely.
+_cache = os.environ.get("TB_JIT_CACHE", "/tmp/tb_jit_cache")
+if _cache:
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -138,3 +138,28 @@ def test_interface_diffusion_couples_disconnected_regions():
     # without coupling the B strip never fires; with it the wave crosses
     assert build(None) < 0.05
     assert build(1e-2) > 0.5
+
+
+def test_rtc_on_multi_subdomain_split(multidomain):
+    """ReactionTangentController drives the multi-subdomain split: the
+    reaction tangent is the max d(phi)/dt over ALL subdomains' ionic
+    models, and the adaptive solve agrees with fixed fine stepping
+    (generalizes test_ep.py::test_reaction_tangent_controller beyond the
+    single-ion split; ref rtc.jl applied per cell child)."""
+    mesh, ode = multidomain
+    u0 = tb.create_initial_condition(ode, jnp.float64)
+    heat, cells = ode.functions
+    u0 = u0.at[cells.parts[0].phi_dofs].set(0.4)
+    be = tb.BackwardEulerSolver(rtol=1e-8, atol=1e-10)
+    fe = tb.ForwardEulerCellSolver(substeps=8)
+    T = 40.0
+    u_fix = tb.init(ode, tb.LieTrotterGodunov((be, fe)), u0, (0, T),
+                    dt=0.25).solve()
+    rtc = tb.ReactionTangentController((be, fe), sigma_s=20.0, sigma_c=0.1,
+                                       dt_bounds=(0.25, 1.0))
+    integ = tb.init(ode, rtc, u0, (0.0, T), 1.0)
+    u_rtc = integ.solve()
+    nsteps = integ.stats.naccept
+    assert T / 1.0 < nsteps < T / 0.25, nsteps
+    err = np.abs(np.asarray(u_rtc) - np.asarray(u_fix)).max()
+    assert err < 5e-2, err

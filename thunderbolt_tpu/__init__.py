@@ -121,7 +121,8 @@ from thunderbolt_tpu.solver.time.euler import (
     AdaptiveForwardEulerSubstepper,
     RushLarsenCellSolver,
 )
-from thunderbolt_tpu.solver.time.splitting import LieTrotterGodunov, StrangSplitting
+from thunderbolt_tpu.solver.time.splitting import (
+    LieTrotterGodunov, StrangSplitting, Substepped)
 from thunderbolt_tpu.solver.time.integrator import (
     init,
     solve,

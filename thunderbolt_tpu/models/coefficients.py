@@ -197,7 +197,10 @@ class SpatiallyHomogeneousDataField(Coefficient):
         vals = jnp.asarray(self.values)
 
         def f(xq, t):
-            idx = jnp.searchsorted(ts, t, side="right")
+            # side="left": the value jumps strictly AFTER each timestamp
+            # (t == timestamps[i] still yields values[i], matching the
+            # reference's evaluate at coefficients.jl:501)
+            idx = jnp.searchsorted(ts, t, side="left")
             return vals[jnp.minimum(idx, vals.shape[0] - 1)]
 
         return _EvalCache("analytic", (jnp.zeros(()), f))

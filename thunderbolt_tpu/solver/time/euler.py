@@ -43,6 +43,26 @@ def _make_multi_step(solver, fn: PointwiseMultiODEFunction, dt):
         return u
 
     return step
+
+
+def _make_multi_step_dt(solver, fn: PointwiseMultiODEFunction):
+    """Traced-dt variant of :func:`_make_multi_step` (RTC adaptive path on
+    multi-subdomain EP)."""
+    substeps = []
+    for part in fn.parts:
+        sub_fn = PointwiseODEFunction(ion=part.ion, npoints=part.npoints,
+                                      x=part.x)
+        kernel = solver.make_step_dt(sub_fn)
+        substeps.append((part, kernel))
+
+    def step(u, t, dt):
+        for part, kernel in substeps:
+            U = part.gather(u)
+            U2 = kernel(U.reshape(-1), t, dt).reshape(U.shape)
+            u = part.scatter(u, U2)
+        return u
+
+    return step
 from thunderbolt_tpu.solver.linear import cg, jacobi_preconditioner
 
 
@@ -306,7 +326,9 @@ class ForwardEulerCellSolver:
 
         return step
 
-    def make_step_dt(self, fn: PointwiseODEFunction):
+    def make_step_dt(self, fn):
+        if isinstance(fn, PointwiseMultiODEFunction):
+            return _make_multi_step_dt(self, fn)
         ion, x, n = fn.ion, fn.x, self.substeps
 
         def step(u, t, dt):
@@ -371,7 +393,9 @@ class AdaptiveForwardEulerSubstepper:
 
         return step
 
-    def make_step_dt(self, fn: PointwiseODEFunction):
+    def make_step_dt(self, fn):
+        if isinstance(fn, PointwiseMultiODEFunction):
+            return _make_multi_step_dt(self, fn)
         ion, x = fn.ion, fn.x
         n = self.substeps
         p = ion.phi_index
@@ -444,7 +468,9 @@ class RushLarsenCellSolver:
 
         return step
 
-    def make_step_dt(self, fn: PointwiseODEFunction):
+    def make_step_dt(self, fn):
+        if isinstance(fn, PointwiseMultiODEFunction):
+            return _make_multi_step_dt(self, fn)
         ion, x = fn.ion, fn.x
         gidx = jnp.asarray(ion.gating_indices)
         if len(ion.gating_indices) == 0:

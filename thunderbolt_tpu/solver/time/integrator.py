@@ -182,12 +182,30 @@ class AdaptiveSplitIntegrator:
         self.dt = self.dt0
         self.stats = IntegratorStats()
 
+        from thunderbolt_tpu.disc.functions import PointwiseMultiODEFunction
         heat, cells = fn.functions
         hr, cr = fn.ranges
         heat_step = rtc.algorithms[0].make_step_dt(heat)
         cell_step = rtc.algorithms[1].make_step_dt(cells)
-        ion = cells.ion
-        p = ion.phi_index
+
+        if isinstance(cells, PointwiseMultiODEFunction):
+            # multi-subdomain EP: reaction tangent is the max d(phi)/dt
+            # over ALL subdomains' ionic models (each part gathers its own
+            # phi slice from the shared dof vector)
+            def reaction_tangent(uc, t):
+                R = -jnp.inf
+                for part in cells.parts:
+                    U = part.gather(uc)
+                    R = jnp.maximum(
+                        R, jnp.max(part.ion.rhs(U, part.x, t)
+                                   [part.ion.phi_index]))
+                return R
+        else:
+            ion = cells.ion
+            p = ion.phi_index
+
+            def reaction_tangent(uc, t):
+                return jnp.max(ion.rhs(cells.reshape(uc), cells.x, t)[p])
 
         def advance(u, t, dt, t_target):
             def cond(s):
@@ -199,9 +217,8 @@ class AdaptiveSplitIntegrator:
                 dtc = jnp.minimum(dt, t_target - t)
                 u = u.at[hr].set(heat_step(u[hr], t, dtc))
                 u = u.at[cr].set(cell_step(u[cr], t, dtc))
-                U = cells.reshape(u[cr])
                 # reaction tangent: max d(phi)/dt after the step (rtc.jl:52)
-                R = jnp.max(ion.rhs(U, cells.x, t + dtc)[p])
+                R = reaction_tangent(u[cr], t + dtc)
                 return (u, t + dtc, rtc.next_dt(R), n + 1)
 
             return jax.lax.while_loop(

@@ -13,10 +13,54 @@ propagates updates exactly like the aliased views do.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
-from typing import Tuple
+from typing import Optional, Tuple
+
+import jax
 
 from thunderbolt_tpu.disc.functions import GenericSplitFunction
+
+
+@dataclass(frozen=True)
+class Substepped:
+    """Child gearing: run ``alg`` at a finer dt inside each outer split step.
+
+    Parity: per-child dt in the reference's split-integrator tree
+    (``operatorsplitting-interface.jl:23-232``; exercised by
+    ``test/test_os_gearing.jl``) — children march at their own dt and
+    synchronize at outer split boundaries. TPU-native form: the child's
+    substep loop is a jitted ``fori_loop`` inside the composed outer step,
+    so gearing costs no extra dispatches.
+
+    Either give ``substeps`` (outer dt is divided evenly) or ``dt_max``
+    (substep count is fitted so the child dt never exceeds it — the
+    reference's tstop-fitting of a child whose dt does not divide the
+    outer dt).
+    """
+
+    alg: object
+    substeps: int = 1
+    dt_max: Optional[float] = None
+
+    def make_step(self, fn, dt):
+        n = int(self.substeps)
+        if self.dt_max is not None:
+            n = max(n, int(math.ceil(dt / self.dt_max - 1e-12)))
+        if n < 1:
+            raise ValueError(f"substeps must be >= 1, got {n}")
+        dti = dt / n
+        inner = self.alg.make_step(fn, dti)
+        if n == 1:
+            return inner
+
+        def step(u, t):
+            def body(i, u):
+                return inner(u, t + i * dti)
+
+            return jax.lax.fori_loop(0, n, body, u)
+
+        return step
 
 
 @dataclass(frozen=True)
