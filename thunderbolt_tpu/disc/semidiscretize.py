@@ -91,6 +91,9 @@ def _assemble_heat(dh: DofHandler, field: str, kappa, disc, mesh,
 
 @singledispatch
 def semidiscretize(model, disc: FiniteElementDiscretization, mesh: Mesh):
+    """Assemble `model` on `mesh` under `disc` into a solver-ready function
+    object (parity: ``semidiscretize``, ``src/discretization/fem.jl``);
+    overloads are registered per model class below."""
     raise NotImplementedError(
         f"semidiscretize not implemented for {type(model).__name__}")
 

@@ -20,10 +20,12 @@ from thunderbolt_tpu.disc.functions import (
 
 
 def solution_variable_names(fn):
+    """All published variable names of a (split) function, tree-wide."""
     return tuple(fn.variables().keys())
 
 
 def solution_variable(fn, name) -> VariableInfo:
+    """The VariableInfo (offset/size/coords view descriptor) for `name`."""
     return fn.variables()[name]
 
 
@@ -53,6 +55,7 @@ def create_initial_condition(fn, dtype=jnp.float32):
 
 
 def getvariable(u, fn, name):
+    """The named variable's slice of the flat state vector `u`."""
     vi = solution_variable(fn, name)
     return u[vi.slice]
 

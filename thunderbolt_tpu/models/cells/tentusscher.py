@@ -300,12 +300,15 @@ class TenTusscherPanfilov2006Model(CellModel):
 
 
 def TenTusscherPanfilov2006EpiModel(**kw):
+    """Epicardial parameter set of ten Tusscher-Panfilov 2006."""
     return TenTusscherPanfilov2006Model(celltype="epi", **kw)
 
 
 def TenTusscherPanfilov2006EndoModel(**kw):
+    """Endocardial parameter set of ten Tusscher-Panfilov 2006."""
     return TenTusscherPanfilov2006Model(celltype="endo", **kw)
 
 
 def TenTusscherPanfilov2006MModel(**kw):
+    """Midmyocardial (M-cell) parameter set of ten Tusscher-Panfilov 2006."""
     return TenTusscherPanfilov2006Model(celltype="m", **kw)

@@ -213,6 +213,7 @@ def gmres(A: Callable, b, x0=None, *, Minv: Optional[Callable] = None,
 
 
 def jacobi_preconditioner(diag):
+    """M^-1 r = r / diag (guarding near-zero diagonal entries)."""
     inv = jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 1.0)
     return lambda r: inv * r
 

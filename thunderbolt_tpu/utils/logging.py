@@ -119,10 +119,12 @@ def timeit(name: str):
 
 
 def reset_timers():
+    """Clear all accumulated `timeit` timings."""
     _TIMINGS.clear()
 
 
 def print_timers(stream=None):
+    """Print the accumulated `timeit` table (TimerOutputs-style)."""
     import sys
     stream = stream or sys.stdout
     rows = sorted(_TIMINGS.items(), key=lambda kv: -sum(kv[1]))
