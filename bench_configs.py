@@ -143,8 +143,12 @@ def config5_coupled_heartbeat():
         dbcs=[tb.Dirichlet("displacement", "Base", 0.0)],
         dtype=jnp.float32)
     fn3d, circ = tb.semidiscretize(tb.RSAFDQ2022Split(coupled), disc, mesh)
+    # rtol-based convergence: the chamber-volume residual is O(100) in f32
+    # (mesh scaled x5.14), so an absolute 1e-4 sits below the f32 roundoff
+    # floor (~2.4e-4 measured at t=638 ms, pure-noise plateau after
+    # quadratic convergence 0.39 -> 1.7e-3 -> 2.4e-4)
     solver = tb.Coupled3D0DSolver(
-        newton=tb.BlockedNewtonSolver(tol=1e-4, max_iter=25,
+        newton=tb.BlockedNewtonSolver(tol=5e-4, rtol=1e-3, max_iter=25,
                                       inner="schur_cg"))
     w, c = solver.init(fn3d, circ, jnp.float32)
     V0 = float(fn3d.volumes(w[: fn3d.nmech])[0])

@@ -240,3 +240,38 @@ def test_biv_coordinate_builder():
     # the 4-field stack evaluates as a coefficient (pipeline contract)
     vals = cs.at_dofs(mesh.nodes[:5])
     assert vals.shape == (5, 4)
+
+
+def test_compute_lv_axes():
+    """LVAxes frame on the ideal LV (``heart_axes.jl:139-185``): long
+    axis is +z (apex at the bottom), the frame is right-handed and
+    orthonormal, apex/base pin the axis line."""
+    mesh = tb.generate_ideal_lv_mesh(8, 2, 4)
+    ax = tb.compute_lv_axes(mesh)
+    np.testing.assert_allclose(ax.longitudinal, [0, 0, 1], atol=1e-6)
+    assert ax.apex[2] < ax.base_center[2]
+    np.testing.assert_allclose(ax.longitudinal @ ax.lateral, 0, atol=1e-12)
+    np.testing.assert_allclose(
+        np.cross(ax.longitudinal, ax.lateral), ax.anteroposterior,
+        atol=1e-12)
+    for v in (ax.longitudinal, ax.lateral, ax.anteroposterior):
+        np.testing.assert_allclose(np.linalg.norm(v), 1.0, rtol=1e-12)
+
+
+def test_compute_lv_axes_from_plane():
+    """Plane form (``heart_axes.jl:187-214``) agrees with the facetset
+    form on the ideal LV."""
+    mesh = tb.generate_ideal_lv_mesh(8, 2, 4)
+    ax = tb.compute_lv_axes(mesh)
+    ax2 = tb.compute_lv_axes_from_plane(mesh, ax.base_center,
+                                        ax.longitudinal)
+    np.testing.assert_allclose(ax2.longitudinal, ax.longitudinal, atol=1e-6)
+    np.testing.assert_allclose(ax2.apex, ax.apex, atol=1e-6)
+    # base_center from the 5% band sits near the true basal plane
+    assert abs(ax2.base_center[2] - ax.base_center[2]) < 0.1
+
+
+def test_lv_axes_collinear_lateral_raises():
+    with pytest.raises(ValueError):
+        tb.LVAxes.from_directions([0, 0, 1], [0, 0, 2], [0, 0, -1],
+                                  [0, 0, 0.2])

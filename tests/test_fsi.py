@@ -105,3 +105,49 @@ def test_coupled_heartbeat_steps():
     # the tied volumes stay within a lag of one step of each other
     v3, vc = np.asarray(Vs).T
     assert np.abs(v3[:-1] - vc[1:]).max() < np.abs(vc).max()
+
+
+def test_hirschvogel_volume_dilation_law():
+    """Hirschvogel2017SurrogateVolume: under uniform dilation d = eps*x,
+    det(F) (x+d) . F^-T N = (1+eps)^3 x . N exactly, so the surrogate
+    volume must scale as (1+eps)^3 (``fsi.jl:53-58``)."""
+    mesh = tb.generate_ideal_lv_mesh(8, 2, 4)
+    material = tb.PK1Model(tb.NeoHookeanModel(mu=2.0, lam=10.0))
+    model = tb.QuasiStaticModel("displacement", material, ())
+    disc = tb.FiniteElementDiscretization(
+        {"displacement": tb.FieldSpec(order=1, ncomponents=3)},
+        dbcs=[tb.Dirichlet("displacement", "Base", 0.0)], dtype=DT)
+    fn = tb.semidiscretize(model, disc, mesh)
+    method = tb.Hirschvogel2017SurrogateVolume()
+    coords = fn.dh.field_dof_coords("displacement")
+    eps = 0.05
+    V0 = float(tb.compute_chamber_volume(fn.dh, jnp.zeros(fn.solution_size, DT),
+                                         "Endocardium", "displacement",
+                                         method=method))
+    V1 = float(tb.compute_chamber_volume(
+        fn.dh, jnp.asarray((eps * coords).reshape(-1), DT),
+        "Endocardium", "displacement", method=method))
+    assert V0 != 0.0
+    np.testing.assert_allclose(V1 / V0, (1 + eps) ** 3, rtol=1e-4)
+
+
+def test_constant_chamber_volume():
+    """ConstantChamberVolume pins V and has zero displacement gradient."""
+    mesh = tb.generate_ideal_lv_mesh(8, 2, 4)
+    material = tb.PK1Model(tb.NeoHookeanModel(mu=2.0, lam=10.0))
+    model = tb.QuasiStaticModel("displacement", material, ())
+    coupler = LumpedFluidSolidCoupler(
+        (ChamberVolumeCoupling("Endocardium", "lv"),), "displacement",
+        volume_method=tb.ConstantChamberVolume(volume=1.5))
+    coupled = RSAFDQ2022Model(model, DummyLumpedCircuitModel(lambda t: 1.5),
+                              coupler)
+    disc = tb.FiniteElementDiscretization(
+        {"displacement": tb.FieldSpec(order=1, ncomponents=3)},
+        dbcs=[tb.Dirichlet("displacement", "Base", 0.0)], dtype=DT)
+    fn3d, circ = tb.semidiscretize(RSAFDQ2022Split(coupled), disc, mesh)
+    V = float(fn3d.volumes(jnp.zeros(fn3d.nmech, DT))[0])
+    np.testing.assert_allclose(V, 1.5, rtol=1e-6)
+    ch = fn3d.chambers[0]
+    U = jnp.zeros((ch.batch.nfacets, ch.batch.nbf, 3), DT)
+    G = ch.grad_fn(U)
+    assert float(jnp.max(jnp.abs(G))) == 0.0

@@ -4,6 +4,7 @@ Parity with the reference's ``test_mesh.jl`` (SURVEY.md §4)."""
 import numpy as np
 import pytest
 
+import thunderbolt_tpu as tb
 from thunderbolt_tpu import generate_mesh, generate_ring_mesh, generate_ideal_lv_mesh
 from thunderbolt_tpu.mesh.elements import get_element
 from thunderbolt_tpu.mesh.quadrature import quadrature_rule
@@ -93,3 +94,31 @@ def test_ideal_lv_mesh():
 def test_boundary_facet_count_quad():
     mesh = generate_mesh("quad4", (3, 3))
     assert len(mesh.boundary_facets()) == 4 * 3
+
+
+def test_open_ring_mesh():
+    """Open ring (``generators.jl:132``): no azimuthal wraparound, the
+    reference facetset names, and anchor nodesets."""
+    ne_c, ne_r, ne_l = 8, 2, 3
+    m = tb.generate_open_ring_mesh(ne_c, ne_r, ne_l, np.pi / 2)
+    assert m.nnodes == (ne_c + 1) * (ne_r + 1) * (ne_l + 1)
+    assert m.ncells == ne_c * ne_r * ne_l
+    assert len(m.facetsets["Endocardium"]) == ne_c * ne_l
+    assert len(m.facetsets["Epicardium"]) == ne_c * ne_l
+    assert len(m.facetsets["Open1"]) == ne_r * ne_l
+    assert len(m.facetsets["Open2"]) == ne_r * ne_l
+    assert len(m.facetsets["Base"]) == ne_c * ne_r
+    assert len(m.facetsets["Myocardium"]) == ne_c * ne_r
+    for k in range(1, 5):
+        assert len(m.nodesets[f"MyocardialAnchor{k}"]) == 1
+    # opening: no node in the +-opening_angle/2 sector around theta=0
+    th = np.mod(np.arctan2(m.nodes[:, 1], m.nodes[:, 0]), 2 * np.pi)
+    gap = np.pi / 2
+    assert np.all((th >= gap / 2 - 1e-9) & (th <= 2 * np.pi - gap / 2 + 1e-9))
+
+
+def test_quadratic_open_ring_mesh():
+    m = tb.generate_quadratic_open_ring_mesh(4, 2, 2, np.pi / 3)
+    assert m.blocks[0].celltype == "hex27"
+    assert m.ncells == 4 * 2 * 2
+    assert "Open1" in m.facetsets and "Open2" in m.facetsets

@@ -30,8 +30,10 @@ from thunderbolt_tpu.mesh.mesh import Mesh, ElementBlock
 from thunderbolt_tpu.mesh.generators import (
     generate_mesh,
     generate_ring_mesh,
+    generate_open_ring_mesh,
     generate_ideal_lv_mesh,
     generate_quadratic_ring_mesh,
+    generate_quadratic_open_ring_mesh,
     generate_quadratic_ideal_lv_mesh,
     elevate_to_quadratic,
 )
@@ -94,6 +96,9 @@ from thunderbolt_tpu.models.coordinates import (
     solve_laplace_nodal,
     compute_long_axis,
     fit_basal_plane,
+    LVAxes,
+    compute_lv_axes,
+    compute_lv_axes_from_plane,
     compute_relative_rotation,
 )
 from thunderbolt_tpu.models.microstructure import (
@@ -205,6 +210,8 @@ from thunderbolt_tpu.solver.time.controllers import (
 import thunderbolt_tpu.disc.mechanics  # registers semidiscretize(QuasiStaticModel)
 from thunderbolt_tpu.models.coupling import (
     RSAFDQ2022SurrogateVolume,
+    Hirschvogel2017SurrogateVolume,
+    ConstantChamberVolume,
     ChamberVolumeCoupling,
     LumpedFluidSolidCoupler,
     RSAFDQ2022Model,

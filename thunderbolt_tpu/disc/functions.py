@@ -124,6 +124,14 @@ class AffineSteadyStateFunction:
     rhs: Any
     constraints: Any
 
+    @property
+    def solution_size(self):
+        return self.dh.fields[self.field].ndofs
+
+    def variables(self) -> Dict[str, VariableInfo]:
+        fi = self.dh.fields[self.field]
+        return {self.field: VariableInfo(0, fi.ndofs, fi.entity_coords)}
+
     def solve(self, rtol=1e-10, atol=1e-12, maxiter=10000):
         """Direct steady solve: -K u = f with Dirichlet elimination +
         Jacobi-CG (the ``init(problem, solver)`` one-shot path of the

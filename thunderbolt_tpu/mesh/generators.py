@@ -320,6 +320,90 @@ def generate_ring_mesh(ne_c: int, ne_r: int, ne_l: int,
     return mesh
 
 
+def generate_open_ring_mesh(ne_c: int, ne_r: int, ne_l: int,
+                            opening_angle: float,
+                            inner_radius: float = 0.75,
+                            outer_radius: float = 1.0,
+                            longitudinal_lower: float = -0.2,
+                            longitudinal_upper: float = 0.2,
+                            apicobasal_tilt: float = 0.0) -> Mesh:
+    """Hexahedral ring with an azimuthal opening (cut along the x-z
+    plane), opened symmetrically by ``opening_angle``.
+
+    Parity: ``generate_open_ring_mesh`` (``src/mesh/generators.jl:132``).
+    Facetsets: Endocardium/Epicardium (inner/outer walls), Open1/Open2
+    (the two azimuthal cut faces at theta = 2*pi - opening_angle/2 and
+    theta = opening_angle/2), Base (z = longitudinal_upper), Myocardium
+    (z = longitudinal_lower); anchor nodesets MyocardialAnchor1-4.
+    ``longitudinal_*`` are the axial extent in z (lengths, not angles);
+    ``apicobasal_tilt`` shrinks the radius linearly with z as in the
+    reference (radius - tilt * z / max|z|).
+    """
+    nn_c, nn_r, nn_l = ne_c + 1, ne_r + 1, ne_l + 1
+    theta = np.linspace(opening_angle / 2, 2 * np.pi - opening_angle / 2,
+                        nn_c)
+    radius = np.linspace(inner_radius, outer_radius, nn_r)
+    zs = np.linspace(longitudinal_lower, longitudinal_upper, nn_l)
+    zden = max(np.abs(zs).max(), 1e-30)
+    nodes = []
+    for z in zs:
+        for r in radius:
+            rr = r - apicobasal_tilt * z / zden
+            for th in theta:
+                nodes.append([rr * np.cos(th), rr * np.sin(th), z])
+    nodes = np.asarray(nodes)
+
+    def nid(i, j, k):
+        return i + j * nn_c + k * nn_c * nn_r
+
+    cells = []
+    for k in range(ne_l):
+        for j in range(ne_r):
+            for i in range(ne_c):
+                cells.append([
+                    nid(i, j, k), nid(i, j + 1, k),
+                    nid(i + 1, j + 1, k), nid(i + 1, j, k),
+                    nid(i, j, k + 1), nid(i, j + 1, k + 1),
+                    nid(i + 1, j + 1, k + 1), nid(i + 1, j, k + 1),
+                ])
+    mesh = Mesh(nodes, [ElementBlock("hex8", np.asarray(cells, np.int32))])
+    b = mesh.blocks[0]
+    # tilt-aware parametric radius/angle of each node for classification
+    r_param = np.linalg.norm(nodes[:, :2], axis=1) \
+        + apicobasal_tilt * nodes[:, 2] / zden
+    th_node = np.mod(np.arctan2(nodes[:, 1], nodes[:, 0]), 2 * np.pi)
+    fsets = {"Endocardium": [], "Epicardium": [], "Open1": [],
+             "Open2": [], "Base": [], "Myocardium": []}
+    tol = 1e-8
+    for gc, lf in mesh.boundary_facets():
+        fac = b.element.facets[lf]
+        nids = b.connectivity[gc, list(fac)]
+        if np.all(np.abs(r_param[nids] - inner_radius) < tol):
+            fsets["Endocardium"].append((gc, lf))
+        elif np.all(np.abs(r_param[nids] - outer_radius) < tol):
+            fsets["Epicardium"].append((gc, lf))
+        elif np.all(np.abs(th_node[nids] - theta[-1]) < tol):
+            fsets["Open1"].append((gc, lf))
+        elif np.all(np.abs(th_node[nids] - theta[0]) < tol):
+            fsets["Open2"].append((gc, lf))
+        elif np.all(nodes[nids, 2] > longitudinal_upper - tol):
+            fsets["Base"].append((gc, lf))
+        else:
+            fsets["Myocardium"].append((gc, lf))
+    mesh.facetsets = {k: np.asarray(v, np.int64)
+                      for k, v in fsets.items() if v}
+    mesh.cellsets["Myocardium"] = np.arange(mesh.ncells, dtype=np.int64)
+    for k in mesh.facetsets:
+        mesh.nodesets[k] = mesh.nodes_of_facetset(k)
+    mesh.nodesets["MyocardialAnchor1"] = np.array([nid(0, 0, 0)])
+    mesh.nodesets["MyocardialAnchor2"] = np.array([nid(0, nn_r - 1, 0)])
+    mesh.nodesets["MyocardialAnchor3"] = np.array(
+        [nid(int(np.ceil(nn_c / 4)), 0, 0)])
+    mesh.nodesets["MyocardialAnchor4"] = np.array(
+        [nid(int(np.ceil(3 * nn_c / 4)), 0, 0)])
+    return mesh
+
+
 def generate_ideal_lv_mesh(ne_c: int, ne_r: int, ne_l: int,
                            inner_radius: float = 0.7,
                            outer_radius: float = 1.0,
@@ -408,6 +492,11 @@ def generate_ideal_lv_mesh(ne_c: int, ne_r: int, ne_l: int,
 def generate_quadratic_ring_mesh(*args, **kw):
     """Quadratic (hex27) ring — parity: ``generators.jl:251``."""
     return elevate_to_quadratic(generate_ring_mesh(*args, **kw))
+
+
+def generate_quadratic_open_ring_mesh(*args, **kw):
+    """Quadratic (hex27-family) open ring (``generators.jl:384``)."""
+    return elevate_to_quadratic(generate_open_ring_mesh(*args, **kw))
 
 
 def generate_quadratic_ideal_lv_mesh(*args, **kw):

@@ -189,6 +189,108 @@ def fit_basal_plane(mesh: Mesh, facetset: str = "Base"):
     return c, n / np.linalg.norm(n)
 
 
+@dataclass(frozen=True)
+class LVAxes:
+    """Anatomical frame of a left ventricle (``heart_axes.jl:23-42``):
+    ``longitudinal`` is the apex->base unit long axis; ``lateral`` and
+    ``anteroposterior`` complete a right-handed orthonormal frame
+    (anteroposterior = longitudinal x lateral); ``apex``/``base_center``
+    pin the axis line in space. On rotationally symmetric idealized
+    meshes, ``lateral`` is set by discretization noise, not anatomy."""
+    longitudinal: np.ndarray
+    lateral: np.ndarray
+    anteroposterior: np.ndarray
+    apex: np.ndarray
+    base_center: np.ndarray
+
+    @staticmethod
+    def from_directions(longitudinal, lateral, apex, base_center):
+        l = np.asarray(longitudinal, float)
+        l = l / np.linalg.norm(l)
+        r = np.asarray(lateral, float) - (np.asarray(lateral, float) @ l) * l
+        nr = np.linalg.norm(r)
+        if nr < 1e-8:
+            raise ValueError("LVAxes: lateral must not be collinear with "
+                             "longitudinal")
+        r = r / nr
+        return LVAxes(l, r, np.cross(l, r), np.asarray(apex, float),
+                      np.asarray(base_center, float))
+
+
+def _principal_short_axis(points, centroid, longitudinal):
+    """Dominant direction of the node cloud with the long axis projected
+    out; cardinal fallback on degeneracy (``heart_axes.jl:92-114``)."""
+    d = points - centroid
+    d = d - np.outer(d @ longitudinal, longitudinal)
+    cov = d.T @ d
+    w, V = np.linalg.eigh(cov)
+    cand = V[:, np.argmax(w)]
+    cand = cand - (cand @ longitudinal) * longitudinal
+    if np.linalg.norm(cand) < 1e-8:
+        fallback = np.array([1.0, 0.0, 0.0]) \
+            if abs(longitudinal[0]) < 0.9 else np.array([0.0, 1.0, 0.0])
+        cand = fallback - (fallback @ longitudinal) * longitudinal
+    return cand / np.linalg.norm(cand)
+
+
+def compute_lv_axes(mesh: Mesh, base: str = "Base", apex: str = None) \
+        -> LVAxes:
+    """Derive the LV anatomical frame from the mesh geometry
+    (``compute_lv_axes``, ``heart_axes.jl:139-185``): the basal plane is
+    the total-least-squares fit through the ``base`` facetset nodes
+    (normal oriented away from the bulk); the apex is the ``apex``
+    nodeset's centroid when given, else the node farthest below that
+    plane; the lateral axis comes from short-axis PCA."""
+    coords = mesh.nodes
+    if base not in mesh.facetsets:
+        raise ValueError(f"compute_lv_axes: facetset {base!r} not found")
+    base_pts = coords[mesh.nodes_of_facetset(base)]
+    base_center = base_pts.mean(axis=0)
+    _, _, Vt = np.linalg.svd(base_pts - base_center, full_matrices=False)
+    normal = Vt[-1]
+    centroid = coords.mean(axis=0)
+    if (base_center - centroid) @ normal < 0.0:
+        normal = -normal
+    if apex is not None:
+        apex_point = coords[mesh.nodeset(apex)].mean(axis=0)
+    else:
+        apex_point = coords[np.argmin((coords - base_center) @ normal)]
+    longitudinal = base_center - apex_point
+    nl = np.linalg.norm(longitudinal)
+    if nl < 1e-12:
+        raise ValueError("compute_lv_axes: apex and base center coincide")
+    longitudinal = longitudinal / nl
+    lateral = _principal_short_axis(coords, centroid, longitudinal)
+    return LVAxes.from_directions(longitudinal, lateral, apex_point,
+                                  base_center)
+
+
+def compute_lv_axes_from_plane(mesh: Mesh, plane_point, plane_normal) \
+        -> LVAxes:
+    """Plane form for meshes without basal annotation
+    (``heart_axes.jl:187-214``): the apex is the node farthest below the
+    supplied plane; ``base_center`` is the centroid of nodes within the
+    top 5% of the basal-distance range. ``plane_normal`` points from the
+    apex towards the base."""
+    coords = mesh.nodes
+    normal = np.asarray(plane_normal, float)
+    normal = normal / np.linalg.norm(normal)
+    signed = (coords - np.asarray(plane_point, float)) @ normal
+    apex_point = coords[np.argmin(signed)]
+    band = max((signed.max() - signed.min()) * 0.05, 1e-3)
+    base_pts = coords[signed >= signed.max() - band]
+    base_center = base_pts.mean(axis=0)
+    longitudinal = base_center - apex_point
+    nl = np.linalg.norm(longitudinal)
+    if nl < 1e-12:
+        raise ValueError("compute_lv_axes: apex and base center coincide")
+    longitudinal = longitudinal / nl
+    lateral = _principal_short_axis(coords, coords.mean(axis=0),
+                                    longitudinal)
+    return LVAxes.from_directions(longitudinal, lateral, apex_point,
+                                  base_center)
+
+
 def compute_lv_coordinate_system(mesh: Mesh) -> LVCoordinateSystem:
     """LV coordinates on a mesh with Endocardium/Epicardium/Base facetsets
     (``compute_lv_coordinate_system``, ``coordinate_systems.jl:886``):

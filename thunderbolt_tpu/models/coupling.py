@@ -38,6 +38,34 @@ class RSAFDQ2022SurrogateVolume:
 
 
 @dataclass(frozen=True)
+class Hirschvogel2017SurrogateVolume:
+    """V = -integral (x + d) . n da over the chamber surface (deformed
+    normal via Nanson, det(F) F^-T N) — Hirschvogel et al. 2017
+    (``fsi.jl:53-58``). Assumes a convex chamber closed by a valvular
+    plane at z = 0 with no apicobasal displacement there."""
+
+    def facet_volume(self, batch, uf, Xf):
+        """Volume contribution of ONE facet (differentiable in uf)."""
+        nda = batch.normal_da(Xf, uf)              # deformed normal*area
+        x = jnp.einsum("qb,bs->qs", batch.Ngeo, Xf)
+        d = jnp.einsum("qb,bs->qs", batch.N, uf)
+        return -jnp.sum(jnp.sum((x + d) * nda, axis=-1) * batch.wq)
+
+
+@dataclass(frozen=True)
+class ConstantChamberVolume:
+    """Locked chamber volume (``fsi.jl:33-41``): the volume 'integral' is
+    the given constant, so dV/du = 0 and the multiplier only transmits
+    pressure. Used with dummy circuits to pin a cavity volume."""
+    volume: float = 0.0
+
+    def facet_volume(self, batch, uf, Xf):
+        # constant split uniformly over facets; zero gradient by AD
+        return (jnp.asarray(self.volume, uf.dtype) / batch.nfacets
+                + 0.0 * jnp.sum(uf))
+
+
+@dataclass(frozen=True)
 class ChamberVolumeCoupling:
     """Couple a chamber surface facetset to a 0D chamber
     (``fsi.jl:4``)."""
