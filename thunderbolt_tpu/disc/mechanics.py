@@ -108,17 +108,25 @@ class QuasiStaticFunction:
     internal: Optional[List] = None
     internal_dt: Any = 1.0
     internal_t: Any = 0.0
+    #: per-batch materials (multi-subdomain mechanics, ``fem.jl:843-895``);
+    #: None = the single ``material`` serves every batch
+    materials: Optional[List] = None
 
     @property
     def solution_size(self):
         return self.dh.ndofs
+
+    def _material(self, i):
+        return self.materials[i] if self.materials is not None \
+            else self.material
 
     def newton_extra(self):
         if self.internal is None:
             return ()
         flat = []
         for st in self.internal:
-            flat.extend([st["Qprev"], st["lam_prev"]])
+            if st is not None:
+                flat.extend([st["Qprev"], st["lam_prev"]])
         flat.append(jnp.asarray(self.internal_dt))
         flat.append(jnp.asarray(self.internal_t))
         return tuple(flat)
@@ -129,10 +137,13 @@ class QuasiStaticFunction:
         out = []
         k = 0
         dt, t0 = extra[-2], extra[-1]
-        for _ in self.batches:
-            out.append({"Qprev": extra[k], "lam_prev": extra[k + 1],
-                        "dt": dt, "t": t0})
-            k += 2
+        for st in self.internal:
+            if st is None:
+                out.append(None)
+            else:
+                out.append({"Qprev": extra[k], "lam_prev": extra[k + 1],
+                            "dt": dt, "t": t0})
+                k += 2
         return out
 
     def update_internal_state(self, u, t, dt):
@@ -142,12 +153,17 @@ class QuasiStaticFunction:
             return
         ncomp = self.dh.fields[self.field].ncomponents
         new = []
-        for batch, cache, st in zip(self.batches, self.mat_caches,
-                                    self.internal):
+        for bi, (batch, cache, st) in enumerate(zip(self.batches,
+                                                    self.mat_caches,
+                                                    self.internal)):
+            if st is None:
+                new.append(None)
+                continue
+            material = self._material(bi)
             ue = batch.gather(u).reshape(batch.ncells, batch.nb, ncomp)
             F, _, _ = element_kinematics(batch, ue)
             frames = cache["frames"]
-            aux = self.material.aux(cache, t, {
+            aux = material.aux(cache, t, {
                 "Qprev": st["Qprev"], "lam_prev": st["lam_prev"],
                 "dt": jnp.asarray(dt), "t": jnp.asarray(t)})
             nc, nqp = F.shape[:2]
@@ -156,7 +172,7 @@ class QuasiStaticFunction:
                 a = {"Qprev": Qp, "lam_prev": lp, "Ca": Ca,
                      "dt": jnp.asarray(dt, Fq.dtype),
                      "t": jnp.asarray(t, Fq.dtype)}
-                Q, lam = self.material._condensed_state(Fq, frame, a)
+                Q, lam = material._condensed_state(Fq, frame, a)
                 return Q, lam
 
             flatF = F.reshape(nc * nqp, 3, 3)
@@ -181,12 +197,14 @@ class QuasiStaticFunction:
         ncomp = self.dh.fields[self.field].ncomponents
         r = jnp.zeros(self.dh.ndofs, u.dtype)
         states = self._states_from_extra(extra)
-        for batch, cache, st in zip(self.batches, self.mat_caches, states):
+        for bi, (batch, cache, st) in enumerate(zip(self.batches,
+                                                    self.mat_caches, states)):
+            material = self._material(bi)
             stress_only, _ = cache["kernels"]
             ue = batch.gather(u).reshape(batch.ncells, batch.nb, ncomp)
             F, dNdx, detJw = element_kinematics(batch, ue)
-            aux = self.material.aux(cache, t, st) if st is not None \
-                else self.material.aux(cache, t)
+            aux = material.aux(cache, t, st) if st is not None \
+                else material.aux(cache, t)
             P = stress_only(F, aux)
             re = jnp.einsum("cqiK,cqaK,cq->cai", P, dNdx, detJw)
             r = r + scatter_vector(re.reshape(batch.ncells, -1),
@@ -204,13 +222,15 @@ class QuasiStaticFunction:
         r = jnp.zeros(self.dh.ndofs, u.dtype)
         kvals = jnp.zeros(self.pattern.nnz, u.dtype)
         states = self._states_from_extra(extra)
-        for batch, cache, em, st in zip(self.batches, self.mat_caches,
-                                        self.volume_elem_maps, states):
+        for bi, (batch, cache, em, st) in enumerate(
+                zip(self.batches, self.mat_caches,
+                    self.volume_elem_maps, states)):
+            material = self._material(bi)
             _, stress_tangent = cache["kernels"]
             ue = batch.gather(u).reshape(batch.ncells, batch.nb, ncomp)
             F, dNdx, detJw = element_kinematics(batch, ue)
-            aux = self.material.aux(cache, t, st) if st is not None \
-                else self.material.aux(cache, t)
+            aux = material.aux(cache, t, st) if st is not None \
+                else material.aux(cache, t)
             P, A = stress_tangent(F, aux)
             re = jnp.einsum("cqiK,cqaK,cq->cai", P, dNdx, detJw)
             # the TANGENT contraction runs at default (bf16-pass) matmul
@@ -239,12 +259,14 @@ class QuasiStaticFunction:
         ncomp = self.dh.fields[self.field].ncomponents
         states = self._states_from_extra(extra)
         Kes, res = [], []
-        for batch, cache, st in zip(self.batches, self.mat_caches, states):
+        for bi, (batch, cache, st) in enumerate(zip(self.batches,
+                                                    self.mat_caches, states)):
+            material = self._material(bi)
             _, stress_tangent = cache["kernels"]
             ue = batch.gather(u).reshape(batch.ncells, batch.nb, ncomp)
             F, dNdx, detJw = element_kinematics(batch, ue)
-            aux = self.material.aux(cache, t, st) if st is not None \
-                else self.material.aux(cache, t)
+            aux = material.aux(cache, t, st) if st is not None \
+                else material.aux(cache, t)
             P, A = stress_tangent(F, aux)
             re = jnp.einsum("cqiK,cqaK,cq->cai", P, dNdx, detJw)
             # the TANGENT contraction runs at default (bf16-pass) matmul
@@ -335,7 +357,8 @@ def _(model: ElastodynamicsModel, disc: FiniteElementDiscretization,
                          model.rho, ncomp, disc.dtype)
     fne = ElastodynamicsFunction(
         dh=fn.dh, field=fn.field, pattern=fn.pattern, batches=fn.batches,
-        material=fn.material, mat_caches=fn.mat_caches,
+        material=fn.material, materials=fn.materials,
+        mat_caches=fn.mat_caches,
         wbc_kernels=fn.wbc_kernels, constraints=fn.constraints,
         volume_elem_maps=fn.volume_elem_maps,
         M=csr_to_ell(fn.pattern, mvals), mass_vals=mvals, rho=model.rho)
@@ -364,24 +387,26 @@ def _(model: ElastodynamicsModel, disc: FiniteElementDiscretization,
     return fne
 
 
-@semidiscretize.register
-def _(model: QuasiStaticModel, disc: FiniteElementDiscretization, mesh: Mesh):
-    sym = model.displacement_symbol
-    spec = disc.field_spec(sym)
+def _build_quasistatic(sym, dh, disc, mesh, sub_mats, face_models):
+    """Shared assembly for single- and multi-subdomain quasi-static
+    mechanics. ``sub_mats`` is a list of (SubDofData, material) pairs —
+    one FormBatch per entry, with that entry's material driving the
+    stress/tangent kernels (parity: the per-subdomain ``NonlinearIntegrator``
+    map of ``fem.jl:843-895``)."""
     ncomp = mesh.sdim
-    dh = DofHandler(mesh).add_field(sym, order=spec.order, ncomponents=ncomp,
-                                    subdomains=spec.subdomains).close()
     dtype = disc.dtype
-    subs = dh.subdata(sym)
+    subs = [s for s, _ in sub_mats]
+    materials = [m for _, m in sub_mats]
     batches = [make_form_batch(dh, s, degree=disc.degree_for(sym),
                                dtype=dtype).precompute_geometry()
                for s in subs]
 
-    material = model.material_model
-    stateful = getattr(material, "has_internal_state", False)
+    any_stateful = any(getattr(m, "has_internal_state", False)
+                       for m in materials)
     mat_caches = []
-    internal = [] if stateful else None
-    for batch in batches:
+    internal = [] if any_stateful else None
+    for batch, material in zip(batches, materials):
+        stateful = getattr(material, "has_internal_state", False)
         cache = material.setup(batch)
         if stateful:
             st0 = material.internal_template(batch)
@@ -390,6 +415,8 @@ def _(model: QuasiStaticModel, disc: FiniteElementDiscretization, mesh: Mesh):
                 "Qprev": st0["Qprev"], "lam_prev": st0["lam_prev"],
                 "dt": jnp.asarray(1.0), "t": jnp.asarray(0.0)})
         else:
+            if any_stateful:
+                internal.append(None)
             aux0 = material.aux(cache, 0.0)
         cache["kernels"] = make_material_kernels(
             material, cache["frames"], tuple(aux0.keys()))
@@ -397,7 +424,7 @@ def _(model: QuasiStaticModel, disc: FiniteElementDiscretization, mesh: Mesh):
 
     # weak BCs: facet batches + their dof tables feed the sparsity union
     wbc_setups = []
-    for bc in model.face_models:
+    for bc in face_models:
         wcache = bc.setup(dh, sym, dtype)
         wbc_setups.append((bc, wcache))
 
@@ -413,11 +440,13 @@ def _(model: QuasiStaticModel, disc: FiniteElementDiscretization, mesh: Mesh):
                             jnp.asarray(em)))
 
     ch = close_constraints(dh, disc.dbcs, dtype=dtype)
+    distinct = len(set(id(m) for m in materials)) > 1
     fnq = QuasiStaticFunction(
         dh=dh, field=sym, pattern=pattern, batches=batches,
-        material=material, mat_caches=mat_caches, wbc_kernels=wbc_kernels,
+        material=materials[0], mat_caches=mat_caches,
+        wbc_kernels=wbc_kernels,
         constraints=ch, volume_elem_maps=volume_elem_maps,
-        internal=internal)
+        internal=internal, materials=materials if distinct else None)
     # scatter-free BlockDIA assembly plan (lattice meshes); P1 only —
     # higher orders have edge/face entities breaking the node-block layout
     if all(dh.fields[f].order == 1 for f in dh.fields):
@@ -429,3 +458,71 @@ def _(model: QuasiStaticModel, disc: FiniteElementDiscretization, mesh: Mesh):
         fnq._lattice_plan = build_lattice_plan(
             ent_tables, dh.ndofs // ncomp, ncomp)
     return fnq
+
+
+@semidiscretize.register
+def _(model: QuasiStaticModel, disc: FiniteElementDiscretization, mesh: Mesh):
+    sym = model.displacement_symbol
+    spec = disc.field_spec(sym)
+    dh = DofHandler(mesh).add_field(sym, order=spec.order,
+                                    ncomponents=mesh.sdim,
+                                    subdomains=spec.subdomains).close()
+    sub_mats = [(s, model.material_model) for s in dh.subdata(sym)]
+    return _build_quasistatic(sym, dh, disc, mesh, sub_mats,
+                              model.face_models)
+
+
+@semidiscretize.register
+def _(models: dict, disc: FiniteElementDiscretization, mesh: Mesh):
+    if all(isinstance(m, QuasiStaticModel) for m in models.values()):
+        return semidiscretize_multidomain_mechanics(models, disc, mesh)
+    raise NotImplementedError(
+        "dict semidiscretize supports Dict[str, QuasiStaticModel]; "
+        "per-subdomain EP models go through ReactionDiffusionSplit")
+
+
+def semidiscretize_multidomain_mechanics(
+        models: Dict[str, QuasiStaticModel],
+        disc: FiniteElementDiscretization, mesh: Mesh):
+    """Dict of cellset-name -> QuasiStaticModel: one displacement field over
+    the union of the named cellsets, each subdomain assembled with its own
+    material (parity: ``semidiscretize(Dict{String,QuasiStaticModel}, ...)``,
+    ``src/discretization/fem.jl:843-895``). Subdomains must be disjoint and
+    all models must share the displacement symbol."""
+    names = list(models.keys())
+    syms = {m.displacement_symbol for m in models.values()}
+    if len(syms) != 1:
+        raise ValueError(
+            f"all models in a domain split must share the same displacement "
+            f"symbol, got {syms}")
+    sym = syms.pop()
+    seen = {}
+    for name in names:
+        for c in np.asarray(mesh.cellset(name)).tolist():
+            if c in seen:
+                raise ValueError(
+                    f"subdomains must be disjoint: cell {c} is in both "
+                    f"'{seen[c]}' and '{name}'")
+            seen[c] = name
+
+    dh = DofHandler(mesh).add_field(
+        sym, order=disc.field_spec(sym).order, ncomponents=mesh.sdim,
+        subdomains=tuple(names)).close()
+
+    import dataclasses as _dc
+    sub_mats = []
+    for name in names:
+        cells_in = set(np.asarray(mesh.cellset(name)).tolist())
+        mat = models[name].material_model
+        for s in dh.subdata(sym):
+            mask = np.isin(np.asarray(s.cells), list(cells_in))
+            if not mask.any():
+                continue
+            s_sub = _dc.replace(
+                s, cells=s.cells[mask], local_cells=s.local_cells[mask],
+                cell_dofs=s.cell_dofs[mask],
+                cell_entities=s.cell_entities[mask])
+            sub_mats.append((s_sub, mat))
+
+    face_models = tuple(bc for m in models.values() for bc in m.face_models)
+    return _build_quasistatic(sym, dh, disc, mesh, sub_mats, face_models)

@@ -454,25 +454,29 @@ def shard_quasistatic_function(fn, mesh: Mesh, axis: str = "shard"):
         # the stress/tangent kernels close over `frames`; rebuild them for
         # the padded, sharded arrays
         from thunderbolt_tpu.disc.mechanics import make_material_kernels
-        if fn.internal is not None:
-            aux0 = fn.material.aux(cache, 0.0, {
-                "Qprev": fn.internal[i]["Qprev"],
-                "lam_prev": fn.internal[i]["lam_prev"],
+        material = fn._material(i)
+        st_i = fn.internal[i] if fn.internal is not None else None
+        if st_i is not None:
+            aux0 = material.aux(cache, 0.0, {
+                "Qprev": st_i["Qprev"], "lam_prev": st_i["lam_prev"],
                 "dt": jnp.asarray(1.0), "t": jnp.asarray(0.0)})
         else:
-            aux0 = fn.material.aux(cache, 0.0)
+            aux0 = material.aux(cache, 0.0)
         cache["kernels"] = make_material_kernels(
-            fn.material, cache["frames"], tuple(aux0.keys()))
+            material, cache["frames"], tuple(aux0.keys()))
         new_caches.append(cache)
         if fn.internal is not None:
-            st = fn.internal[i]
-            st2 = {}
-            for k, v in st.items():
-                if v.shape[0] == nc0 and npad:
-                    v = jnp.concatenate(
-                        [v, jnp.broadcast_to(v[-1:], (npad,) + v.shape[1:])])
-                st2[k] = shard_rows(v)
-            new_internal.append(st2)
+            if st_i is None:
+                new_internal.append(None)
+            else:
+                st2 = {}
+                for k, v in st_i.items():
+                    if v.shape[0] == nc0 and npad:
+                        v = jnp.concatenate(
+                            [v, jnp.broadcast_to(v[-1:],
+                                                 (npad,) + v.shape[1:])])
+                    st2[k] = shard_rows(v)
+                new_internal.append(st2)
     out.batches = new_batches
     out.mat_caches = new_caches
     if fn.internal is not None:
