@@ -29,6 +29,7 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 from thunderbolt_tpu.mesh.mesh import Mesh, ElementBlock
 from thunderbolt_tpu.mesh.generators import (
     generate_mesh,
+    generate_simple_disc_mesh,
     generate_ring_mesh,
     generate_open_ring_mesh,
     generate_ideal_lv_mesh,

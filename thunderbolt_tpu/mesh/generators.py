@@ -175,6 +175,26 @@ def generate_mesh(celltype: str, dims, corner_min=None, corner_max=None) -> Mesh
     return _box_facetsets(mesh, cmin, cmax)
 
 
+def generate_simple_disc_mesh(n: int, radius: float = 1.0) -> Mesh:
+    """Quad fan disc: 2n rim nodes + a center node, n quadrilaterals, all
+    sharing the center (parity: ``generate_simple_disc_mesh``,
+    ``src/mesh/generators.jl:944-966``). Facetset ``boundary`` = the rim."""
+    th = np.pi / n * np.arange(2 * n)
+    # reference starts at (0, radius) and rotates; rotate((0,r), a) =
+    # (-r sin a, r cos a)
+    rim = np.stack([-radius * np.sin(th), radius * np.cos(th)], axis=1)
+    nodes = np.vstack([rim, [[0.0, 0.0]]])
+    center = 2 * n
+    cells = [[2 * i, 2 * i + 1, (2 * i + 2) % (2 * n), center]
+             for i in range(n)]
+    mesh = Mesh(nodes, [ElementBlock("quad4",
+                                     np.asarray(cells, dtype=np.int32))])
+    mesh.facetsets["boundary"] = np.asarray(mesh.boundary_facets(),
+                                            dtype=np.int64)
+    mesh.nodesets["boundary"] = mesh.nodes_of_facetset("boundary")
+    return mesh
+
+
 # ---------------------------------------------------------------------------
 # quadratic elevation
 # ---------------------------------------------------------------------------
