@@ -346,3 +346,34 @@ class DofHandler:
             if int(n) in nodemap:
                 out.append(fi.offset + nodemap[int(n)] * fi.ncomponents + component)
         return np.unique(np.asarray(out, dtype=np.int64))
+
+
+def field_dof_mapping(dh_src: "DofHandler", field_src: str,
+                      dh_dst: "DofHandler", field_dst: str) -> np.ndarray:
+    """For every dof of ``field_src`` (in ``dh_src``'s layout), the global
+    index of the matching ``field_dst`` dof in ``dh_dst``'s solution vector:
+    ``u_small = u_big[mapping]`` gathers the field out of the bigger handler
+    and ``u_big[mapping] = u_small`` scatters it back. This is the stage
+    wiring a Newmark-style solver uses to view a displacement living in a
+    (d, v) handler (parity: ``field_dof_mapping`` / ``SolutionVectorMapping``,
+    ``test/test_solution_vector_mapping.jl``).
+
+    Both fields must have the same interpolation (order, components,
+    subdomains); entities are matched by identical deterministic numbering,
+    validated by entity node ids and coordinates."""
+    fs, fd = dh_src.fields[field_src], dh_dst.fields[field_dst]
+    if (fs.order, fs.ncomponents) != (fd.order, fd.ncomponents):
+        raise ValueError(
+            f"field interpolations differ: {field_src} is order {fs.order} "
+            f"x{fs.ncomponents}, {field_dst} is order {fd.order} "
+            f"x{fd.ncomponents}")
+    if fs.nentities != fd.nentities:
+        raise ValueError(
+            f"fields cover different entity sets ({fs.nentities} vs "
+            f"{fd.nentities} entities) — same subdomains required")
+    if not (np.array_equal(fs.entity_nodes, fd.entity_nodes)
+            and np.allclose(fs.entity_coords, fd.entity_coords)):
+        raise ValueError("entity numbering mismatch between handlers")
+    ent = np.arange(fd.nentities, dtype=np.int64)
+    comp = np.arange(fd.ncomponents, dtype=np.int64)
+    return (fd.offset + ent[:, None] * fd.ncomponents + comp[None, :]).ravel()
