@@ -49,13 +49,32 @@ class Integrator:
         self.u = u0
         self.u0 = u0
         self.stats = IntegratorStats()
-        self._step = alg.make_step(fn, self.dt)
-        self._advance = jax.jit(self._make_advance())
-        #: remainder-dt step closures for save times off the dt grid
-        #: (tstop fitting, ref ``diffeq-interface.jl:226`` step_header!);
-        #: keyed on the rounded remainder so a regular saveat grid
-        #: compiles its partial step once
-        self._partial_steps = {}
+        # (alg, dt)-keyed jit cache on the function object: a fresh
+        # Integrator over the same (fn, alg, dt) reuses the compiled
+        # advance instead of re-tracing (remote TPU compiles are 20-90 s
+        # and uncached, so retrace-per-init is a real cost). Solver algs
+        # are frozen dataclasses of scalars -> hashable; anything
+        # unhashable just skips the cache.
+        try:
+            key = (type(alg), alg, round(self.dt, 12))
+            hash(key)
+        except TypeError:
+            key = None
+        cache = fn.__dict__.setdefault("_integ_jit_cache", {}) \
+            if key is not None and hasattr(fn, "__dict__") else None
+        if cache is not None and key in cache:
+            self._step, self._advance, self._partial_steps = cache[key]
+        else:
+            self._step = alg.make_step(fn, self.dt)
+            self._advance = jax.jit(self._make_advance())
+            #: remainder-dt step closures for save times off the dt grid
+            #: (tstop fitting, ref ``diffeq-interface.jl:226``
+            #: step_header!); keyed on the rounded remainder so a regular
+            #: saveat grid compiles its partial step once
+            self._partial_steps = {}
+            if cache is not None:
+                cache[key] = (self._step, self._advance,
+                              self._partial_steps)
 
     def _make_advance(self):
         step = self._step
