@@ -178,3 +178,31 @@ def test_pallas_dia_matches_xla():
     y_ref = A.mv(x)
     y_pal = dia_mv_pallas(A, x, interpret=True)
     assert np.allclose(np.asarray(y_pal), np.asarray(y_ref), atol=1e-5)
+
+
+def test_sym_dia_matches_full():
+    """SymDIAMatrix (half-traffic symmetric storage) reproduces the full
+    DIA SpMV and axpby exactly; asymmetric operators are rejected."""
+    mesh = generate_mesh("quad4", (12, 12))
+    dh, sub, batch, pattern = setup_scalar(mesh)
+    from thunderbolt_tpu.fem.sparsity import csr_to_dia, dia_to_symmetric
+    Ke = element_diffusion(batch, D=1.0)
+    kv = scatter_matrix(Ke, jnp.asarray(pattern.elem_maps[0]), pattern.nnz)
+    Me = element_mass(batch)
+    mv_ = scatter_matrix(Me, jnp.asarray(pattern.elem_maps[0]), pattern.nnz)
+    K = csr_to_dia(pattern, kv)
+    M = csr_to_dia(pattern, mv_)
+    Ks, Ms = dia_to_symmetric(K), dia_to_symmetric(M)
+    assert Ks is not None and Ms is not None
+    assert Ks.offsets[0] == 0 and all(d >= 0 for d in Ks.offsets)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=dh.ndofs))
+    assert np.allclose(np.asarray(Ks.mv(x)), np.asarray(K.mv(x)), atol=1e-12)
+    assert np.allclose(np.asarray(Ms.diagonal()), np.asarray(M.diagonal()))
+    A = M.axpby(1.0, K, -0.01)
+    As = Ms.axpby(1.0, Ks, -0.01)
+    assert np.allclose(np.asarray(As.mv(x)), np.asarray(A.mv(x)), atol=1e-12)
+    # an asymmetric in-band perturbation must be rejected (A[0,1] != A[1,0])
+    kp = K.offsets.index(1)
+    bad = type(K)(K.offsets, K.diags.at[kp, 0].add(1.0), K.n)
+    assert dia_to_symmetric(bad) is None

@@ -95,13 +95,36 @@ class BackwardEulerSolver:
     use_pallas: bool = False
 
     def _ops(self, fn):
-        """Prefer the DIA fast path (no gathers) when available."""
+        """Prefer the DIA fast path (no gathers) when available; upgrade a
+        symmetric DIA pair to half-traffic SymDIA storage (measured 1.36x /
+        1.75x on the 512^2 / 1024^2 Chebyshev chains — fem/sparsity.py)."""
         if fn.M_dia is not None and fn.constraints is None:
+            sym = fn.__dict__.get("_sym_dia_ops", "unset")
+            if sym == "unset":
+                from thunderbolt_tpu.fem.sparsity import dia_to_symmetric
+                Ms = dia_to_symmetric(fn.M_dia)
+                Ks = dia_to_symmetric(fn.K_dia) if Ms is not None else None
+                # axpby needs matching offset sets
+                sym = (Ms, Ks) if (Ks is not None
+                                   and Ms.offsets == Ks.offsets) else None
+                fn.__dict__["_sym_dia_ops"] = sym
+            if sym is not None:
+                return sym
             return fn.M_dia, fn.K_dia
         return fn.M, fn.K
 
     def _bidomain_ops(self, fn):
         if fn.M_dia is not None:
+            sym = fn.__dict__.get("_sym_dia_ops", "unset")
+            if sym == "unset":
+                from thunderbolt_tpu.fem.sparsity import dia_to_symmetric
+                parts = [dia_to_symmetric(a) for a in
+                         (fn.M_dia, fn.K_i_dia, fn.K_e_dia)]
+                sym = tuple(parts) if all(p is not None for p in parts) \
+                    else None
+                fn.__dict__["_sym_dia_ops"] = sym
+            if sym is not None:
+                return sym
             return fn.M_dia, fn.K_i_dia, fn.K_e_dia
         return fn.M, fn.K_i, fn.K_e
 
