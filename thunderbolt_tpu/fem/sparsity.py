@@ -333,11 +333,10 @@ def csr_to_dia(pattern: SparsityPattern, csr_vals, dtype=None,
     if dtype is None:
         dtype = csr_vals.dtype
     n = pattern.ndofs
-    off_index = {int(d): k for k, d in enumerate(offs)}
     # flat position of each CSR slot inside the [ndiag, n] value array
-    slot_diag = np.asarray([off_index[int(c) - int(r)]
-                            for r, c in zip(pattern.rows, pattern.indices)],
-                           dtype=np.int64)
+    # (offs is sorted unique, so searchsorted IS the offset index)
+    d = pattern.indices.astype(np.int64) - pattern.rows.astype(np.int64)
+    slot_diag = np.searchsorted(offs, d)
     pos = slot_diag * n + pattern.rows.astype(np.int64)
     flat = jnp.zeros((offs.size * n,), dtype)
     flat = flat.at[jnp.asarray(pos)].set(csr_vals.astype(dtype))

@@ -89,83 +89,67 @@ def generate_mesh(celltype: str, dims, corner_min=None, corner_max=None) -> Mesh
 
     nodes, shape = _grid_nodes(dims, cmin, cmax)
     nid = _nid(shape)
-    cells = []
+    # bulk cell tables: nid() is pure index arithmetic, so feeding it whole
+    # index grids builds every cell's connectivity in a handful of numpy
+    # ops (the per-cell Python loops were the setup bottleneck at 1M cells)
+    IJ = np.meshgrid(*[np.arange(d) for d in dims], indexing="ij")
+    IJ = [a.ravel() for a in IJ]  # cell order = i-major lexicographic
+
+    def corners(*deltas):
+        """[ncells, len(deltas)] node ids at the given index offsets."""
+        return np.stack([nid(*[a + d for a, d in zip(IJ, ds)])
+                         for ds in deltas], axis=1)
+
     if base == "line2":
-        for i in range(dims[0]):
-            cells.append([nid(i), nid(i + 1)])
+        cells = corners((0,), (1,))
     elif base == "quad4":
-        for i in range(dims[0]):
-            for j in range(dims[1]):
-                cells.append([nid(i, j), nid(i + 1, j),
-                              nid(i + 1, j + 1), nid(i, j + 1)])
+        cells = corners((0, 0), (1, 0), (1, 1), (0, 1))
     elif base == "tri3":
-        for i in range(dims[0]):
-            for j in range(dims[1]):
-                ll, lr = nid(i, j), nid(i + 1, j)
-                ur, ul = nid(i + 1, j + 1), nid(i, j + 1)
-                cells.append([ll, lr, ur])
-                cells.append([ll, ur, ul])
+        q = corners((0, 0), (1, 0), (1, 1), (0, 1))  # ll lr ur ul
+        cells = np.stack([q[:, [0, 1, 2]], q[:, [0, 2, 3]]],
+                         axis=1).reshape(-1, 3)
     elif base == "hex8":
-        for i in range(dims[0]):
-            for j in range(dims[1]):
-                for k in range(dims[2]):
-                    cells.append([
-                        nid(i, j, k), nid(i + 1, j, k),
-                        nid(i + 1, j + 1, k), nid(i, j + 1, k),
-                        nid(i, j, k + 1), nid(i + 1, j, k + 1),
-                        nid(i + 1, j + 1, k + 1), nid(i, j + 1, k + 1),
-                    ])
+        cells = corners((0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+                        (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1))
     elif base == "tet4":
         # Kuhn 6-tet subdivision (conformal across cells)
-        perms = [(0, 1, 2), (0, 2, 1), (1, 0, 2), (1, 2, 0), (2, 0, 1), (2, 1, 0)]
-        for i in range(dims[0]):
-            for j in range(dims[1]):
-                for k in range(dims[2]):
-                    for p in perms:
-                        vs = [np.array([0, 0, 0])]
-                        for ax in p:
-                            v = vs[-1].copy()
-                            v[ax] += 1
-                            vs.append(v)
-                        tet = [nid(i + v[0], j + v[1], k + v[2]) for v in vs]
-                        # fix orientation (positive volume)
-                        pts = nodes[tet]
-                        vol = np.linalg.det(pts[1:] - pts[0])
-                        if vol < 0:
-                            tet[1], tet[2] = tet[2], tet[1]
-                        cells.append(tet)
+        perms = [(0, 1, 2), (0, 2, 1), (1, 0, 2), (1, 2, 0), (2, 0, 1),
+                 (2, 1, 0)]
+        tets = []
+        for p in perms:
+            vs = [np.array([0, 0, 0])]
+            for ax in p:
+                v = vs[-1].copy()
+                v[ax] += 1
+                vs.append(v)
+            tets.append(corners(*[tuple(v) for v in vs]))
+        cells = np.stack(tets, axis=1).reshape(-1, 4)  # [nc*6, 4]
+        # fix orientation (positive volume), batched
+        pts = nodes[cells]
+        vol = np.linalg.det(pts[:, 1:] - pts[:, :1])
+        flip = vol < 0
+        cells[flip] = cells[flip][:, [0, 2, 1, 3]]
     elif base == "wedge6":
         # each hex column cell -> two prisms split along the xy diagonal
-        for i in range(dims[0]):
-            for j in range(dims[1]):
-                for k in range(dims[2]):
-                    ll, lr = nid(i, j, k), nid(i + 1, j, k)
-                    ur, ul = nid(i + 1, j + 1, k), nid(i, j + 1, k)
-                    tl, tr = nid(i, j, k + 1), nid(i + 1, j, k + 1)
-                    tur, tul = nid(i + 1, j + 1, k + 1), nid(i, j + 1, k + 1)
-                    cells.append([ll, lr, ur, tl, tr, tur])
-                    cells.append([ll, ur, ul, tl, tur, tul])
+        h = corners((0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+                    (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1))
+        cells = np.stack([h[:, [0, 1, 2, 4, 5, 6]],
+                          h[:, [0, 2, 3, 4, 6, 7]]], axis=1).reshape(-1, 6)
     elif base == "pyramid5":
         # each hex cell -> 6 pyramids: base = hex face (inward-oriented so
         # the base normal points at the apex), apex = new centroid node.
         # Shared quad faces conform across cells.
         hex_el = get_element("hex8")
-        centroids = []
-        for i in range(dims[0]):
-            for j in range(dims[1]):
-                for k in range(dims[2]):
-                    corners = [
-                        nid(i, j, k), nid(i + 1, j, k),
-                        nid(i + 1, j + 1, k), nid(i, j + 1, k),
-                        nid(i, j, k + 1), nid(i + 1, j, k + 1),
-                        nid(i + 1, j + 1, k + 1), nid(i, j + 1, k + 1),
-                    ]
-                    apex = nodes.shape[0] + len(centroids)
-                    centroids.append(nodes[corners].mean(axis=0))
-                    for fac in hex_el.facets:
-                        cells.append([corners[v] for v in reversed(fac)]
-                                     + [apex])
-        nodes = np.vstack([nodes, np.asarray(centroids)])
+        h = corners((0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+                    (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1))
+        nc = h.shape[0]
+        apex = nodes.shape[0] + np.arange(nc, dtype=np.int64)
+        centroids = nodes[h].mean(axis=1)
+        pyr = [np.concatenate(
+            [h[:, list(reversed(fac))], apex[:, None]], axis=1)
+            for fac in hex_el.facets]
+        cells = np.stack(pyr, axis=1).reshape(-1, 5)
+        nodes = np.vstack([nodes, centroids])
     else:
         raise KeyError(celltype)
 

@@ -126,19 +126,40 @@ class Mesh:
         return np.unique(np.asarray(out, dtype=np.int64))
 
     def boundary_facets(self) -> np.ndarray:
-        """All (global_cell, local_facet) pairs on the mesh boundary."""
-        key_to_facet = {}
-        counts = {}
+        """All (global_cell, local_facet) pairs on the mesh boundary.
+
+        Vectorized: every facet's sorted corner tuple (padded to a common
+        width with -1, appended AFTER sorting so facets of different node
+        counts never collide) is deduplicated in one lexsort; facets whose
+        key appears exactly once are boundary."""
+        wmax = max(len(f) for b in self.blocks for f in b.element.facets)
+        keys, pairs = [], []
         for b in self.blocks:
             el = b.element
             for lf, fac in enumerate(el.facets):
-                fnodes = b.connectivity[:, list(fac)]
-                for lc in range(b.ncells):
-                    key = tuple(sorted(fnodes[lc].tolist()))
-                    counts[key] = counts.get(key, 0) + 1
-                    key_to_facet.setdefault(key, (b.cell_offset + lc, lf))
-        out = [v for k, v in key_to_facet.items() if counts[k] == 1]
-        return np.asarray(sorted(out), dtype=np.int64).reshape(-1, 2)
+                fn = np.sort(b.connectivity[:, list(fac)].astype(np.int64),
+                             axis=1)
+                if fn.shape[1] < wmax:
+                    fn = np.concatenate(
+                        [fn, np.full((fn.shape[0], wmax - fn.shape[1]), -1,
+                                     dtype=np.int64)], axis=1)
+                keys.append(fn)
+                gc = b.cell_offset + np.arange(b.ncells, dtype=np.int64)
+                pairs.append(np.stack(
+                    [gc, np.full(b.ncells, lf, dtype=np.int64)], axis=1))
+        if not keys:
+            return np.zeros((0, 2), dtype=np.int64)
+        keys = np.concatenate(keys)
+        pairs = np.concatenate(pairs)
+        order = np.lexsort(keys.T[::-1])
+        ks = keys[order]
+        new = np.ones(len(ks), dtype=bool)
+        new[1:] = (ks[1:] != ks[:-1]).any(axis=1)
+        grp = np.cumsum(new) - 1
+        cnt = np.bincount(grp)
+        single = cnt[grp] == 1
+        out = pairs[order][single]
+        return out[np.lexsort((out[:, 1], out[:, 0]))]
 
 
 def facet_nodes(el, local_facet: int, cell_conn: np.ndarray):
