@@ -122,3 +122,66 @@ def test_quadratic_open_ring_mesh():
     assert m.blocks[0].celltype == "hex27"
     assert m.ncells == 4 * 2 * 2
     assert "Open1" in m.facetsets and "Open2" in m.facetsets
+
+
+# --- surface extraction + geometry tools (ref test_mesh.jl:140-156) ---------
+
+def test_surface_extraction_box():
+    box = generate_mesh("hex8", (4, 4, 4))
+    s = tb.extract_outer_surface_mesh(box)
+    assert s.ncells == 6 * 16                    # 6 faces x 4x4 quads
+    assert s.nnodes == 5 ** 3 - 3 ** 3           # all but interior nodes
+    assert s.elementtypes() == ("quad4",)
+    # facetsets become surface cellsets of the right cardinality
+    for name in ("left", "right", "top", "bottom", "front", "back"):
+        assert len(s.cellsets[name]) == 16
+    # surface cells are geometrically on the boundary
+    for b in s.blocks:
+        X = s.nodes[b.connectivity]              # [nc, 4, 3]
+        on_bdy = np.isclose(X, 0.0) | np.isclose(X, 1.0)
+        assert np.all(on_bdy.any(axis=2).all(axis=1))
+
+
+def test_surface_extraction_lv():
+    # reference expected counts (test/test_mesh.jl:140-150) reproduced by
+    # our hex-plug LV: apex quads collapse to tri3 shells
+    lv = generate_ideal_lv_mesh(4, 2, 2)
+    s = tb.extract_outer_surface_mesh(lv)
+    assert len(s.cellsets) == 3
+    assert len(s.cellsets["Epicardium"]) == 3 * 4
+    assert len(s.cellsets["Endocardium"]) == 3 * 4
+    assert len(s.cellsets["Base"]) == 4 * 2
+    assert s.nnodes == 2 + 3 * 2 * 4 + 4
+    assert s.ncells == 2 * 4 + 2 * 4 * (2 + 1)
+    assert set(s.elementtypes()) == {"quad4", "tri3"}
+
+
+def test_surface_extraction_subdomain_and_quadratic():
+    box = generate_mesh("hex8", (4, 4, 4))
+    box.cellsets["half"] = np.arange(box.ncells // 2)
+    s = tb.extract_outer_surface_mesh(box, subdomains=["half"])
+    # 4x4x2 slab: 2 big faces (16 each) + 4 side slabs (8 each)
+    assert s.ncells == 2 * 16 + 4 * 8
+    assert "right" not in s.cellsets             # cut plane is not 'right'
+    q = tb.generate_quadratic_ring_mesh(5, 3, 3)
+    sq = tb.extract_outer_surface_mesh(q)
+    assert sq.elementtypes() == ("quad9",)
+    assert len(sq.cellsets["Endocardium"]) == 5 * 3
+
+
+def test_geometry_tools_centers():
+    # ref test_mesh.jl:152-156 — ring centers vanish in x,y by symmetry
+    ring = generate_ring_mesh(5, 4, 4)
+    zmid = 0.5 * (ring.nodes[:, 2].min() + ring.nodes[:, 2].max())
+    com = tb.compute_center_of_mass(ring)
+    assert np.allclose(com[:2], 0.0, atol=1e-12)
+    assert np.isclose(com[2], zmid, atol=1e-12)
+    cos = tb.compute_center_of_surface(ring, "Endocardium")
+    assert np.allclose(cos[:2], 0.0, atol=1e-12)
+    assert np.isclose(cos[2], zmid, atol=1e-12)
+    # exact volume centroid on the unit box, full and half domain
+    box = generate_mesh("hex8", (4, 4, 4))
+    assert np.allclose(tb.compute_center_of_mass(box), [0.5, 0.5, 0.5])
+    box.cellsets["half"] = np.arange(box.ncells // 2)
+    assert np.allclose(tb.compute_center_of_mass(box, "half"),
+                       [0.25, 0.5, 0.5])

@@ -44,6 +44,9 @@ from thunderbolt_tpu.mesh.tools import (
     load_mfem_grid,
     load_carp_grid,
     load_voom2_grid,
+    extract_outer_surface_mesh,
+    compute_center_of_mass,
+    compute_center_of_surface,
 )
 from thunderbolt_tpu.fem.points import (
     PointEvalHandler,

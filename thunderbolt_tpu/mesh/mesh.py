@@ -125,28 +125,42 @@ class Mesh:
             out.extend(facet_nodes(el, int(lf), b.connectivity[lc]))
         return np.unique(np.asarray(out, dtype=np.int64))
 
-    def boundary_facets(self) -> np.ndarray:
+    def boundary_facets(self, cells: Optional[np.ndarray] = None) -> np.ndarray:
         """All (global_cell, local_facet) pairs on the mesh boundary.
+
+        ``cells`` (optional) restricts the facet census to a subset of
+        global cell indices — the result is then the boundary of that
+        subdomain (faces owned by exactly one member cell), the semantics
+        of the reference's ``extract_boundary_faces``
+        (``src/mesh/tools.jl:721-744``).
 
         Vectorized: every facet's sorted corner tuple (padded to a common
         width with -1, appended AFTER sorting so facets of different node
         counts never collide) is deduplicated in one lexsort; facets whose
         key appears exactly once are boundary."""
+        member = None
+        if cells is not None:
+            member = np.zeros(self.ncells, dtype=bool)
+            member[np.asarray(cells, dtype=np.int64)] = True
         wmax = max(len(f) for b in self.blocks for f in b.element.facets)
         keys, pairs = [], []
         for b in self.blocks:
             el = b.element
+            gc_all = b.cell_offset + np.arange(b.ncells, dtype=np.int64)
+            keep = slice(None) if member is None else member[gc_all]
+            conn = b.connectivity[keep]
+            gc = gc_all[keep]
+            if conn.shape[0] == 0:
+                continue
             for lf, fac in enumerate(el.facets):
-                fn = np.sort(b.connectivity[:, list(fac)].astype(np.int64),
-                             axis=1)
+                fn = np.sort(conn[:, list(fac)].astype(np.int64), axis=1)
                 if fn.shape[1] < wmax:
                     fn = np.concatenate(
                         [fn, np.full((fn.shape[0], wmax - fn.shape[1]), -1,
                                      dtype=np.int64)], axis=1)
                 keys.append(fn)
-                gc = b.cell_offset + np.arange(b.ncells, dtype=np.int64)
                 pairs.append(np.stack(
-                    [gc, np.full(b.ncells, lf, dtype=np.int64)], axis=1))
+                    [gc, np.full(len(gc), lf, dtype=np.int64)], axis=1))
         if not keys:
             return np.zeros((0, 2), dtype=np.int64)
         keys = np.concatenate(keys)

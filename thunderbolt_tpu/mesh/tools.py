@@ -511,3 +511,161 @@ def load_voom2_grid(basename: str) -> Mesh:
         blocks.setdefault(name, []).append(conn)
     return Mesh(nodes, [ElementBlock(n, np.asarray(c, np.int32))
                         for n, c in blocks.items()])
+
+
+# --- surface extraction + geometry tools ------------------------------------
+
+def extract_outer_surface_mesh(mesh: Mesh, subdomains=None) -> Mesh:
+    """Shell mesh of the outer boundary of a 3D mesh.
+
+    Parity: ``extract_outer_surface_mesh`` (``src/mesh/tools.jl:745-789``) —
+    every boundary facet becomes a 2D surface cell (tri/quad embedded in
+    3D), volumetric facetsets become surface cellsets, and nodes not
+    attached to any surface cell are dropped.
+
+    ``subdomains``: optional list of cellset names; the boundary is then
+    computed over the union of those subdomains only.
+
+    Degenerate quads from collapsed-hex cells (e.g. the ideal-LV apex
+    plug, which the reference meshes with Wedge cells instead) are
+    emitted as tri3 cells.
+    """
+    from thunderbolt_tpu.mesh.elements import facet_type
+    from thunderbolt_tpu.fem.facets import facet_basis_indices
+    if mesh.sdim != 3:
+        raise ValueError("surface extraction requires a 3D mesh")
+    cells = None
+    if subdomains is not None:
+        cells = np.unique(np.concatenate(
+            [mesh.cellset(s) for s in subdomains]))
+    bf = mesh.boundary_facets(cells)
+
+    conn_by_type: Dict[str, List] = {}
+    slot_by_type: Dict[str, List[int]] = {}   # row in bf for each new cell
+    for row, (gc, lf) in enumerate(bf):
+        bi, lc = mesh.block_of_cell(int(gc))
+        b = mesh.blocks[bi]
+        el = b.element
+        fidx = facet_basis_indices(el, int(lf))
+        fconn = b.connectivity[lc, fidx]
+        ftype = facet_type(el, int(lf))
+        # collapsed-corner quads degrade to triangles (preserve order)
+        uniq = np.unique(fconn)
+        if len(uniq) < len(fconn):
+            if el.order != 1:
+                raise NotImplementedError(
+                    "degenerate quadratic boundary facet")
+            seen, kept = set(), []
+            for n in fconn:
+                if int(n) not in seen:
+                    seen.add(int(n))
+                    kept.append(int(n))
+            if len(kept) != 3:
+                raise ValueError("boundary facet collapses below a triangle")
+            fconn, ftype = np.asarray(kept), "tri3"
+        conn_by_type.setdefault(ftype, []).append(fconn)
+        slot_by_type.setdefault(ftype, []).append(row)
+
+    blocks, surf_index = [], np.full(len(bf), -1, dtype=np.int64)
+    off = 0
+    for ftype in sorted(conn_by_type):
+        conn = np.asarray(conn_by_type[ftype], dtype=np.int64)
+        blocks.append(ElementBlock(ftype, conn))
+        surf_index[slot_by_type[ftype]] = off + np.arange(len(conn))
+        off += len(conn)
+
+    # volumetric facetsets -> surface cellsets, matched on (gc, lf) pairs
+    key = bf[:, 0] * (bf[:, 1].max() + 1 if len(bf) else 1) + bf[:, 1]
+    order = np.argsort(key)
+    cellsets = {}
+    for name, fs in mesh.facetsets.items():
+        fs = np.asarray(fs, dtype=np.int64).reshape(-1, 2)
+        k = fs[:, 0] * (bf[:, 1].max() + 1 if len(bf) else 1) + fs[:, 1]
+        pos = np.searchsorted(key[order], k)
+        pos = np.clip(pos, 0, len(key) - 1)
+        hit = key[order][pos] == k
+        idx = surf_index[order[pos[hit]]]
+        if len(idx):
+            cellsets[name] = np.sort(idx)
+
+    # drop unattached nodes
+    used = np.unique(np.concatenate([b.connectivity.ravel()
+                                     for b in blocks])) if blocks else \
+        np.zeros(0, dtype=np.int64)
+    remap = np.full(mesh.nnodes, -1, dtype=np.int64)
+    remap[used] = np.arange(len(used))
+    out_blocks = [ElementBlock(b.celltype, remap[b.connectivity])
+                  for b in blocks]
+    return Mesh(mesh.nodes[used], out_blocks, cellsets=cellsets)
+
+
+def compute_center_of_mass(mesh: Mesh, domain_name: str = None) -> np.ndarray:
+    """Volume-weighted centroid ∫x dΩ / ∫dΩ over a (sub)domain.
+
+    Parity: ``compute_center_of_mass`` (``src/mesh/tools.jl:824-859``).
+    Vectorized host computation (setup-time geometry, like the long-axis
+    fit): per block, quadrature of degree max(2·order−1, 2).
+    """
+    from thunderbolt_tpu.mesh.quadrature import quadrature_rule
+    cells = mesh.cellset(domain_name)
+    member = np.zeros(mesh.ncells, dtype=bool)
+    member[cells] = True
+    Ix = np.zeros(mesh.sdim)
+    I1 = 0.0
+    for b in mesh.blocks:
+        sel = member[b.cell_offset:b.cell_offset + b.ncells]
+        if not sel.any():
+            continue
+        el = b.element
+        qr = quadrature_rule(el.name, max(2 * el.order - 1, 2))
+        N = el.shape(qr.points)          # [nqp, nb]
+        dN = el.grad(qr.points)          # [nqp, nb, rdim]
+        Xe = mesh.nodes[b.connectivity[sel]]          # [nc, nb, sdim]
+        J = np.einsum("qbr,cbs->cqsr", dN, Xe)
+        detJ = np.linalg.det(J)
+        xq = np.einsum("qb,cbs->cqs", N, Xe)
+        w = detJ * qr.weights[None, :]
+        Ix += np.einsum("cqs,cq->s", xq, w)
+        I1 += w.sum()
+    return Ix / I1
+
+
+def compute_center_of_surface(mesh: Mesh, name: str) -> np.ndarray:
+    """Facet-area-weighted center of the cells touching facetset ``name``.
+
+    Parity: ``compute_center_of_surface`` (``src/mesh/tools.jl:860-882``),
+    including its exact weighting semantics: each member facet contributes
+    the average of its OWNING CELL's node coordinates, weighted by the
+    facet's surface area.
+    """
+    from thunderbolt_tpu.mesh.elements import facet_type
+    from thunderbolt_tpu.fem.facets import facet_basis_indices
+    from thunderbolt_tpu.mesh.quadrature import quadrature_rule
+    fs = mesh.facetset(name)
+    acc = np.zeros(mesh.sdim)
+    total = 0.0
+    # group by (block, local facet) for vectorized area integration
+    binfo = np.asarray([mesh.block_of_cell(int(gc)) for gc in fs[:, 0]])
+    for bi in np.unique(binfo[:, 0]):
+        b = mesh.blocks[bi]
+        el = b.element
+        for lf in np.unique(fs[binfo[:, 0] == bi, 1]):
+            rows = (binfo[:, 0] == bi) & (fs[:, 1] == lf)
+            lc = binfo[rows, 1]
+            ftype = facet_type(el, int(lf))
+            fel = get_element(ftype)
+            qr = quadrature_rule(ftype, max(2 * el.order - 1, 2))
+            dNf = fel.grad(qr.points)                     # [nqp, nbf, fdim]
+            fidx = facet_basis_indices(el, int(lf))
+            Xf = mesh.nodes[b.connectivity[lc][:, fidx]]  # [nf, nbf, sdim]
+            T = np.einsum("qbr,cbs->cqsr", dNf, Xf)
+            if T.shape[-1] == 2:
+                da = np.linalg.norm(
+                    np.cross(T[..., 0], T[..., 1]), axis=-1)
+            else:
+                da = np.linalg.norm(T[..., 0], axis=-1)
+            areas = (da * qr.weights[None, :]).sum(axis=1)  # [nf]
+            cent = mesh.nodes[b.connectivity[lc]].mean(axis=1)  # [nf, sdim]
+            acc += (cent * areas[:, None]).sum(axis=0)
+            total += areas.sum()
+    return acc / total
