@@ -275,3 +275,26 @@ def test_lv_axes_collinear_lateral_raises():
     with pytest.raises(ValueError):
         tb.LVAxes.from_directions([0, 0, 1], [0, 0, 2], [0, 0, -1],
                                   [0, 0, 0.2])
+
+
+def test_rotational_coordinate_seam_safe_at_qps():
+    """Cells straddling theta=+-pi must interpolate the rotational
+    coordinate on the correct branch — the reference guarantees this with
+    per-cell DiscontinuousLagrange rotational dofs
+    (coordinate_systems.jl:903); we unwrap per cell in at_qps."""
+    import jax.numpy as jnp
+    from thunderbolt_tpu.fem.dofs import DofHandler
+    from thunderbolt_tpu.fem.forms import make_form_batch
+    from thunderbolt_tpu.models.coordinates import (
+        compute_midmyocardial_section_coordinate_system)
+    ring = tb.generate_ring_mesh(8, 3, 3)
+    cs = compute_midmyocardial_section_coordinate_system(ring)
+    dh = DofHandler(ring).add_field("u", 1).close()
+    sub = list(dh.subdata("u"))[0]
+    fb = make_form_batch(dh, sub, dtype=jnp.float64)
+    rot = np.asarray(cs.at_qps(fb))[..., 2]
+    xq = np.einsum("qb,cbs->cqs", np.asarray(fb.Ngeo), np.asarray(fb.Xe))
+    exact = np.arctan2(xq[..., 1], xq[..., 0])
+    err = np.abs(np.angle(np.exp(1j * (rot - exact))))
+    assert err.max() < 0.06      # interpolation error only, no 2pi branch
+    assert np.all(np.abs(rot) <= np.pi + 1e-12)

@@ -112,6 +112,13 @@ class ParaViewWriter:
         self.entries.append((float(t), fname))
         return self
 
+    def finalize_timestep(self, t=None):
+        """Rewrite the .pvd after a timestep so the collection stays valid
+        if the run dies mid-simulation (parity: ``finalize_timestep!``,
+        ``src/ferrite-addons/io.jl:81`` — the reference flushes its pvd
+        per step for exactly this crash-resume reason)."""
+        return self.finalize()
+
     def finalize(self):
         lines = ['<?xml version="1.0"?>\n'
                  '<VTKFile type="Collection" version="1.0" '

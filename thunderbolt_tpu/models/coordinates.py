@@ -73,14 +73,31 @@ class NodalCoordinateSystem:
         return np.stack([self.nodal[k] for k in self.component_names], axis=-1)
 
     def at_qps(self, batch):
-        """[nc, nqp, ncomp] generalized coordinates at quadrature points."""
+        """[nc, nqp, ncomp] generalized coordinates at quadrature points.
+
+        Periodic components ("rotational", values in [-pi, pi]) are
+        unwrapped PER CELL before interpolation: each cell's nodal angles
+        are shifted by +-2pi into the branch of the cell's first node, so
+        cells straddling the theta = +-pi seam interpolate correctly. This
+        is the TPU-native equivalent of the reference's per-cell
+        DiscontinuousLagrange rotational dofs
+        (``coordinate_systems.jl:903,985``) — same seam-safe semantics,
+        dense gather + einsum instead of a discontinuous dof layout."""
         data = self.stacked()  # [nnodes, ncomp]
         # gather through the *geometry* connectivity of the batch's block
         conn = self._batch_conn(batch)
-        loc = data[conn]  # [nc, nbg, ncomp]
+        loc = data[conn]  # [nc, nbg, ncomp] (fancy-index copy: safe to edit)
+        periodic = [k for k, n in enumerate(self.component_names)
+                    if n == "rotational"]
+        for k in periodic:
+            th = loc[..., k]
+            ref = th[:, :1]
+            loc[..., k] = ref + np.mod(th - ref + np.pi, 2 * np.pi) - np.pi
         Ngeo = np.asarray(batch.Ngeo)
-        return jnp.asarray(np.einsum("qb,cbk->cqk", Ngeo, loc),
-                           batch.xq.dtype)
+        out = np.einsum("qb,cbk->cqk", Ngeo, loc)
+        for k in periodic:   # wrap interpolants back into [-pi, pi]
+            out[..., k] = np.mod(out[..., k] + np.pi, 2 * np.pi) - np.pi
+        return jnp.asarray(out, batch.xq.dtype)
 
     def _batch_conn(self, batch):
         # locate the element block by cell ids
