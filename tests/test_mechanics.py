@@ -252,3 +252,63 @@ def test_deuflhard_continuation_controller():
     tip = np.argmin(np.linalg.norm(coords - [4.0, 0.5, 0.5], axis=1))
     uz = float(np.asarray(u).reshape(-1, 3)[tip, 2])
     assert uz > 0.1, uz
+
+
+def test_sarcomere_step_too_long_fails_cleanly():
+    """A 20 ms single backward step outruns the RDQ20 RU dynamics; the
+    failure must surface as a rejected, un-committed step — not an
+    exception, not an accepted garbage state (parity:
+    test_solid_mechanics.jl:905 'A step too long for the sarcomere fails
+    cleanly')."""
+    from thunderbolt_tpu.models.solid.contraction_rdq20 import RDQ20MFModel
+    mesh = tb.generate_mesh("hex8", (1, 1, 1), (0., 0., 0.), (1., 1., .2))
+    material = tb.ActiveStressModel(
+        material_model=tb.NeoHookeanModel(mu=5.0, lam=20.0),
+        active_stress_model=tb.SimpleActiveStress(Tmax=220e3),
+        contraction_model=tb.CaDrivenInternalSarcomereModel(
+            RDQ20MFModel(), tb.ConstantCoefficient(1.0)))
+    dbcs = [tb.Dirichlet("d", "left", 0.0, components=[0]),
+            tb.Dirichlet("d", "front", 0.0, components=[1]),
+            tb.Dirichlet("d", "bottom", 0.0, components=[2])]
+    disc = tb.FiniteElementDiscretization(
+        {"d": tb.FieldSpec(order=1, ncomponents=3)}, dbcs=dbcs,
+        dtype=jnp.float32)
+    fn = tb.semidiscretize(tb.QuasiStaticModel("d", material, ()), disc,
+                           mesh)
+    solver = tb.HomotopyPathSolver(
+        tb.NewtonRaphsonSolver(tol=1e-8, inner="lu", max_iter=10),
+        adaptive=False)
+    u, rep = solver.solve(fn, jnp.zeros(fn.solution_size, jnp.float32),
+                          (0.0, 20.0), dt=20.0)
+    assert not rep.converged
+    assert rep.t_reached == 0.0           # the failed attempt not accepted
+    assert np.abs(np.asarray(u)).max() == 0.0    # iterate untouched
+    st = fn.internal[0]                   # local state not committed
+    assert float(st["Qprev"].min()) >= 0.0
+    assert float(st["Qprev"].max()) <= 1.0
+
+
+def test_failed_homotopy_shrinks_dt_once_per_reject():
+    """dt shrinks exactly once per failed attempt (parity:
+    test_solid_mechanics.jl:960). Two-sided: a dt that never shrank
+    would also pass a one-sided <= check."""
+    mesh = tb.generate_mesh("hex8", (2, 1, 1), (0., 0., 0.), (1., .2, .2))
+    dbcs = [tb.Dirichlet("d", "left", 0.0, components=[0, 1, 2]),
+            tb.Dirichlet("d", "right", 0.3, components=[0]),
+            tb.Dirichlet("d", "right", 0.0, components=[1, 2])]
+    disc = tb.FiniteElementDiscretization(
+        {"d": tb.FieldSpec(order=1, ncomponents=3)}, dbcs=dbcs,
+        dtype=jnp.float32)
+    fn = tb.semidiscretize(
+        tb.QuasiStaticModel("d", tb.PK1Model(tb.NeoHookeanModel(
+            mu=5.0, lam=20.0)), ()), disc, mesh)
+    # a tolerance Newton cannot reach: every attempt fails
+    solver = tb.HomotopyPathSolver(
+        tb.NewtonRaphsonSolver(tol=1e-30, inner="lu", max_iter=1),
+        adaptive=True, dt_min_factor=0.05)
+    u, rep = solver.solve(fn, jnp.zeros(fn.solution_size, jnp.float32),
+                          (0.0, 1.0), dt=0.2)
+    assert not rep.converged
+    assert rep.rejects > 1
+    ratio = 0.2 / rep.dt_final
+    assert 2.0 ** (rep.rejects - 1) <= ratio <= 2.0 ** rep.rejects

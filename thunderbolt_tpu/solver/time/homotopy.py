@@ -24,6 +24,10 @@ class HomotopySolveReport:
     rejects: int = 0
     newton_iterations: int = 0
     converged: bool = False
+    #: load increment in effect when the march ended (one shrink per
+    #: rejected attempt — the invariant the reference pins in
+    #: test_solid_mechanics.jl:960 "shrinks dt once, not twice")
+    dt_final: float = 0.0
 
 
 @dataclass(frozen=True)
@@ -102,6 +106,7 @@ class HomotopyPathSolver:
             else:
                 rep.rejects += 1
                 if not self.adaptive:
+                    rep.dt_final = dt_cur
                     return u, rep
                 if self.controller is not None:
                     dt_cur = self.controller.on_reject(
@@ -109,6 +114,8 @@ class HomotopyPathSolver:
                 else:
                     dt_cur *= 0.5
                 if dt_cur < dt_min:
+                    rep.dt_final = dt_cur
                     return u, rep
         rep.converged = True
+        rep.dt_final = dt_cur
         return u, rep
