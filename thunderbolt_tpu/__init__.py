@@ -33,6 +33,7 @@ from thunderbolt_tpu.mesh.generators import (
     generate_ring_mesh,
     generate_open_ring_mesh,
     generate_ideal_lv_mesh,
+    generate_ideal_lv_mesh_hex,
     generate_quadratic_ring_mesh,
     generate_quadratic_open_ring_mesh,
     generate_quadratic_ideal_lv_mesh,

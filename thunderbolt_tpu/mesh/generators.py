@@ -488,9 +488,26 @@ def generate_ideal_lv_mesh(ne_c: int, ne_r: int, ne_l: int,
     mesh.facetsets = {k: np.asarray(v, np.int64) for k, v in fsets.items() if v}
     mesh.cellsets["Myocardium"] = np.arange(mesh.ncells, dtype=np.int64)
     mesh.nodesets["Apex"] = np.array([cap_start + nn_r - 1], dtype=np.int64)
+    # basal anchor nodes for rigid-body-mode suppression in contraction
+    # solves (parity: generators.jl:595-598)
+    kb = nn_l - 1
+    mesh.nodesets["MyocardialAnchor1"] = np.array([nid(0, 0, kb)])
+    mesh.nodesets["MyocardialAnchor2"] = np.array([nid(0, nn_r - 1, kb)])
+    mesh.nodesets["MyocardialAnchor3"] = np.array(
+        [nid(int(np.ceil(nn_c / 4)), 0, kb)])
+    mesh.nodesets["MyocardialAnchor4"] = np.array(
+        [nid(int(np.ceil(3 * nn_c / 4)), 0, kb)])
     for k in mesh.facetsets:
         mesh.nodesets[k] = mesh.nodes_of_facetset(k)
     return mesh
+
+
+def generate_ideal_lv_mesh_hex(*args, **kw) -> Mesh:
+    """All-hexahedron ideal LV (parity: ``generate_ideal_lv_mesh_hex``,
+    ``generators.jl:769``). Our ``generate_ideal_lv_mesh`` already closes
+    the apex with collapsed hexes instead of wedges, so the two reference
+    entry points coincide here."""
+    return generate_ideal_lv_mesh(*args, **kw)
 
 
 def generate_quadratic_ring_mesh(*args, **kw):
