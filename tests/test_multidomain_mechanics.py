@@ -152,3 +152,113 @@ def test_errors():
         tb.semidiscretize({"A": tb.QuasiStaticModel("d", mat, ()),
                            "B": tb.QuasiStaticModel("d", mat, ())},
                           _disc(), mesh)
+
+
+# --- per-subdomain weak boundary conditions ---------------------------------
+# The reference routes a subdomain's facemodels through its own element
+# cache (multi-integrator.jl setup_boundary_cache); the two time-dependent
+# variants below are @test_broken THERE (test_solid_mechanics.jl:461-535) —
+# here they must pass.
+
+def test_subdomain_facetsets_not_double_loaded():
+    """'top' spans both subdomains; each subdomain's own PressureFieldBC
+    must load only its own facets, so the union equals the single-model
+    path with ONE global BC."""
+    mesh = _split_bar()
+    mat = tb.PK1Model(tb.NeoHookeanModel(mu=2.0, lam=4.0))
+    bc = tb.PressureFieldBC(tb.ConstantCoefficient(0.03), "top")
+    fn1 = tb.semidiscretize(tb.QuasiStaticModel("d", mat, (bc,)),
+                            _disc(), mesh)
+    fn2 = tb.semidiscretize({"A": tb.QuasiStaticModel("d", mat, (bc,)),
+                             "B": tb.QuasiStaticModel("d", mat, (bc,))},
+                            _disc(), mesh)
+    rng = np.random.default_rng(2)
+    u = jnp.asarray(0.02 * rng.normal(size=fn1.solution_size))
+    r1 = np.asarray(fn1.residual(u, 0.0))
+    r2 = np.asarray(fn2.residual(u, 0.0))
+    assert np.allclose(r1, r2, atol=1e-12), np.abs(r1 - r2).max()
+
+
+def test_weak_bc_on_subdomain_without_matching_facetset():
+    """A subdomain whose face models name a facetset it does not touch
+    must neither crash nor leak load (parity:
+    test_solid_mechanics.jl:572 'Weak boundary conditions on subdomains
+    without a matching facetset')."""
+    mesh = _split_bar()
+    mat = tb.PK1Model(tb.NeoHookeanModel(mu=2.0, lam=4.0))
+    # "left" lies entirely in subdomain A; B listing it must be a no-op
+    bc_left = tb.PressureFieldBC(tb.ConstantCoefficient(0.03), "left")
+    fn_ref = tb.semidiscretize(
+        {"A": tb.QuasiStaticModel("d", mat, (bc_left,)),
+         "B": tb.QuasiStaticModel("d", mat, ())}, _disc(), mesh)
+    fn_extra = tb.semidiscretize(
+        {"A": tb.QuasiStaticModel("d", mat, (bc_left,)),
+         "B": tb.QuasiStaticModel("d", mat, (bc_left,))}, _disc(), mesh)
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(0.02 * rng.normal(size=fn_ref.solution_size))
+    r1 = np.asarray(fn_ref.residual(u, 0.0))
+    r2 = np.asarray(fn_extra.residual(u, 0.0))
+    assert np.allclose(r1, r2, atol=1e-12)
+
+
+def test_time_dependent_coefficient_on_rate_free_subdomain():
+    """Rate-free (steady-state sarcomere) subdomain next to a stateful
+    RDQ20 subdomain, both driven by a TIME-DEPENDENT calcium hat — the
+    time must actually reach the coefficient on the rate-free side.
+    @test_broken in the reference (test_solid_mechanics.jl:461)."""
+    mesh = _split_bar(n=(2, 2, 2), L=1.0)
+    ca = tb.AnalyticalCoefficient(
+        lambda x, t: jnp.where(t / 1000.0 < 0.5,
+                               2.0 * t / 1000.0, 2.0 - 2.0 * t / 1000.0))
+    def active(contraction):
+        return tb.ActiveStressModel(
+            material_model=tb.NeoHookeanModel(mu=5.0, lam=20.0),
+            active_stress_model=tb.SimpleActiveStress(Tmax=500.0),
+            contraction_model=tb.CaDrivenInternalSarcomereModel(
+                contraction, ca))
+    models = {"A": tb.QuasiStaticModel(
+                  "d", active(tb.PelceSunLangeveld1995Model()), ()),
+              "B": tb.QuasiStaticModel("d", active(RDQ20MFModel()), ())}
+    dbcs = [tb.Dirichlet("d", "left", 0.0, components=[0]),
+            tb.Dirichlet("d", "front", 0.0, components=[1]),
+            tb.Dirichlet("d", "bottom", 0.0, components=[2])]
+    fn = tb.semidiscretize(models, _disc(dbcs), mesh)
+    solver = tb.HomotopyPathSolver(
+        tb.NewtonRaphsonSolver(tol=1e-8, inner="lu", max_iter=20))
+    u, rep = solver.solve(fn, jnp.zeros(fn.solution_size, DT),
+                          (0.0, 300.0), dt=50.0)
+    assert rep.converged, rep
+    coords = fn.dh.field_dof_coords("d")
+    right = coords[:, 0] > 1 - 1e-9
+    ux = np.asarray(u).reshape(-1, 3)[right, 0].mean()
+    assert ux < -1e-4, ux        # Ca(300) = 0.6 -> contraction happened
+    # the time reaches the rate-free coefficient: residual at equal u
+    # differs between Ca(0)=0 and Ca(300)=0.6 (stateful extras threaded)
+    extra = fn.newton_extra()
+    r0 = np.asarray(fn.residual(u, 0.0, *extra))
+    r3 = np.asarray(fn.residual(u, 300.0, *extra))
+    assert np.abs(r0 - r3).max() > 1e-8
+
+
+def test_time_dependent_facet_coefficient_on_subdomains():
+    """Per-subdomain PressureFieldBC with a ramp coefficient: the facet
+    integrals must see the time, on both a rate-free and a stateful
+    subdomain. @test_broken in the reference
+    (test_solid_mechanics.jl:512-571)."""
+    mesh = _split_bar()
+    mat = tb.PK1Model(tb.NeoHookeanModel(mu=2.0, lam=4.0))
+    ramp = tb.PressureFieldBC(
+        tb.AnalyticalCoefficient(lambda x, t: 0.01 * t), "top")
+    models = {"A": tb.QuasiStaticModel("d", mat, (ramp,)),
+              "B": tb.QuasiStaticModel("d", mat, (ramp,))}
+    dbcs = [tb.Dirichlet("d", "left", 0.0), tb.Dirichlet("d", "right", 0.0)]
+    fn = tb.semidiscretize(models, _disc(dbcs), mesh)
+    newton = tb.NewtonRaphsonSolver(tol=1e-10, inner="lu")
+    u0 = jnp.zeros(fn.solution_size, DT)
+    u1, s1 = newton.solve(fn, u0, 1.0)
+    u2, s2 = newton.solve(fn, u0, 2.0)
+    assert s1.converged and s2.converged
+    d1 = np.abs(np.asarray(u1)).max()
+    d2 = np.abs(np.asarray(u2)).max()
+    assert d1 > 1e-6             # load at t=1 does something
+    assert d2 > 1.5 * d1         # and grows with the ramp

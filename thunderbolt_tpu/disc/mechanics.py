@@ -387,7 +387,8 @@ def _(model: ElastodynamicsModel, disc: FiniteElementDiscretization,
     return fne
 
 
-def _build_quasistatic(sym, dh, disc, mesh, sub_mats, face_models):
+def _build_quasistatic(sym, dh, disc, mesh, sub_mats, face_models,
+                       face_cells=None):
     """Shared assembly for single- and multi-subdomain quasi-static
     mechanics. ``sub_mats`` is a list of (SubDofData, material) pairs —
     one FormBatch per entry, with that entry's material driving the
@@ -422,10 +423,12 @@ def _build_quasistatic(sym, dh, disc, mesh, sub_mats, face_models):
             material, cache["frames"], tuple(aux0.keys()))
         mat_caches.append(cache)
 
-    # weak BCs: facet batches + their dof tables feed the sparsity union
+    # weak BCs: facet batches + their dof tables feed the sparsity union;
+    # face_cells (dict path) restricts each BC to its subdomain's facets
     wbc_setups = []
-    for bc in face_models:
-        wcache = bc.setup(dh, sym, dtype)
+    for i, bc in enumerate(face_models):
+        cells = face_cells[i] if face_cells is not None else None
+        wcache = bc.setup(dh, sym, dtype, cells=cells)
         wbc_setups.append((bc, wcache))
 
     cell_dof_tables = [s.cell_dofs for s in subs] + \
@@ -524,5 +527,21 @@ def semidiscretize_multidomain_mechanics(
                 cell_entities=s.cell_entities[mask])
             sub_mats.append((s_sub, mat))
 
-    face_models = tuple(bc for m in models.values() for bc in m.face_models)
-    return _build_quasistatic(sym, dh, disc, mesh, sub_mats, face_models)
+    # per-subdomain weak BCs: each model's face models act only on the
+    # facets its own cells contribute to the named facetset; BCs whose
+    # facetset does not intersect the subdomain are skipped (the reference
+    # decides this per facet via ``is_facet_in_cache``; the broken-in-
+    # reference variants of this are pinned in
+    # tests/test_multidomain_mechanics.py)
+    face_models, face_cells = [], []
+    for name in names:
+        cset = np.asarray(mesh.cellset(name), dtype=np.int64)
+        member = np.zeros(mesh.ncells, dtype=bool)
+        member[cset] = True
+        for bc in models[name].face_models:
+            fs = mesh.facetset(bc.boundary)
+            if member[fs[:, 0]].any():
+                face_models.append(bc)
+                face_cells.append(cset)
+    return _build_quasistatic(sym, dh, disc, mesh, sub_mats,
+                              tuple(face_models), face_cells=face_cells)

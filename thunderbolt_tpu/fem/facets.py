@@ -101,11 +101,25 @@ class FacetBatch:
 
 def make_facet_batch(dh: DofHandler, field: str, facetset: str,
                      degree: Optional[int] = None,
-                     dtype=jnp.float32) -> FacetBatch:
-    """Build the surface batch of `facetset` for `field` (single-block)."""
+                     dtype=jnp.float32, cells=None) -> FacetBatch:
+    """Build the surface batch of `facetset` for `field` (single-block).
+
+    ``cells`` (optional): global cell indices — keep only facets owned by
+    those cells. Per-subdomain weak BCs use this so a facetset spanning
+    several subdomains is loaded once by each subdomain's own face models
+    (reference: per-subdomain facemodels in
+    ``semidiscretize(Dict{String,QuasiStaticModel})``, fem.jl:843-895)."""
     mesh = dh.mesh
     fi = dh.fields[field]
     fs = mesh.facetset(facetset)
+    if cells is not None:
+        member = np.zeros(mesh.ncells, dtype=bool)
+        member[np.asarray(cells, dtype=np.int64)] = True
+        fs = fs[member[fs[:, 0]]]
+        if len(fs) == 0:
+            raise ValueError(
+                f"facetset {facetset!r} has no facets in the given "
+                "subdomain (callers should skip the BC instead)")
     # group facets by (block, local facet); gather per-facet tables
     Xf_list, dofs_list, x_rows = [], [], []
     N = dN = Ngeo = dNgeo = wq = None

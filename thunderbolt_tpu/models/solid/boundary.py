@@ -34,8 +34,9 @@ class WeakBoundaryCondition:
 
     boundary: str
 
-    def setup(self, dh, field, dtype):
-        batch = make_facet_batch(dh, field, self.boundary, dtype=dtype)
+    def setup(self, dh, field, dtype, cells=None):
+        batch = make_facet_batch(dh, field, self.boundary, dtype=dtype,
+                                 cells=cells)
         return {"batch": batch, **self._extra_setup(batch)}
 
     def _extra_setup(self, batch):
