@@ -7,6 +7,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+import thunderbolt_tpu as tb
 from thunderbolt_tpu.models.cells import FHNModel, AlievPanfilovModel, PCG2019Model
 
 
@@ -97,3 +98,36 @@ def test_pcg_rush_larsen_matches_euler():
                           * jnp.exp(-dt / tau))
     # agreement to O((dt/tau)^2) — tau_m = 0.12 dominates
     assert np.allclose(rl_gates, euler[list(m.gating_indices)], atol=2e-4)
+
+
+def test_pointwise_ode_ensemble_standalone():
+    """Standalone cell-ensemble march (parity: test/gpu/ensemble-test.jl —
+    a 2^8-point FHN PointwiseODEProblem driven by ForwardEulerCellSolver
+    through TimeChoiceIterator, CPU and accelerator paths agreeing). Here
+    the jitted integrator is checked exactly against a dense numpy forward
+    Euler on the same RHS."""
+    from thunderbolt_tpu.disc.functions import PointwiseODEFunction
+    from thunderbolt_tpu.solver.time.integrator import TimeChoiceIterator
+    npts = 256
+    model = tb.FHNModel()
+    fn = PointwiseODEFunction(model, npts)
+    rng = np.random.default_rng(7)
+    u0 = np.zeros(fn.solution_size, np.float64)
+    u0[:npts] = rng.uniform(0.0, 1.0, npts)          # phi
+    u0[npts:] = rng.uniform(0.0, 0.2, npts)          # s
+    dt = 0.1
+    integ = tb.init(fn, tb.ForwardEulerCellSolver(substeps=1),
+                    jnp.asarray(u0), (0.0, 10.0), dt)
+    seen = []
+    for t, u in TimeChoiceIterator(integ, np.arange(1.0, 10.1, 1.0)):
+        seen.append((t, np.asarray(u)))
+        assert not np.allclose(np.asarray(u), u0)    # it moved
+    # dense numpy forward Euler on the package's own RHS
+    ref = u0.reshape(2, npts).T.copy()               # [npts, 2]
+    for k in range(100):
+        du = np.asarray(jax.vmap(
+            lambda s: jnp.stack(model.rhs((s[0], s[1]), None, 0.0)))(
+                jnp.asarray(ref)))
+        ref = ref + dt * du
+    final = seen[-1][1].reshape(2, npts).T
+    assert np.abs(final - ref).max() < 1e-8, np.abs(final - ref).max()
