@@ -112,3 +112,234 @@ def test_adaptive_newmark_matches_fixed():
     err = np.abs(np.asarray(st_ad.u) - np.asarray(st_fix.u)).max()
     scale = np.abs(np.asarray(st_fix.u)).max()
     assert err < 0.05 * scale, (err, scale)
+
+
+# --- reference behavioral testsets (test_elastodynamics.jl:81-600) ----------
+
+def test_uniform_translation_integrated_exactly():
+    """A free body with uniform initial velocity translates exactly:
+    u(t) = v0 t to roundoff, a = 0 (ref :82)."""
+    mesh = tb.generate_mesh("hex8", (2, 2, 2))
+    model = tb.ElastodynamicsModel(
+        "d", "v", tb.PK1Model(tb.NeoHookeanModel(mu=5.0, lam=5.0)), rho=1.0)
+    disc = tb.FiniteElementDiscretization(
+        {"d": tb.FieldSpec(order=1, ncomponents=3)}, dtype=DT)
+    fn = tb.semidiscretize(model, disc, mesh)
+    c = np.array([0.3, -0.1, 0.2])
+    v0 = jnp.asarray(np.tile(c, fn.solution_size // 3))
+    solver = tb.NewmarkSolver(newton=tb.NewtonRaphsonSolver(inner="lu",
+                                                            tol=1e-12))
+    st = solver.init(fn, v0=v0)
+    for _ in range(5):
+        st, stats = solver.step(fn, st, 0.1)
+        assert stats.converged
+    u_exact = np.asarray(v0) * st.t
+    assert np.abs(np.asarray(st.u) - u_exact).max() < 1e-10
+    assert np.abs(np.asarray(st.a)).max() < 1e-9
+
+
+def test_nonzero_equilibrium_stays_at_rest():
+    """Start AT the static equilibrium under a facet pressure: the dynamic
+    march must stay there (ref :102). Also pins that facet models reach
+    the elastodynamics assembly (ref :424)."""
+    mesh = tb.generate_mesh("hex8", (2, 2, 2))
+    press = tb.ConstantPressureBC(0.05, "top")
+    model = tb.ElastodynamicsModel(
+        "d", "v", tb.PK1Model(tb.NeoHookeanModel(mu=5.0, lam=5.0)),
+        rho=1.0, face_models=(press,))
+    disc = tb.FiniteElementDiscretization(
+        {"d": tb.FieldSpec(order=1, ncomponents=3)},
+        dbcs=[tb.Dirichlet("d", "bottom", 0.0)], dtype=DT)
+    fn = tb.semidiscretize(model, disc, mesh)
+    # facet model reaches the assembly: residual differs from pressure-free
+    model0 = tb.ElastodynamicsModel(
+        "d", "v", tb.PK1Model(tb.NeoHookeanModel(mu=5.0, lam=5.0)), rho=1.0)
+    fn0 = tb.semidiscretize(model0, disc, mesh)
+    z = jnp.zeros(fn.solution_size, DT)
+    assert np.abs(np.asarray(fn.residual(z, 0.0))
+                  - np.asarray(fn0.residual(z, 0.0))).max() > 1e-12
+    # static equilibrium of the SAME residual
+    u_eq, stats = tb.NewtonRaphsonSolver(inner="lu", tol=1e-12).solve(
+        fn, z, 0.0)
+    assert stats.converged
+    solver = tb.NewmarkSolver(newton=tb.NewtonRaphsonSolver(inner="lu",
+                                                            tol=1e-12))
+    st = solver.init(fn, u0=u_eq)
+    assert np.abs(np.asarray(st.a)).max() < 1e-8
+    for _ in range(10):
+        st, _ = solver.step(fn, st, 0.05)
+    assert np.abs(np.asarray(st.u) - np.asarray(u_eq)).max() < 1e-9
+    assert np.abs(np.asarray(st.v)).max() < 1e-9
+
+
+def _free_vibration_energy(gamma, nsteps=40, dt=0.05):
+    mesh, fn = _block()
+    coords = fn.dh.field_dof_coords("d")
+    v0 = jnp.asarray(np.stack([0.2 * coords[:, 0],
+                               np.zeros(len(coords)),
+                               np.zeros(len(coords))], -1).reshape(-1))
+    # beta >= (gamma + 1/2)^2 / 4 keeps unconditional stability
+    beta = max(0.25, 0.25 * (gamma + 0.5) ** 2)
+    solver = tb.NewmarkSolver(
+        newton=tb.NewtonRaphsonSolver(inner="lu", tol=1e-11),
+        beta=beta, gamma=gamma)
+    st = solver.init(fn, v0=v0)
+    peak = 0.0
+    for _ in range(nsteps):
+        st, stats = solver.step(fn, st, dt)
+        assert stats.converged
+        peak = max(peak, kinetic_energy(fn, st.v))
+    # late-time kinetic energy envelope (last quarter of the march)
+    tail = []
+    for _ in range(10):
+        st, _ = solver.step(fn, st, dt)
+        tail.append(kinetic_energy(fn, st.v))
+    return max(tail)
+
+
+def test_numerical_dissipation_follows_gamma():
+    """gamma = 1/2 conserves; gamma > 1/2 damps, monotonically in gamma
+    (ref :174)."""
+    e_cons = _free_vibration_energy(0.5)
+    e_mid = _free_vibration_energy(0.8)
+    e_high = _free_vibration_energy(1.1)
+    assert e_mid < 0.8 * e_cons, (e_mid, e_cons)
+    assert e_high < 0.8 * e_mid, (e_high, e_mid)
+
+
+def test_rejected_step_rolls_back_velocity_and_acceleration():
+    """A failed Newton leaves (u, v, a, t) untouched (ref :532)."""
+    mesh, fn = _block()
+    solver = tb.NewmarkSolver(
+        newton=tb.NewtonRaphsonSolver(inner="lu", tol=1e-30, max_iter=1))
+    st = solver.init(fn, v0=jnp.full(fn.solution_size, 0.3, DT))
+    new_st, stats = solver.step(fn, st, 0.05)
+    assert not stats.converged
+    assert new_st is st                 # rollback: identical state object
+    assert new_st.t == st.t
+
+
+def test_step_count_follows_tolerance():
+    """Adaptive step count scales ~ tol^(-1/3) for the order-2 embedded
+    error (ref :212): an 8x tighter tolerance costs ~2x the steps."""
+    def run(reltol):
+        mesh, fn = _block()
+        coords = fn.dh.field_dof_coords("d")
+        v0 = jnp.asarray(np.stack([0.3 * coords[:, 0],
+                                   np.zeros(len(coords)),
+                                   np.zeros(len(coords))], -1).reshape(-1))
+        solver = tb.NewmarkSolver(
+            newton=tb.NewtonRaphsonSolver(inner="lu", tol=1e-11),
+            beta=0.3025, gamma=0.6)      # beta != 1/6 so the estimate lives
+        st = solver.init(fn, v0=v0)
+        st, stats = solver.solve_adaptive(fn, st, 1.0, 0.05,
+                                          abstol=1e-10, reltol=reltol)
+        return stats["naccept"]
+    n_loose = run(3e-3)
+    n_tight = run(3e-3 / 8.0)
+    ratio = n_tight / n_loose
+    assert 1.4 <= ratio <= 3.2, (n_loose, n_tight)
+
+
+def test_adaptive_lands_where_fixed_does():
+    """The adaptive march reaches the fine fixed-step answer (ref :241)."""
+    def setup():
+        mesh, fn = _block()
+        coords = fn.dh.field_dof_coords("d")
+        v0 = jnp.asarray(np.stack([0.3 * coords[:, 0],
+                                   np.zeros(len(coords)),
+                                   np.zeros(len(coords))], -1).reshape(-1))
+        return fn, v0
+    fn, v0 = setup()
+    solver = tb.NewmarkSolver(newton=tb.NewtonRaphsonSolver(inner="lu",
+                                                            tol=1e-11))
+    st = solver.init(fn, v0=v0)
+    st_fix = solver.solve(fn, st, 0.5, 0.005)
+    fn2, v02 = setup()
+    st2 = solver.init(fn2, v0=v02)
+    st_ad, stats = solver.solve_adaptive(fn2, st2, 0.5, 0.05,
+                                         abstol=1e-8, reltol=1e-6)
+    assert np.isclose(st_ad.t, 0.5)
+    assert np.abs(np.asarray(st_ad.u) - np.asarray(st_fix.u)).max() < 1e-4
+
+
+def test_interpolant_is_hermite_not_linear():
+    """Dense output: u(t) is the cubic Hermite through (u, v) at the step
+    ends; its derivative IS the returned velocity (ref :362, :401)."""
+    from thunderbolt_tpu.solver.time.newmark import (
+        interpolate_newmark, velocity, acceleration)
+    mesh, fn = _block()
+    coords = fn.dh.field_dof_coords("d")
+    v0 = jnp.asarray(np.stack([0.3 * coords[:, 0],
+                               np.zeros(len(coords)),
+                               np.zeros(len(coords))], -1).reshape(-1))
+    solver = tb.NewmarkSolver(newton=tb.NewtonRaphsonSolver(inner="lu",
+                                                            tol=1e-11))
+    s0 = solver.init(fn, v0=v0)
+    s1, _ = solver.step(fn, s0, 0.2)
+    tm = 0.1
+    um = np.asarray(interpolate_newmark(s0, s1, tm))
+    lin = 0.5 * (np.asarray(s0.u) + np.asarray(s1.u))
+    assert np.abs(um - lin).max() > 1e-8          # not the linear average
+    # endpoint exactness of u and v
+    assert np.allclose(np.asarray(interpolate_newmark(s0, s1, s1.t)),
+                       np.asarray(s1.u), atol=1e-12)
+    assert np.allclose(np.asarray(velocity((s0, s1), s0.t)),
+                       np.asarray(s0.v), atol=1e-9)
+    assert np.allclose(np.asarray(velocity((s0, s1), s1.t)),
+                       np.asarray(s1.v), atol=1e-9)
+    # the velocity is the derivative of the displacement interpolant
+    eps = 1e-6
+    fd = (np.asarray(interpolate_newmark(s0, s1, tm + eps))
+          - np.asarray(interpolate_newmark(s0, s1, tm - eps))) / (2 * eps)
+    assert np.abs(fd - np.asarray(velocity((s0, s1), tm))).max() < 1e-6
+    # acceleration = second derivative (linear in the step)
+    fd2 = (np.asarray(velocity((s0, s1), tm + eps))
+           - np.asarray(velocity((s0, s1), tm - eps))) / (2 * eps)
+    assert np.abs(fd2 - np.asarray(acceleration((s0, s1), tm))).max() < 1e-4
+
+
+def test_condensed_internal_variables_under_newmark():
+    """RDQ20 condensed state driven under Newmark: the block develops
+    active contraction over the march (ref :561, :586)."""
+    from thunderbolt_tpu.models.solid.contraction_rdq20 import RDQ20MFModel
+    mesh = tb.generate_mesh("hex8", (2, 2, 2))
+    ca = tb.AnalyticalCoefficient(lambda x, t: jnp.minimum(t / 5.0, 1.0))
+    material = tb.ActiveStressModel(
+        material_model=tb.NeoHookeanModel(mu=5.0, lam=20.0),
+        active_stress_model=tb.SimpleActiveStress(Tmax=2000.0),
+        contraction_model=tb.CaDrivenInternalSarcomereModel(
+            RDQ20MFModel(), ca))
+    model = tb.ElastodynamicsModel("d", "v", material, rho=1e-3)
+    dbcs = [tb.Dirichlet("d", "left", 0.0, components=[0]),
+            tb.Dirichlet("d", "front", 0.0, components=[1]),
+            tb.Dirichlet("d", "bottom", 0.0, components=[2])]
+    disc = tb.FiniteElementDiscretization(
+        {"d": tb.FieldSpec(order=1, ncomponents=3)}, dbcs=dbcs, dtype=DT)
+    fn = tb.semidiscretize(model, disc, mesh)
+    assert fn.internal is not None
+    solver = tb.NewmarkSolver(newton=tb.NewtonRaphsonSolver(
+        inner="lu", tol=1e-8, max_iter=25))
+    st = solver.init(fn)
+    for _ in range(8):
+        st, stats = solver.step(fn, st, 1.0)
+        assert stats.converged, stats
+    coords = fn.dh.field_dof_coords("d")
+    right = coords[:, 0] > 1 - 1e-9
+    ux = np.asarray(st.u).reshape(-1, 3)[right, 0].mean()
+    assert ux < -1e-4, ux
+    st_q = fn.internal[0]["Qprev"]
+    assert float(jnp.abs(st_q).max()) > 1e-6      # the state actually moved
+
+
+def test_prescribing_velocity_is_refused():
+    """A Dirichlet on the velocity symbol has no dof field to bind to and
+    must be rejected loudly (ref :452)."""
+    mesh = tb.generate_mesh("hex8", (2, 2, 2))
+    model = tb.ElastodynamicsModel(
+        "d", "v", tb.PK1Model(tb.NeoHookeanModel(mu=5.0, lam=5.0)), rho=1.0)
+    disc = tb.FiniteElementDiscretization(
+        {"d": tb.FieldSpec(order=1, ncomponents=3)},
+        dbcs=[tb.Dirichlet("v", "left", 0.0)], dtype=DT)
+    with pytest.raises((KeyError, ValueError)):
+        tb.semidiscretize(model, disc, mesh)

@@ -361,6 +361,7 @@ def _(model: ElastodynamicsModel, disc: FiniteElementDiscretization,
         mat_caches=fn.mat_caches,
         wbc_kernels=fn.wbc_kernels, constraints=fn.constraints,
         volume_elem_maps=fn.volume_elem_maps,
+        internal=fn.internal,   # condensed sarcomere state under Newmark
         M=csr_to_ell(fn.pattern, mvals), mass_vals=mvals, rho=model.rho)
     plan = getattr(fn, "_lattice_plan", None)
     fne._lattice_plan = plan

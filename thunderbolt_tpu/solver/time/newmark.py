@@ -92,7 +92,8 @@ class NewmarkSolver:
         """Solve M a0 = -r(u0) (``newmark.jl:496``)."""
         from thunderbolt_tpu.fem.sparsity import ell_to_scipy
         import scipy.sparse.linalg as spla
-        r = fn.residual(u0, t0)
+        extra = fn.newton_extra() if hasattr(fn, "newton_extra") else ()
+        r = fn.residual(u0, t0, *extra)
         ch = fn.constraints
         if ch is not None:
             r = ch.apply_zero(r)
@@ -139,9 +140,20 @@ class NewmarkSolver:
         if getattr(fn, "internal", None) is not None:
             fn.update_internal_state(state.u, state.t, dt)
 
+    @staticmethod
+    def _fit_h(dt, rem):
+        """Step length that lands exactly on t_end without ever emitting a
+        sliver step (c = 1/(beta h^2) blows up as h -> 0): take the whole
+        remainder when it is ~one step, half of it when under two."""
+        if rem <= dt * 1.05:
+            return rem
+        if rem <= 2.0 * dt:
+            return 0.5 * rem
+        return dt
+
     def solve(self, fn, state, t_end, dt, store=None):
         while state.t < t_end - 1e-12 * max(1.0, abs(t_end)):
-            h = min(dt, t_end - state.t)
+            h = self._fit_h(dt, t_end - state.t)
             state, stats = self.step(fn, state, h)
             if not stats.converged:
                 raise RuntimeError(
@@ -177,7 +189,7 @@ class NewmarkSolver:
         dt_max = dt_max if dt_max is not None else 4 * dt0
         naccept = nreject = 0
         while state.t < t_end - 1e-12 * max(1.0, abs(t_end)):
-            h = min(dt, t_end - state.t)
+            h = self._fit_h(dt, t_end - state.t)
             new_state, stats = self.step(fn, state, h,
                                          commit_internal=False)
             if not stats.converged:
@@ -205,3 +217,65 @@ class NewmarkSolver:
 
 def kinetic_energy(fn, v):
     return 0.5 * float(v @ fn.M.mv(v))
+
+
+def _hermite_weights(theta, dt, deriv):
+    """D-th t-derivative of the cubic Hermite basis (h00, h10, h01, h11)
+    at theta = (t - t0)/dt; the h10/h11 columns already carry the dt
+    scaling of the velocity end conditions."""
+    th = theta
+    if deriv == 0:
+        return (2 * th ** 3 - 3 * th ** 2 + 1,
+                dt * (th ** 3 - 2 * th ** 2 + th),
+                -2 * th ** 3 + 3 * th ** 2,
+                dt * (th ** 3 - th ** 2))
+    if deriv == 1:
+        return ((6 * th ** 2 - 6 * th) / dt,
+                3 * th ** 2 - 4 * th + 1,
+                (-6 * th ** 2 + 6 * th) / dt,
+                3 * th ** 2 - 2 * th)
+    if deriv == 2:
+        return ((12 * th - 6) / dt ** 2,
+                (6 * th - 4) / dt,
+                (-12 * th + 6) / dt ** 2,
+                (6 * th - 2) / dt)
+    raise ValueError(deriv)
+
+
+def interpolate_newmark(state_old: NewmarkState, state_new: NewmarkState,
+                        t: float, deriv: int = 0):
+    """Dense output between two Newmark states: the D-th derivative at
+    ``t`` of the cubic Hermite interpolant through (u, v) at both step
+    ends (parity: ``_newmark_hermite!``, ``newmark.jl:288-345``).
+
+    deriv=0 -> displacement, 1 -> velocity (the exact derivative of the
+    displacement returned, exact at both endpoints), 2 -> acceleration
+    (the interpolant's own — linear in the step). A linear interpolation
+    of u and v separately would NOT satisfy v = du/dt; this one does.
+    """
+    dt = state_new.t - state_old.t
+    if dt == 0.0:
+        return (state_old.u, state_old.v, state_old.a)[deriv]
+    theta = (float(t) - state_old.t) / dt
+    c0, c1, c2, c3 = _hermite_weights(theta, dt, deriv)
+    return (c0 * state_old.u + c1 * state_old.v
+            + c2 * state_new.u + c3 * state_new.v)
+
+
+def velocity(state_or_pair, t=None):
+    """Endpoint velocity, or the Hermite-consistent velocity at ``t`` when
+    called with (state_old, state_new) (parity: ``velocity(integrator[,t])``,
+    ``newmark.jl:241-281``)."""
+    if t is None:
+        return state_or_pair.v
+    s0, s1 = state_or_pair
+    return interpolate_newmark(s0, s1, t, deriv=1)
+
+
+def acceleration(state_or_pair, t=None):
+    """Endpoint acceleration, or the interpolant's second derivative at
+    ``t`` when called with (state_old, state_new)."""
+    if t is None:
+        return state_or_pair.a
+    s0, s1 = state_or_pair
+    return interpolate_newmark(s0, s1, t, deriv=2)
