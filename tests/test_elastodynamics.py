@@ -343,3 +343,44 @@ def test_prescribing_velocity_is_refused():
         dbcs=[tb.Dirichlet("v", "left", 0.0)], dtype=DT)
     with pytest.raises((KeyError, ValueError)):
         tb.semidiscretize(model, disc, mesh)
+
+
+def test_two_subdomains_with_different_internal_models():
+    """Dict[name -> ElastodynamicsModel]: an RDQ20-stateful half next to a
+    steady-state-sarcomere half under Newmark (ref :479)."""
+    from thunderbolt_tpu.models.solid.contraction_rdq20 import RDQ20MFModel
+    mesh = tb.generate_mesh("hex8", (2, 2, 2))
+    blk = mesh.blocks[0]
+    cent = mesh.nodes[blk.connectivity].mean(axis=1)
+    mesh.cellsets["A"] = np.nonzero(cent[:, 0] < 0.5)[0]
+    mesh.cellsets["B"] = np.nonzero(cent[:, 0] >= 0.5)[0]
+    ca = tb.AnalyticalCoefficient(lambda x, t: jnp.minimum(t / 5.0, 1.0))
+    def active(contraction):
+        return tb.ActiveStressModel(
+            material_model=tb.NeoHookeanModel(mu=5.0, lam=20.0),
+            active_stress_model=tb.SimpleActiveStress(Tmax=100.0),
+            contraction_model=tb.CaDrivenInternalSarcomereModel(
+                contraction, ca))
+    models = {
+        "A": tb.ElastodynamicsModel("d", "v", active(RDQ20MFModel()),
+                                    rho=1e-2),
+        "B": tb.ElastodynamicsModel(
+            "d", "v", active(tb.PelceSunLangeveld1995Model()), rho=1e-2),
+    }
+    dbcs = [tb.Dirichlet("d", "left", 0.0, components=[0]),
+            tb.Dirichlet("d", "front", 0.0, components=[1]),
+            tb.Dirichlet("d", "bottom", 0.0, components=[2])]
+    disc = tb.FiniteElementDiscretization(
+        {"d": tb.FieldSpec(order=1, ncomponents=3)}, dbcs=dbcs, dtype=DT)
+    fn = tb.semidiscretize(models, disc, mesh)
+    assert fn.internal is not None
+    assert sum(st is None for st in fn.internal) == 1   # only RDQ20 batch
+    solver = tb.NewmarkSolver(newton=tb.NewtonRaphsonSolver(
+        inner="lu", tol=1e-8, max_iter=25))
+    st = solver.init(fn)
+    for _ in range(8):
+        st, stats = solver.step(fn, st, 0.5)
+        assert stats.converged, stats
+    coords = fn.dh.field_dof_coords("d")
+    right = coords[:, 0] > 1 - 1e-9
+    assert np.asarray(st.u).reshape(-1, 3)[right, 0].mean() < -1e-4

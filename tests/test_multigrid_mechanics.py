@@ -187,3 +187,42 @@ def test_lv_inflation_mg_beats_block_jacobi():
     assert st.converged, st
     # inflation actually moved the endocardium outward
     assert float(jnp.abs(u).max()) > 1e-3
+
+
+def test_mg_with_condensed_internal_variables():
+    """MG-preconditioned Newton on an RDQ20-stateful active tangent matches
+    host LU (ref test/integration/test_multigrid.jl:76 'Multigrid
+    preconditioner with condensed internal variables'). Coarse levels use
+    their own internal-state templates — a preconditioner-grade
+    approximation that must not change the CONVERGED answer."""
+    from thunderbolt_tpu.models.solid.contraction_rdq20 import RDQ20MFModel
+    from thunderbolt_tpu.solver.multigrid import (
+        build_mechanics_hierarchy, MechanicsGMGPreconditioner)
+    ca = tb.AnalyticalCoefficient(lambda x, t: 1.0)
+    material = tb.ActiveStressModel(
+        material_model=tb.NeoHookeanModel(mu=5.0, lam=20.0),
+        active_stress_model=tb.SimpleActiveStress(Tmax=500.0),
+        contraction_model=tb.CaDrivenInternalSarcomereModel(
+            RDQ20MFModel(), ca))
+    model = tb.QuasiStaticModel("d", material, ())
+    dbcs = [tb.Dirichlet("d", "left", 0.0, components=[0]),
+            tb.Dirichlet("d", "front", 0.0, components=[1]),
+            tb.Dirichlet("d", "bottom", 0.0, components=[2])]
+    disc = tb.FiniteElementDiscretization(
+        {"d": tb.FieldSpec(order=1, ncomponents=3)}, dbcs=dbcs,
+        dtype=jnp.float64)
+    h = build_mechanics_hierarchy(model, disc,
+                                  tb.generate_mesh("hex8", (2, 2, 2)), 2,
+                                  renumber="lex")
+    fn = h.fine_function
+    assert fn.internal is not None
+    fn.internal_dt, fn.internal_t = 10.0, 10.0
+    u0 = jnp.zeros(fn.solution_size, jnp.float64)
+    mg = MechanicsGMGPreconditioner(h)
+    u_mg, s_mg = tb.NewtonRaphsonSolver(
+        tol=1e-9, inner="gmres", precon=mg, max_iter=30).solve(fn, u0, 10.0)
+    u_lu, s_lu = tb.NewtonRaphsonSolver(
+        tol=1e-9, inner="lu", max_iter=30).solve(fn, u0, 10.0)
+    assert s_mg.converged and s_lu.converged
+    assert np.abs(np.asarray(u_mg) - np.asarray(u_lu)).max() < 1e-6
+    assert np.abs(np.asarray(u_lu)).max() > 1e-4   # activation did bite

@@ -480,9 +480,49 @@ def _(model: QuasiStaticModel, disc: FiniteElementDiscretization, mesh: Mesh):
 def _(models: dict, disc: FiniteElementDiscretization, mesh: Mesh):
     if all(isinstance(m, QuasiStaticModel) for m in models.values()):
         return semidiscretize_multidomain_mechanics(models, disc, mesh)
+    if all(isinstance(m, ElastodynamicsModel) for m in models.values()):
+        return semidiscretize_multidomain_elastodynamics(models, disc, mesh)
     raise NotImplementedError(
-        "dict semidiscretize supports Dict[str, QuasiStaticModel]; "
-        "per-subdomain EP models go through ReactionDiffusionSplit")
+        "dict semidiscretize supports Dict[str, QuasiStaticModel] or "
+        "Dict[str, ElastodynamicsModel]; per-subdomain EP models go "
+        "through ReactionDiffusionSplit")
+
+
+def semidiscretize_multidomain_elastodynamics(
+        models: Dict[str, "ElastodynamicsModel"],
+        disc: FiniteElementDiscretization, mesh: Mesh):
+    """Dict of cellset-name -> ElastodynamicsModel: per-subdomain materials
+    (including different internal-variable models, ref
+    ``test_elastodynamics.jl:479``) over one displacement field, shared
+    density handled per subdomain through the mass assembly."""
+    rhos = {float(m.rho) if np.isscalar(m.rho) else id(m.rho)
+            for m in models.values()}
+    if len(rhos) != 1:
+        raise NotImplementedError(
+            "per-subdomain densities not supported yet; split the mass "
+            "coefficient instead")
+    vsyms = {m.velocity_symbol for m in models.values()}
+    if len(vsyms) != 1:
+        raise ValueError("all models must share the velocity symbol")
+    any_model = next(iter(models.values()))
+    qs = {name: QuasiStaticModel(m.displacement_symbol, m.material_model,
+                                 m.face_models)
+          for name, m in models.items()}
+    fn = semidiscretize_multidomain_mechanics(qs, disc, mesh)
+    ncomp = mesh.sdim
+    mvals = _vector_mass(fn.batches, fn.volume_elem_maps, fn.pattern,
+                         any_model.rho, ncomp, disc.dtype)
+    fne = ElastodynamicsFunction(
+        dh=fn.dh, field=fn.field, pattern=fn.pattern, batches=fn.batches,
+        material=fn.material, materials=fn.materials,
+        mat_caches=fn.mat_caches,
+        wbc_kernels=fn.wbc_kernels, constraints=fn.constraints,
+        volume_elem_maps=fn.volume_elem_maps,
+        internal=fn.internal,
+        M=csr_to_ell(fn.pattern, mvals), mass_vals=mvals,
+        rho=any_model.rho)
+    fne._lattice_plan = getattr(fn, "_lattice_plan", None)
+    return fne
 
 
 def semidiscretize_multidomain_mechanics(
