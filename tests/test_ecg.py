@@ -146,3 +146,40 @@ def test_geselowitz_torso_embedded():
     assert np.isfinite(V).all()
     assert abs(V[0]) > 1e-8            # a dipole IS visible on the lead
     assert np.isclose(V[0], -V[1], rtol=1e-10)  # reversed pair flips sign
+
+
+def test_planar_wave_x3_orthogonality_and_idempotence(heart):
+    """phi = x^3 drives a signal along x only: strong and sign-split on
+    the +-x electrodes, ~0 on orthogonal axes; updating twice with the
+    same phi changes nothing (parity: test_ecg.jl:113-193 'Idempotence' +
+    'Planar wave' x_i^3)."""
+    mesh, ode, heat, phi0 = heart
+    coords = heat.dh.fields["phi_m"].entity_coords
+    phi = jnp.asarray((coords[:, 0] - 1.0) ** 3)    # centered cube wave
+    cache = Plonsey1964ECGGaussCache(heat, kappa_i=1e-3)
+    cache.update_ecg(phi)
+    far = 4.0
+    ex = np.array([[1.0 + far, 0.5, 0.5], [1.0 - far, 0.5, 0.5]])
+    ey = np.array([[1.0, 0.5 + far, 0.5], [1.0, 0.5 - far, 0.5]])
+    ez = np.array([[1.0, 0.5, 0.5 + far], [1.0, 0.5, 0.5 - far]])
+    vx = cache.evaluate_ecg(ex, kappa_t=1.0)
+    vy = cache.evaluate_ecg(ey, kappa_t=1.0)
+    vz = cache.evaluate_ecg(ez, kappa_t=1.0)
+    scale = np.abs(vx).max()
+    assert scale > 1e-8
+    assert vx[0] * vx[1] < 0                      # sign splits along x
+    # orthogonal electrodes see (near) nothing
+    assert np.abs(vy).max() < 0.05 * scale
+    assert np.abs(vz).max() < 0.05 * scale
+    # idempotence: a second update with the same phi is a no-op
+    v1 = cache.evaluate_ecg(ex, kappa_t=1.0)
+    cache.update_ecg(phi)
+    v2 = cache.evaluate_ecg(ex, kappa_t=1.0)
+    np.testing.assert_allclose(v1, v2, rtol=0, atol=0)
+    # Geselowitz idempotence too
+    ges = Geselowitz1989ECGLeadCache(heat, 1e-3, 1e-3,
+                                     [(tuple(ex[0]), tuple(ex[1]))])
+    ges.update_ecg(phi)
+    g1 = ges.evaluate_ecg()
+    ges.update_ecg(phi)
+    np.testing.assert_allclose(g1, ges.evaluate_ecg(), rtol=0, atol=0)

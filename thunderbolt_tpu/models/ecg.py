@@ -80,10 +80,13 @@ class Plonsey1964ECGGaussCache:
                 pe = phi[batch.cell_dofs]
                 grad = jnp.einsum("cqbK,cb->cqK", dNdx, pe)
                 if D is not None:
-                    grad = jnp.einsum("...ij,...j->...i",
-                                      jnp.broadcast_to(
-                                          D, grad.shape[:2] + (grad.shape[-1],) * 2),
-                                      grad)
+                    # scalar kappa means kappa*I (NOT a kappa-filled matrix,
+                    # which would mix gradient components across axes)
+                    from thunderbolt_tpu.fem.forms import _normalize_tensor
+                    nc, nqp = detJw.shape
+                    Dn = _normalize_tensor(D, nc, nqp, grad.shape[-1],
+                                           grad.dtype)
+                    grad = jnp.einsum("cqij,cqj->cqi", Dn, grad)
                 out.append((grad, detJw, batch.xq))
             return out
 
