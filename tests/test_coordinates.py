@@ -93,9 +93,10 @@ def test_rule_based_fibers_orthonormal(ring_cs):
     epi_mask = gc[..., 0] > 0.9
     assert f[..., 2][endo_mask].mean() > 0.5     # +60 deg at endo
     assert f[..., 2][epi_mask].mean() < -0.5     # -60 deg at epi
-    # sheet is radial-ish: points outward
+    # normal is radial-ish: points outward (the reference's convention —
+    # sheetlets live in the wall-tangent plane, test_microstructures.jl:57)
     r_hat = xq[..., :2] / np.linalg.norm(xq[..., :2], axis=-1, keepdims=True)
-    assert ((s[..., :2] * r_hat).sum(-1) > 0.9).all()
+    assert ((n[..., :2] * r_hat).sum(-1) > 0.85).all()
 
 
 def test_spectral_conductivity_from_fibers(ring_cs):
@@ -298,3 +299,30 @@ def test_rotational_coordinate_seam_safe_at_qps():
     err = np.abs(np.angle(np.exp(1j * (rot - exact))))
     assert err.max() < 0.06      # interpolation error only, no 2pi branch
     assert np.all(np.abs(rot) <= np.pi + 1e-12)
+
+
+def test_zero_angle_frame_matches_reference_convention(ring_cs):
+    """All angles zero on a ring: fiber circumferential, sheetlets along
+    the (negative) apicobasal axis, normal radially outward — the exact
+    frame the reference pins (test_microstructures.jl:43-71)."""
+    mesh, cs = ring_cs
+    micro = create_microstructure_model(
+        cs, endo_helix_angle=0.0, epi_helix_angle=0.0,
+        endo_transversal_angle=0.0, epi_transversal_angle=0.0,
+        endo_sheetlet_angle=0.0, epi_sheetlet_angle=0.0)
+    dh = DofHandler(mesh).add_field("u").close()
+    batch = make_form_batch(dh, dh.subdofs[0], dtype=jnp.float64)
+    basis = np.asarray(evaluate_coefficient(
+        setup_coefficient_cache(micro, batch), 0.0))
+    f, s, n = basis[..., 0, :], basis[..., 1, :], basis[..., 2, :]
+    xq = np.asarray(batch.xq)
+    r_hat3 = np.concatenate(
+        [xq[..., :2] / np.linalg.norm(xq[..., :2], axis=-1, keepdims=True),
+         np.zeros(xq.shape[:-1] + (1,))], axis=-1)
+    # sheet along +-z (a line: sign is not physical for quadratic invariants)
+    assert np.abs(np.abs(s[..., 2]) - 1.0).max() < 0.05
+    # normal radial: |n . r_hat| ~ 1
+    assert (np.abs((n * r_hat3).sum(-1)) > 0.95).all()
+    # fiber circumferential: orthogonal to both z and r
+    assert np.abs(f[..., 2]).max() < 0.05
+    assert np.abs((f * r_hat3).sum(-1)).max() < 0.3   # coarse ring facets

@@ -84,21 +84,38 @@ class AnisotropicPlanarMicrostructureModel(Coefficient):
 
 @dataclass(frozen=True)
 class ODB25LTMicrostructureParameters:
-    """Helix-angle rule parameters (``microstructure.jl:192``)."""
+    """Helix-angle rule parameters (``microstructure.jl:192``): the
+    (alpha, beta, gamma) = (helix, transversal, sheetlet) angle pairs,
+    linearly interpolated endo -> epi in the transmural coordinate."""
     endo_helix_angle: float = np.deg2rad(60.0)
     epi_helix_angle: float = np.deg2rad(-60.0)
     endo_transversal_angle: float = 0.0
     epi_transversal_angle: float = 0.0
-    sheetlet_pseudo_angle: float = 0.0
+    endo_sheetlet_angle: float = 0.0
+    epi_sheetlet_angle: float = 0.0
     make_endo_epi_arcs: bool = False
+
+    @property
+    def sheetlet_pseudo_angle(self):
+        """Back-compat alias for a transmurally constant gamma."""
+        return self.endo_sheetlet_angle
 
 
 def _rule_based_frame(x, transmural, axis, params):
     """Compute (f, s, n) at points x given transmural coordinate.
 
-    Frame construction: radial r = transmural gradient proxy (from the
-    short-axis projection), circumferential c = axis x r, fiber = c rotated
-    by helix angle alpha(t) toward the axis, sheet = r, n = f x s.
+    Frame construction matches ``compute_local_microstructure``
+    (``microstructure.jl:208-244``): with radial r (transmural proxy),
+    circumferential c = axis x r,
+
+    * fiber  f = c rotated by the helix angle alpha(t) about r (toward the
+      long axis), then by -beta(t) about the axis (transversal angle);
+    * sheet  s = the wall-tangent vector at alpha + 90 deg (so s spans the
+      apicobasal/circumferential plane), orthogonalized against f, then
+      rotated by -gamma(t) about f (sheetlet angle);
+    * normal n = f x s — RADIAL at zero angles (the reference's
+      ``test_microstructures.jl:57-71`` convention: sheetlets apicobasal,
+      normal pointing transmurally).
     """
     t = np.clip(transmural, 0.0, 1.0)
     axis = np.asarray(axis, dtype=np.float64)
@@ -110,15 +127,22 @@ def _rule_based_frame(x, transmural, axis, params):
     beta = (params.endo_transversal_angle
             + (params.epi_transversal_angle
                - params.endo_transversal_angle) * t)
+    gamma = (params.endo_sheetlet_angle
+             + (params.epi_sheetlet_angle
+                - params.endo_sheetlet_angle) * t)
     f = (np.cos(alpha)[:, None] * c
          + np.sin(alpha)[:, None] * axis[None])
     if np.any(beta != 0.0):
         f = _normalize(np.cos(beta)[:, None] * f
                        + np.sin(beta)[:, None] * r)
-    s = r
-    # re-orthogonalize the sheet against the fiber
+    # sheet: alpha + 90 deg in the wall-tangent (c, axis) plane
+    s = (-np.sin(alpha)[:, None] * c
+         + np.cos(alpha)[:, None] * axis[None])
     s = _normalize(s - (np.sum(s * f, axis=-1, keepdims=True)) * f)
     n = np.cross(f, s)
+    if np.any(gamma != 0.0):
+        s, n = (np.cos(gamma)[:, None] * s - np.sin(gamma)[:, None] * n,
+                np.cos(gamma)[:, None] * n + np.sin(gamma)[:, None] * s)
     return f, s, n
 
 

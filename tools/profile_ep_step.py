@@ -58,7 +58,9 @@ def main(sizes):
         integ.step(50)                           # spin up live dynamics
         u_live = integ.u
 
-        iters = max(200, 40000 // max(1, (N // 256) ** 2))
+        import os
+        base = int(os.environ.get("PROFILE_ITERS", "20000"))
+        iters = max(100, base // max(1, (N // 256) ** 2))
 
         t_full = bench_loop(integ._step, u_live, iters)
 
