@@ -122,3 +122,25 @@ def test_tstop_protocol_accounting():
     integ.advance_to(1.0)          # tf: 7 fulls + 1 partial (0.75/0.1)
     assert integ.t == 1.0
     assert integ.stats.naccept == 3 + 8
+
+
+def test_rtc_sigmoid_formula_table():
+    """The RTC dt law pinned by hand at R = 0.5 and the sigma_s = inf
+    step-function cases, including the boundary R == sigma_c -> dt_max
+    (parity: test_os_gearing.jl:251-299)."""
+    import numpy as np
+    import jax.numpy as jnp
+    bounds = (0.01, 1.0)
+    rtc = tb.ReactionTangentController((), sigma_s=0.5, sigma_c=1.0,
+                                       dt_bounds=bounds)
+    R = 0.5
+    expected = ((1 - 1 / (1 + np.exp((1.0 - R) * 0.5)))
+                * (bounds[1] - bounds[0]) + bounds[0])
+    assert np.isclose(float(rtc.next_dt(jnp.asarray(R))), expected,
+                      rtol=1e-12)
+    for sigma_c, dt_expected in ((0.75, bounds[1]), (0.5, bounds[1]),
+                                 (0.25, bounds[0])):
+        rtc = tb.ReactionTangentController((), sigma_s=np.inf,
+                                           sigma_c=sigma_c,
+                                           dt_bounds=bounds)
+        assert float(rtc.next_dt(jnp.asarray(0.5))) == dt_expected

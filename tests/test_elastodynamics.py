@@ -299,6 +299,7 @@ def test_interpolant_is_hermite_not_linear():
     assert np.abs(fd2 - np.asarray(acceleration((s0, s1), tm))).max() < 1e-4
 
 
+@pytest.mark.slow
 def test_condensed_internal_variables_under_newmark():
     """RDQ20 condensed state driven under Newmark: the block develops
     active contraction over the march (ref :561, :586)."""
@@ -345,6 +346,7 @@ def test_prescribing_velocity_is_refused():
         tb.semidiscretize(model, disc, mesh)
 
 
+@pytest.mark.slow
 def test_two_subdomains_with_different_internal_models():
     """Dict[name -> ElastodynamicsModel]: an RDQ20-stateful half next to a
     steady-state-sarcomere half under Newmark (ref :479)."""

@@ -201,6 +201,7 @@ def test_weak_bc_on_subdomain_without_matching_facetset():
     assert np.allclose(r1, r2, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_time_dependent_coefficient_on_rate_free_subdomain():
     """Rate-free (steady-state sarcomere) subdomain next to a stateful
     RDQ20 subdomain, both driven by a TIME-DEPENDENT calcium hat — the

@@ -189,6 +189,7 @@ def test_lv_inflation_mg_beats_block_jacobi():
     assert float(jnp.abs(u).max()) > 1e-3
 
 
+@pytest.mark.slow
 def test_mg_with_condensed_internal_variables():
     """MG-preconditioned Newton on an RDQ20-stateful active tangent matches
     host LU (ref test/integration/test_multigrid.jl:76 'Multigrid

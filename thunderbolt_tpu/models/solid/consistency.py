@@ -30,8 +30,8 @@ class ConsistencyCheckWeakBoundaryCondition:
     def boundary(self):
         return self.inner.boundary
 
-    def setup(self, dh, field, dtype):
-        return self.inner.setup(dh, field, dtype)
+    def setup(self, dh, field, dtype, cells=None):
+        return self.inner.setup(dh, field, dtype, cells=cells)
 
     def make_kernels(self, cache):
         res_fn, tan_fn = self.inner.make_kernels(cache)
