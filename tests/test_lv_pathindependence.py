@@ -97,6 +97,7 @@ def test_extended_hill_lv_contracts():
     _solve_lv(mat, 300.0)
 
 
+@pytest.mark.slow
 def test_generalized_hill_lv_contracts():
     mesh, micro = _lv_setup()
     mat = {"__mesh__": mesh, "__material__": tb.GeneralizedHillModel(
@@ -119,6 +120,7 @@ def test_adaptivity_does_not_change_the_result():
     assert np.abs(u1 - u2).max() < 1e-4
 
 
+@pytest.mark.slow
 def test_load_path_is_actually_different():
     mesh, micro = _lv_setup()
     u1 = _solve_lv(_active_stress(micro, mesh, _ca_hat()), 100.0)
@@ -126,6 +128,7 @@ def test_load_path_is_actually_different():
     assert not np.abs(u1 - u2).max() < 1e-4
 
 
+@pytest.mark.slow
 def test_path_independence_at_equal_calcium():
     mesh, micro = _lv_setup()
     u1 = _solve_lv(_active_stress(micro, mesh, _ca_hat()), 500.0)
