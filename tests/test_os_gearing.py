@@ -114,3 +114,35 @@ def test_geared_split_improves_accuracy_and_syncs():
     err_plain = np.abs(u_plain - u_ref).max()
     err_geared = np.abs(u_geared - u_ref).max()
     assert err_geared < err_plain, (err_geared, err_plain)
+
+
+def test_nested_split_addresses_the_right_dofs():
+    """A nested split (outer Lie-Trotter whose second child is itself a
+    Lie-Trotter over two leaves) must integrate exactly like the flat
+    3-way split: inner ranges are relative to the child's slice (parity:
+    test_os_gearing.jl:471 'Nested split with view-wired leaves addresses
+    the right dofs')."""
+    from thunderbolt_tpu.disc.functions import (GenericSplitFunction,
+                                                PointwiseODEFunction)
+    npts = 8
+    fa = PointwiseODEFunction(tb.FHNModel(), npts)
+    fb = PointwiseODEFunction(tb.FHNModel(), npts)
+    fc = PointwiseODEFunction(tb.FHNModel(), npts)
+    n = fa.solution_size                      # 2 * npts each
+    flat = GenericSplitFunction(
+        functions=(fa, fb, fc),
+        ranges=(slice(0, n), slice(n, 2 * n), slice(2 * n, 3 * n)))
+    inner = GenericSplitFunction(
+        functions=(fb, fc), ranges=(slice(0, n), slice(n, 2 * n)))
+    nested = GenericSplitFunction(
+        functions=(fa, inner),
+        ranges=(slice(0, n), slice(n, 3 * n)))
+    rng = np.random.default_rng(11)
+    u0 = jnp.asarray(rng.uniform(0.0, 1.0, 3 * n), jnp.float64)
+    fe = tb.ForwardEulerCellSolver(substeps=2)
+    alg_flat = tb.LieTrotterGodunov((fe, fe, fe))
+    alg_nested = tb.LieTrotterGodunov((fe, tb.LieTrotterGodunov((fe, fe))))
+    u_flat = tb.init(flat, alg_flat, u0, (0.0, 2.0), 0.5).solve()
+    u_nested = tb.init(nested, alg_nested, u0, (0.0, 2.0), 0.5).solve()
+    assert np.allclose(np.asarray(u_flat), np.asarray(u_nested), atol=0.0)
+    assert not np.allclose(np.asarray(u_flat), np.asarray(u0))
