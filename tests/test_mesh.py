@@ -185,3 +185,25 @@ def test_geometry_tools_centers():
     box.cellsets["half"] = np.arange(box.ncells // 2)
     assert np.allclose(tb.compute_center_of_mass(box, "half"),
                        [0.25, 0.5, 0.5])
+
+
+def test_surface_extraction_facetset_key_no_alias():
+    """A facetset entry whose local-facet index exceeds the boundary
+    census's max must not alias another (cell, facet) pair (mixed
+    hex+tet mesh, subdomain extraction)."""
+    hexes = generate_mesh("hex8", (1, 1, 1))
+    # one tet glued conceptually apart (indices offset); build a 2-block mesh
+    tet_nodes = np.array([[2.0, 0, 0], [3.0, 0, 0], [2.0, 1, 0],
+                          [2.0, 0, 1]])
+    nodes = np.vstack([hexes.nodes, tet_nodes])
+    from thunderbolt_tpu.mesh.mesh import ElementBlock, Mesh
+    mesh = Mesh(nodes, [
+        ElementBlock("hex8", hexes.blocks[0].connectivity),
+        ElementBlock("tet4", np.array([[8, 9, 10, 11]], np.int32)),
+    ])
+    mesh.cellsets["tets"] = np.array([1])
+    # facetset on the hex with local facet 5 (> any tet local facet id)
+    mesh.facetsets["hextop"] = np.array([[0, 5]])
+    s = tb.extract_outer_surface_mesh(mesh, subdomains=["tets"])
+    assert s.ncells == 4 and s.elementtypes() == ("tri3",)
+    assert "hextop" not in s.cellsets       # no aliased match

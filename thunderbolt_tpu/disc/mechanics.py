@@ -346,15 +346,13 @@ def _vector_mass(batches, elem_maps, pattern, rho, ncomp, dtype):
     return mvals
 
 
-@semidiscretize.register
-def _(model: ElastodynamicsModel, disc: FiniteElementDiscretization,
-      mesh: Mesh):
-    qs = QuasiStaticModel(model.displacement_symbol, model.material_model,
-                          model.face_models)
-    fn = semidiscretize(qs, disc, mesh)
-    ncomp = mesh.sdim
+def _wrap_elastodynamics(fn, rho, disc, ncomp):
+    """Add the consistent mass (CSR and, on lattice meshes, BlockDIA) to a
+    quasi-static function — shared by the single- and multi-subdomain
+    elastodynamics registrars so both keep Newmark's scatter-free
+    J = K + c M path."""
     mvals = _vector_mass(fn.batches, fn.volume_elem_maps, fn.pattern,
-                         model.rho, ncomp, disc.dtype)
+                         rho, ncomp, disc.dtype)
     fne = ElastodynamicsFunction(
         dh=fn.dh, field=fn.field, pattern=fn.pattern, batches=fn.batches,
         material=fn.material, materials=fn.materials,
@@ -362,7 +360,7 @@ def _(model: ElastodynamicsModel, disc: FiniteElementDiscretization,
         wbc_kernels=fn.wbc_kernels, constraints=fn.constraints,
         volume_elem_maps=fn.volume_elem_maps,
         internal=fn.internal,   # condensed sarcomere state under Newmark
-        M=csr_to_ell(fn.pattern, mvals), mass_vals=mvals, rho=model.rho)
+        M=csr_to_ell(fn.pattern, mvals), mass_vals=mvals, rho=rho)
     plan = getattr(fn, "_lattice_plan", None)
     fne._lattice_plan = plan
     if plan is not None:
@@ -370,10 +368,10 @@ def _(model: ElastodynamicsModel, disc: FiniteElementDiscretization,
         # so Newmark's J = K + c M stays on the scatter-free path
         Mes = []
         for batch in fn.batches:
-            rho_val = model.rho
-            if hasattr(model.rho, "setup"):
+            rho_val = rho
+            if hasattr(rho, "setup"):
                 rho_val = evaluate_coefficient(
-                    setup_coefficient_cache(model.rho, batch), 0.0)
+                    setup_coefficient_cache(rho, batch), 0.0)
             Me = element_mass(batch, rho_val)
             eye = jnp.eye(ncomp, dtype=Me.dtype)
             Mv = jnp.einsum("cab,ij->caibj", Me, eye)
@@ -386,6 +384,15 @@ def _(model: ElastodynamicsModel, disc: FiniteElementDiscretization,
     else:
         fne.M_bdia = None
     return fne
+
+
+@semidiscretize.register
+def _(model: ElastodynamicsModel, disc: FiniteElementDiscretization,
+      mesh: Mesh):
+    qs = QuasiStaticModel(model.displacement_symbol, model.material_model,
+                          model.face_models)
+    fn = semidiscretize(qs, disc, mesh)
+    return _wrap_elastodynamics(fn, model.rho, disc, mesh.sdim)
 
 
 def _build_quasistatic(sym, dh, disc, mesh, sub_mats, face_models,
@@ -495,34 +502,28 @@ def semidiscretize_multidomain_elastodynamics(
     (including different internal-variable models, ref
     ``test_elastodynamics.jl:479``) over one displacement field, shared
     density handled per subdomain through the mass assembly."""
-    rhos = {float(m.rho) if np.isscalar(m.rho) else id(m.rho)
-            for m in models.values()}
-    if len(rhos) != 1:
+    rhos = [m.rho for m in models.values()]
+    any_rho = rhos[0]
+    def same_rho(a, b):
+        if a is b:
+            return True
+        try:
+            return bool(np.array_equal(np.asarray(a, dtype=float),
+                                       np.asarray(b, dtype=float)))
+        except (TypeError, ValueError):
+            return False
+    if not all(same_rho(any_rho, r) for r in rhos[1:]):
         raise NotImplementedError(
             "per-subdomain densities not supported yet; split the mass "
             "coefficient instead")
     vsyms = {m.velocity_symbol for m in models.values()}
     if len(vsyms) != 1:
         raise ValueError("all models must share the velocity symbol")
-    any_model = next(iter(models.values()))
     qs = {name: QuasiStaticModel(m.displacement_symbol, m.material_model,
                                  m.face_models)
           for name, m in models.items()}
     fn = semidiscretize_multidomain_mechanics(qs, disc, mesh)
-    ncomp = mesh.sdim
-    mvals = _vector_mass(fn.batches, fn.volume_elem_maps, fn.pattern,
-                         any_model.rho, ncomp, disc.dtype)
-    fne = ElastodynamicsFunction(
-        dh=fn.dh, field=fn.field, pattern=fn.pattern, batches=fn.batches,
-        material=fn.material, materials=fn.materials,
-        mat_caches=fn.mat_caches,
-        wbc_kernels=fn.wbc_kernels, constraints=fn.constraints,
-        volume_elem_maps=fn.volume_elem_maps,
-        internal=fn.internal,
-        M=csr_to_ell(fn.pattern, mvals), mass_vals=mvals,
-        rho=any_model.rho)
-    fne._lattice_plan = getattr(fn, "_lattice_plan", None)
-    return fne
+    return _wrap_elastodynamics(fn, any_rho, disc, mesh.sdim)
 
 
 def semidiscretize_multidomain_mechanics(
@@ -577,8 +578,7 @@ def semidiscretize_multidomain_mechanics(
     face_models, face_cells = [], []
     for name in names:
         cset = np.asarray(mesh.cellset(name), dtype=np.int64)
-        member = np.zeros(mesh.ncells, dtype=bool)
-        member[cset] = True
+        member = mesh.cell_membership(cset)
         for bc in models[name].face_models:
             fs = mesh.facetset(bc.boundary)
             if member[fs[:, 0]].any():

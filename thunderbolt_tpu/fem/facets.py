@@ -113,9 +113,7 @@ def make_facet_batch(dh: DofHandler, field: str, facetset: str,
     fi = dh.fields[field]
     fs = mesh.facetset(facetset)
     if cells is not None:
-        member = np.zeros(mesh.ncells, dtype=bool)
-        member[np.asarray(cells, dtype=np.int64)] = True
-        fs = fs[member[fs[:, 0]]]
+        fs = fs[mesh.cell_membership(cells)[fs[:, 0]]]
         if len(fs) == 0:
             raise ValueError(
                 f"facetset {facetset!r} has no facets in the given "

@@ -116,7 +116,10 @@ class ParaViewWriter:
         """Rewrite the .pvd after a timestep so the collection stays valid
         if the run dies mid-simulation (parity: ``finalize_timestep!``,
         ``src/ferrite-addons/io.jl:81`` — the reference flushes its pvd
-        per step for exactly this crash-resume reason)."""
+        per step for exactly this crash-resume reason). ``t`` is accepted
+        only for reference-signature parity: the collection is rewritten
+        from ALL stored entries regardless (the entry timestamps come from
+        ``store_timestep``)."""
         return self.finalize()
 
     def finalize(self):

@@ -125,6 +125,21 @@ class Mesh:
             out.extend(facet_nodes(el, int(lf), b.connectivity[lc]))
         return np.unique(np.asarray(out, dtype=np.int64))
 
+    def cell_membership(self, cells) -> np.ndarray:
+        """Boolean [ncells] mask from a global cell index array."""
+        member = np.zeros(self.ncells, dtype=bool)
+        member[np.asarray(cells, dtype=np.int64)] = True
+        return member
+
+    def block_of_cells(self, gcs: np.ndarray):
+        """Vectorized block lookup: (block_index, local_index) arrays for
+        a vector of global cell ids."""
+        offs = np.asarray([b.cell_offset for b in self.blocks]
+                          + [self.ncells], dtype=np.int64)
+        gcs = np.asarray(gcs, dtype=np.int64)
+        bi = np.searchsorted(offs, gcs, side="right") - 1
+        return bi, gcs - offs[bi]
+
     def boundary_facets(self, cells: Optional[np.ndarray] = None) -> np.ndarray:
         """All (global_cell, local_facet) pairs on the mesh boundary.
 
@@ -140,8 +155,7 @@ class Mesh:
         key appears exactly once are boundary."""
         member = None
         if cells is not None:
-            member = np.zeros(self.ncells, dtype=bool)
-            member[np.asarray(cells, dtype=np.int64)] = True
+            member = self.cell_membership(cells)
         wmax = max(len(f) for b in self.blocks for f in b.element.facets)
         keys, pairs = [], []
         for b in self.blocks:

@@ -542,8 +542,10 @@ def extract_outer_surface_mesh(mesh: Mesh, subdomains=None) -> Mesh:
 
     conn_by_type: Dict[str, List] = {}
     slot_by_type: Dict[str, List[int]] = {}   # row in bf for each new cell
+    bis, lcs = (mesh.block_of_cells(bf[:, 0]) if len(bf)
+                else (np.zeros(0, np.int64), np.zeros(0, np.int64)))
     for row, (gc, lf) in enumerate(bf):
-        bi, lc = mesh.block_of_cell(int(gc))
+        bi, lc = int(bis[row]), int(lcs[row])
         b = mesh.blocks[bi]
         el = b.element
         fidx = facet_basis_indices(el, int(lf))
@@ -574,13 +576,16 @@ def extract_outer_surface_mesh(mesh: Mesh, subdomains=None) -> Mesh:
         surf_index[slot_by_type[ftype]] = off + np.arange(len(conn))
         off += len(conn)
 
-    # volumetric facetsets -> surface cellsets, matched on (gc, lf) pairs
-    key = bf[:, 0] * (bf[:, 1].max() + 1 if len(bf) else 1) + bf[:, 1]
+    # volumetric facetsets -> surface cellsets, matched on (gc, lf) pairs;
+    # the key multiplier covers every element type's facet count so no
+    # (cell, facet) pair can alias another
+    mult = max(len(b.element.facets) for b in mesh.blocks) + 1
+    key = bf[:, 0] * mult + bf[:, 1]
     order = np.argsort(key)
     cellsets = {}
     for name, fs in mesh.facetsets.items():
         fs = np.asarray(fs, dtype=np.int64).reshape(-1, 2)
-        k = fs[:, 0] * (bf[:, 1].max() + 1 if len(bf) else 1) + fs[:, 1]
+        k = fs[:, 0] * mult + fs[:, 1]
         pos = np.searchsorted(key[order], k)
         pos = np.clip(pos, 0, len(key) - 1)
         hit = key[order][pos] == k
@@ -642,10 +647,12 @@ def compute_center_of_surface(mesh: Mesh, name: str) -> np.ndarray:
     from thunderbolt_tpu.fem.facets import facet_basis_indices
     from thunderbolt_tpu.mesh.quadrature import quadrature_rule
     fs = mesh.facetset(name)
+    if len(fs) == 0:
+        raise ValueError(f"facetset {name!r} is empty")
     acc = np.zeros(mesh.sdim)
     total = 0.0
     # group by (block, local facet) for vectorized area integration
-    binfo = np.asarray([mesh.block_of_cell(int(gc)) for gc in fs[:, 0]])
+    binfo = np.stack(mesh.block_of_cells(fs[:, 0]), axis=1)
     for bi in np.unique(binfo[:, 0]):
         b = mesh.blocks[bi]
         el = b.element

@@ -94,11 +94,19 @@ class ODB25LTMicrostructureParameters:
     endo_sheetlet_angle: float = 0.0
     epi_sheetlet_angle: float = 0.0
     make_endo_epi_arcs: bool = False
+    #: back-compat: a single transmurally constant gamma; when given it
+    #: overrides both endo/epi sheetlet angles
+    sheetlet_pseudo_angle: float = None
 
-    @property
-    def sheetlet_pseudo_angle(self):
-        """Back-compat alias for a transmurally constant gamma."""
-        return self.endo_sheetlet_angle
+    def __post_init__(self):
+        if self.sheetlet_pseudo_angle is not None:
+            object.__setattr__(self, "endo_sheetlet_angle",
+                               float(self.sheetlet_pseudo_angle))
+            object.__setattr__(self, "epi_sheetlet_angle",
+                               float(self.sheetlet_pseudo_angle))
+        else:
+            object.__setattr__(self, "sheetlet_pseudo_angle",
+                               self.endo_sheetlet_angle)
 
 
 def _rule_based_frame(x, transmural, axis, params):
