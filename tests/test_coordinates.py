@@ -326,3 +326,31 @@ def test_zero_angle_frame_matches_reference_convention(ring_cs):
     # fiber circumferential: orthogonal to both z and r
     assert np.abs(f[..., 2]).max() < 0.05
     assert np.abs((f * r_hat3).sum(-1)).max() < 0.3   # coarse ring facets
+
+
+def test_fibers_correct_on_off_center_geometry():
+    """Gradient-based local axes make the fiber rule geometry-agnostic: a
+    ring translated far from the origin gets the SAME frame field as the
+    centered one (the old radial-from-origin proxy would be wildly wrong).
+    This is the reference's ``setup_coordinate_axes_cache`` capability
+    (coordinate_systems.jl:13-35) — required for imported patient meshes."""
+    from thunderbolt_tpu.models.coordinates import (
+        compute_midmyocardial_section_coordinate_system)
+
+    def frame(shift):
+        mesh = tb.generate_ring_mesh(12, 3, 3)
+        mesh.nodes[:] = mesh.nodes + np.asarray(shift)
+        # coordinates rebuilt on the shifted mesh (the Laplace transmural
+        # solve and the z-range apicobasal are translation-covariant)
+        cs = compute_midmyocardial_section_coordinate_system(mesh)
+        dh = DofHandler(mesh).add_field("u").close()
+        batch = make_form_batch(dh, dh.subdofs[0], dtype=jnp.float64)
+        micro = create_microstructure_model(
+            cs, endo_helix_angle=np.deg2rad(60.0),
+            epi_helix_angle=np.deg2rad(-60.0))
+        return np.asarray(evaluate_coefficient(
+            setup_coefficient_cache(micro, batch), 0.0))
+
+    b0 = frame((0.0, 0.0, 0.0))
+    b1 = frame((25.0, -40.0, 7.0))
+    assert np.abs(b0 - b1).max() < 1e-6, np.abs(b0 - b1).max()

@@ -106,6 +106,42 @@ class NodalCoordinateSystem:
         block = self.mesh.blocks[bi]
         return block.connectivity[cells - block.cell_offset]
 
+    def axes_at_qps(self, batch):
+        """Local coordinate axes (transmural, apicobasal, rotational) unit
+        vectors at quadrature points, from the GRADIENTS of the stored
+        transmural/apicobasal fields (parity: ``_local_axes`` +
+        ``setup_coordinate_axes_cache``, ``coordinate_systems.jl:13-35``):
+        the transmural direction is taken as given, the apicobasal one is
+        orthogonalized against it, and the rotational direction is their
+        cross product — NOT grad(rotational), whose seam jump makes it
+        unusable exactly where the other two are fine.
+
+        Correct on arbitrary (patient) geometries, unlike the idealized
+        radial-proxy fallback. Returns three [nc, nqp, sdim] arrays."""
+        names = self.component_names
+        if "transmural" not in names or "apicobasal" not in names:
+            raise ValueError(
+                "coordinate system lacks transmural/apicobasal fields")
+
+        def _unit(v):
+            return v / np.maximum(
+                np.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+
+        conn = self._batch_conn(batch)
+        dNgeo = np.asarray(batch.dNgeo)          # [nqp, nbg, rdim]
+        Xe = np.asarray(batch.Xe)                # [nc, nbg, sdim]
+        J = np.einsum("qbr,cbs->cqsr", dNgeo, Xe)
+        dNdx = np.einsum("qbr,cqrs->cqbs", dNgeo, np.linalg.inv(J))
+        tg = np.einsum("cqbs,cb->cqs", dNdx,
+                       np.asarray(self.nodal["transmural"])[conn])
+        ag = np.einsum("cqbs,cb->cqs", dNdx,
+                       np.asarray(self.nodal["apicobasal"])[conn])
+        t_hat = _unit(tg)
+        ab = _unit(ag)
+        ab = _unit(ab - np.sum(ab * t_hat, axis=-1, keepdims=True) * t_hat)
+        return t_hat, ab, _unit(np.cross(t_hat, ab))
+
+
     def at_dofs(self, coords):
         """Generalized coordinates at arbitrary points given as the dof
         coordinates — nearest-node lookup (dof sites coincide with nodes for

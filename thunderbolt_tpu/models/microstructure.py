@@ -154,6 +154,47 @@ def _rule_based_frame(x, transmural, axis, params):
     return f, s, n
 
 
+def _rodrigues(v, k, theta):
+    """Rotate v about unit axis k by theta (vectorized [..., 3])."""
+    ct = np.cos(theta)[..., None]
+    st = np.sin(theta)[..., None]
+    kxv = np.cross(k, v)
+    kdv = np.sum(k * v, axis=-1, keepdims=True)
+    return v * ct + kxv * st + k * kdv * (1.0 - ct)
+
+
+def _rule_based_frame_from_axes(tcoord, t_hat, ab_hat, c_hat, params):
+    """(f, s, n) from gradient-based local axes (patient-mesh-correct path;
+    parity: ``compute_local_microstructure``, ``microstructure.jl:208-244``
+    on ``LocalCoordinateAxes``). Same rotation recipe as the idealized
+    proxy: helix alpha about the transmural axis, transversal -beta about
+    the apicobasal axis, sheet at alpha + 90 deg gamma-rotated about f."""
+    t = np.clip(tcoord, 0.0, 1.0)
+    alpha = (params.endo_helix_angle
+             + (params.epi_helix_angle - params.endo_helix_angle) * t)
+    beta = (params.endo_transversal_angle
+            + (params.epi_transversal_angle
+               - params.endo_transversal_angle) * t)
+    gamma = (params.endo_sheetlet_angle
+             + (params.epi_sheetlet_angle
+                - params.endo_sheetlet_angle) * t)
+    # circumferential with the OUTWARD-normal handedness (ab x t): the
+    # zero-angle frame is then f = c, s = apicobasal, n = +transmural —
+    # the same line fields as the reference's (its c = t x ab merely
+    # flips the f and s signs, which quadratic invariants cannot see)
+    c_hat = np.cross(ab_hat, t_hat)
+    f = np.cos(alpha)[..., None] * c_hat + np.sin(alpha)[..., None] * ab_hat
+    if np.any(beta != 0.0):
+        f = _normalize(_rodrigues(f, ab_hat, -beta))
+    s = -np.sin(alpha)[..., None] * c_hat + np.cos(alpha)[..., None] * ab_hat
+    s = _normalize(s - np.sum(s * f, axis=-1, keepdims=True) * f)
+    n = np.cross(f, s)
+    if np.any(gamma != 0.0):
+        s, n = (np.cos(gamma)[..., None] * s - np.sin(gamma)[..., None] * n,
+                np.cos(gamma)[..., None] * n + np.sin(gamma)[..., None] * s)
+    return f, s, n
+
+
 @dataclass(frozen=True)
 class RuleBasedMicrostructure(Coefficient):
     """Coefficient form of the helix-angle rule: evaluates (f, s, n) at
@@ -167,12 +208,23 @@ class RuleBasedMicrostructure(Coefficient):
         cs = self.coordinate_system
         gc = np.asarray(cs.at_qps(batch))     # [nc, nqp, >=1] (transmural first)
         nc, nqp = gc.shape[:2]
-        xq = np.asarray(batch.xq).reshape(-1, 3)
-        axis = getattr(cs, "axis", None)
-        if axis is None:
-            axis, _, _ = compute_long_axis(cs.mesh)
-        f, s, n = _rule_based_frame(xq, gc[..., 0].reshape(-1), axis,
-                                    self.params)
+        names = getattr(cs, "component_names", ())
+        if "transmural" in names and "apicobasal" in names \
+                and hasattr(cs, "axes_at_qps"):
+            # gradient-based local axes: correct on arbitrary (patient)
+            # geometries where the idealized radial proxy is wrong
+            t_hat, ab_hat, c_hat = cs.axes_at_qps(batch)
+            f, s, n = _rule_based_frame_from_axes(
+                gc[..., names.index("transmural")].reshape(-1),
+                t_hat.reshape(-1, 3), ab_hat.reshape(-1, 3),
+                c_hat.reshape(-1, 3), self.params)
+        else:
+            xq = np.asarray(batch.xq).reshape(-1, 3)
+            axis = getattr(cs, "axis", None)
+            if axis is None:
+                axis, _, _ = compute_long_axis(cs.mesh)
+            f, s, n = _rule_based_frame(xq, gc[..., 0].reshape(-1), axis,
+                                        self.params)
         basis = np.stack([f, s, n], axis=-2).reshape(nc, nqp, 3, 3)
         return _EvalCache("data", jnp.asarray(basis, batch.xq.dtype))
 
