@@ -91,6 +91,8 @@ from thunderbolt_tpu.models.cells import (
     HodgkinHuxleyModel,
 )
 from thunderbolt_tpu.models.coordinates import (
+    LocalCoordinateAxes,
+    evaluate_coordinate_axes,
     CartesianCoordinateSystem,
     CellIndexCoordinateSystem,
     LVCoordinateSystem,

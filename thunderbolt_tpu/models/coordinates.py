@@ -152,6 +152,21 @@ class NodalCoordinateSystem:
         return self.stacked()[idx]
 
 
+from collections import namedtuple
+
+#: gradient-based local frame (parity: ``LocalCoordinateAxes``,
+#: ``coordinate_systems.jl:13``)
+LocalCoordinateAxes = namedtuple(
+    "LocalCoordinateAxes", ["transmural", "apicobasal", "rotational"])
+
+
+def evaluate_coordinate_axes(coordinate_system, batch) -> LocalCoordinateAxes:
+    """Functional form of ``NodalCoordinateSystem.axes_at_qps`` (parity:
+    ``evaluate_coordinate_axes``, ``coordinate_systems.jl``)."""
+    t, ab, rot = coordinate_system.axes_at_qps(batch)
+    return LocalCoordinateAxes(t, ab, rot)
+
+
 class LVCoordinateSystem(NodalCoordinateSystem):
     """(transmural, apicobasal, rotational) ventricular coordinates
     (``coordinate_systems.jl:89``)."""
