@@ -51,11 +51,17 @@ def main():
     dt = 1.0
     integ = tb.init(odeform, alg, u0, (0.0, 1e9), dt)
 
+    import os
+    cpu_fallback = bool(os.environ.get("TB_BENCH_CPU"))
+
     # warmup: compile + spin up the spiral so CG sees live dynamics
-    integ.step(150)
+    # (the CPU fallback emulates the TPU program at ~1.7 steps/s on the
+    # 1-core sandbox, so it only gets a short march — the number is a
+    # liveness signal, not a perf claim)
+    integ.step(50 if cpu_fallback else 150)
     integ.u.block_until_ready()
 
-    nsteps = 20000
+    nsteps = 200 if cpu_fallback else 20000
     t0 = time.perf_counter()
     integ.step(nsteps)
     integ.u.block_until_ready()
@@ -65,13 +71,40 @@ def main():
     assert np.isfinite(phi).all(), "benchmark produced non-finite state"
 
     steps_per_sec = nsteps / wall
+    suffix = "_cpu_fallback" if cpu_fallback else ""
     print(json.dumps({
-        "metric": "monodomain_steps_per_sec_256x256_fhn",
+        "metric": "monodomain_steps_per_sec_256x256_fhn" + suffix,
         "value": round(steps_per_sec, 2),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / REFERENCE_CPU_STEPS_PER_SEC, 2),
     }))
 
 
+def _tpu_reachable(timeout_s=180.0):
+    """Probe the remote TPU in a SUBPROCESS: when the axon tunnel is down,
+    jax.devices() hangs forever (no error), which would turn the driver's
+    bench run into a silent timeout. A dead probe -> honest CPU fallback
+    with a distinct metric name instead of a crashed round."""
+    import subprocess, sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 if __name__ == "__main__":
+    import os
+    if not os.environ.get("TB_BENCH_CPU") and not _tpu_reachable():
+        import subprocess, sys
+        print(json.dumps({"note": "axon TPU tunnel unreachable; "
+                          "re-running on CPU with metric suffix"}),
+              flush=True)
+        env = dict(os.environ, TB_BENCH_CPU="1", JAX_PLATFORMS="cpu")
+        raise SystemExit(subprocess.call([sys.executable, __file__], env=env))
+    if os.environ.get("TB_BENCH_CPU"):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     main()
