@@ -1,13 +1,15 @@
 """Dissect the monodomain split-step composition on the real chip.
 
-Times, per mesh size: (a) the Chebyshev heat solve alone, (b) the
-reaction substep chain alone, (c) the full split step — each as an
-on-device lax.fori_loop over many iterations so the ~35 ms tunnel
-dispatch amortizes away (docs/howto-benchmark.md protocol).
+Times, per mesh size: (a) the full split step, (b) a heat-only
+backward-Euler/Chebyshev integrator on the same operator, (c) a
+reaction-only integrator on the same cell grid — all through the
+standard ``tb.init(...).step(n)`` machinery (traced step counts, one
+device program per march), so the ~35 ms tunnel dispatch amortizes away.
 
-Usage:  python tools/profile_ep_step.py [N ...]    (default 256 512 1024)
+Usage:  [PROFILE_ITERS=20000] python tools/profile_ep_step.py [N ...]
 """
 
+import os
 import sys
 import time
 
@@ -16,22 +18,20 @@ import jax
 import jax.numpy as jnp
 
 
-def bench_loop(step, u0, iters):
-    """Wall time per application of step(u, t) inside one fori_loop."""
-
-    @jax.jit
-    def run(u, n):
-        return jax.lax.fori_loop(0, n, lambda i, u: step(u, 0.0), u)
-
-    jax.block_until_ready(run(u0, 10))          # compile + warm
+def march_rate(integ, iters):
+    """steps/s of integ.step(iters) after a warm/compile call."""
+    integ.step(10)
+    integ.u.block_until_ready()
     t0 = time.perf_counter()
-    jax.block_until_ready(run(u0, iters))
-    return (time.perf_counter() - t0) / int(iters)
+    integ.step(iters)
+    integ.u.block_until_ready()
+    return iters / (time.perf_counter() - t0)
 
 
 def main(sizes):
     import thunderbolt_tpu as tb
 
+    base = int(os.environ.get("PROFILE_ITERS", "20000"))
     for N in sizes:
         dtype = jnp.float32
         mesh = tb.generate_mesh("quad4", (N, N), (0.0, 0.0), (2.5, 2.5))
@@ -51,30 +51,31 @@ def main(sizes):
             u0, odeform, "s", lambda x: np.where(x[:, 1] >= 1.25, 0.1, 0.0))
         be = tb.BackwardEulerSolver(rtol=1e-5, atol=1e-6, solver="chebyshev")
         fe = tb.AdaptiveForwardEulerSubstepper(reaction_threshold=0.1)
-        alg = tb.LieTrotterGodunov((be, fe))
         dt = 1.0
-
-        integ = tb.init(odeform, alg, u0, (0.0, 1e9), dt)
-        integ.step(50)                           # spin up live dynamics
-        u_live = integ.u
-
-        import os
-        base = int(os.environ.get("PROFILE_ITERS", "20000"))
         iters = max(100, base // max(1, (N // 256) ** 2))
 
-        t_full = bench_loop(integ._step, u_live, iters)
+        # (a) full split
+        integ = tb.init(odeform, tb.LieTrotterGodunov((be, fe)), u0,
+                        (0.0, 1e9), dt)
+        integ.step(50)                       # spin up live dynamics
+        u_live = integ.u
+        full = march_rate(integ, iters)
 
-        heat_fn, react_fn = odeform.functions[0], odeform.functions[1]
-        r0, r1 = odeform.ranges[0], odeform.ranges[1]
-        heat_step = be.make_step(heat_fn, dt)
-        react_step = fe.make_step(react_fn, dt)
-        t_heat = bench_loop(heat_step, u_live[r0], iters)
-        t_react = bench_loop(react_step, u_live[r1], iters)
+        # (b) heat only: same diffusion operator, standalone integrator
+        heat_fn = odeform.functions[0]
+        ih = tb.init(heat_fn, be, u_live[odeform.ranges[0]], (0.0, 1e9), dt)
+        heat = march_rate(ih, iters)
 
-        print(f"N={N:5d} heat {t_heat*1e6:9.1f} us  reaction "
-              f"{t_react*1e6:9.1f} us  full {t_full*1e6:9.1f} us "
-              f"({1.0/t_full:,.0f} steps/s)  "
-              f"overhead {(t_full-t_heat-t_react)*1e6:7.1f} us")
+        # (c) reaction only
+        react_fn = odeform.functions[1]
+        ir = tb.init(react_fn, fe, u_live[odeform.ranges[1]], (0.0, 1e9),
+                     dt)
+        react = march_rate(ir, iters)
+
+        t_full, t_heat, t_react = 1e6 / full, 1e6 / heat, 1e6 / react
+        print(f"N={N:5d} heat {t_heat:9.1f} us  reaction {t_react:9.1f} us"
+              f"  full {t_full:9.1f} us ({full:,.0f} steps/s)"
+              f"  overhead {t_full - t_heat - t_react:8.1f} us", flush=True)
 
 
 if __name__ == "__main__":
