@@ -77,3 +77,56 @@ def test_timers_and_monitor(capsys):
     enable_debug_timings(False)
     mon = DefaultProgressMonitor("test")
     mon(0, 1.0)  # does not raise
+
+
+def test_mechanics_resume_with_internal_state(tmp_path):
+    """Crash-resume of a condensed-sarcomere mechanics march: checkpoint
+    (u, fn.internal, t), reload into a FRESH semidiscretization, continue —
+    identical to the uninterrupted run. Pins that the per-qp Qprev/lam_prev
+    pytree is a plain checkpointable state (the reference serializes its
+    condensed vector tail the same way via JLD2)."""
+    from thunderbolt_tpu.models.solid.contraction_rdq20 import RDQ20MFModel
+
+    def build():
+        mesh = tb.generate_mesh("hex8", (2, 2, 2))
+        ca = tb.AnalyticalCoefficient(lambda x, t: jnp.minimum(t / 50.0, 1.0))
+        material = tb.ActiveStressModel(
+            material_model=tb.NeoHookeanModel(mu=5.0, lam=20.0),
+            active_stress_model=tb.SimpleActiveStress(Tmax=300.0),
+            contraction_model=tb.CaDrivenInternalSarcomereModel(
+                RDQ20MFModel(), ca))
+        dbcs = [tb.Dirichlet("d", "left", 0.0, components=[0]),
+                tb.Dirichlet("d", "front", 0.0, components=[1]),
+                tb.Dirichlet("d", "bottom", 0.0, components=[2])]
+        disc = tb.FiniteElementDiscretization(
+            {"d": tb.FieldSpec(order=1, ncomponents=3)}, dbcs=dbcs,
+            dtype=jnp.float64)
+        return tb.semidiscretize(
+            tb.QuasiStaticModel("d", material, ()), disc,
+            mesh), tb.HomotopyPathSolver(tb.NewtonRaphsonSolver(
+                tol=1e-9, inner="lu", max_iter=25), adaptive=False)
+
+    # uninterrupted 0 -> 40
+    fn, solver = build()
+    u_full, rep = solver.solve(fn, jnp.zeros(fn.solution_size, jnp.float64),
+                               (0.0, 40.0), dt=10.0)
+    assert rep.converged
+
+    # first half + checkpoint
+    fn1, solver1 = build()
+    u_half, rep1 = solver1.solve(
+        fn1, jnp.zeros(fn1.solution_size, jnp.float64), (0.0, 20.0),
+        dt=10.0)
+    assert rep1.converged
+    state = {"u": u_half, "internal": fn1.internal, "t": jnp.asarray(20.0)}
+    p = save_checkpoint(str(tmp_path / "mech"), state)
+
+    # fresh process analog: rebuild everything, load, continue 20 -> 40
+    fn2, solver2 = build()
+    loaded, _ = load_checkpoint(p, like={
+        "u": u_half, "internal": fn2.internal, "t": jnp.asarray(0.0)})
+    fn2.internal = loaded["internal"]
+    u_res, rep2 = solver2.solve(fn2, loaded["u"],
+                                (float(loaded["t"]), 40.0), dt=10.0)
+    assert rep2.converged
+    assert np.allclose(np.asarray(u_res), np.asarray(u_full), atol=1e-12)

@@ -15,6 +15,7 @@ from typing import Any, Dict
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 
 def save_checkpoint(path: str, state: Any, meta: Dict = None):
@@ -44,6 +45,12 @@ def load_checkpoint(path: str, like: Any = None):
         meta = json.loads(bytes(data["__meta__"]).decode())
     if like is not None:
         treedef = jax.tree_util.tree_structure(like)
+        # restore each leaf as the template's array kind (device arrays
+        # come back as device arrays, so a resumed solve drops straight
+        # into the jitted machinery without .at[]-on-numpy surprises)
+        tmpl = jax.tree_util.tree_leaves(like)
+        leaves = [jnp.asarray(l, t.dtype) if isinstance(t, jnp.ndarray)
+                  else np.asarray(l) for l, t in zip(leaves, tmpl)]
         return jax.tree_util.tree_unflatten(treedef, leaves), meta
     return leaves, meta
 
