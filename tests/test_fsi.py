@@ -151,3 +151,56 @@ def test_constant_chamber_volume():
     U = jnp.zeros((ch.batch.nfacets, ch.batch.nbf, 3), DT)
     G = ch.grad_fn(U)
     assert float(jnp.max(jnp.abs(G))) == 0.0
+
+
+@pytest.mark.slow
+def test_active_lv_3d0d_ejects(monkeypatch=None):
+    """ACTIVE 3D-0D coupling (parity: test_fsi.jl:109-143
+    ``test_solve_contractile_ideal_lv_3D0D`` with Guccione passive +
+    Pelce-Sun-Langeveld Ca-driven active stress): as calcium rises the LV
+    contracts against the closed circuit — the chamber volume falls and
+    the closed valves pin the chamber volume (isovolumetric contraction)
+    while the cavity pressure multiplier climbs with calcium."""
+    calcium = tb.AnalyticalCoefficient(
+        lambda x, t: jnp.clip(t / 100.0, 0.0, 1.0))
+    material = tb.ActiveStressModel(
+        material_model=tb.Guccione1991PassiveModel(),
+        active_stress_model=tb.SimpleActiveStress(Tmax=30.0),
+        contraction_model=tb.CaDrivenInternalSarcomereModel(
+            tb.PelceSunLangeveld1995Model(), calcium))
+    circuit = RSAFDQ2022LumpedCircuitModel(lv_pressure_given=False)
+    mesh = tb.generate_ideal_lv_mesh(8, 2, 4)
+    scale = 5.14
+    mesh.nodes[:] = mesh.nodes * scale
+    model = tb.QuasiStaticModel("displacement", material, ())
+    coupler = LumpedFluidSolidCoupler(
+        (ChamberVolumeCoupling("Endocardium", "lv"),), "displacement",
+        volume_method=RSAFDQ2022SurrogateVolume(h=(0.0, 0.0, 1.0),
+                                                b=(0.0, 0.0, 0.2 * scale)))
+    coupled = RSAFDQ2022Model(model, circuit, coupler)
+    disc = tb.FiniteElementDiscretization(
+        {"displacement": tb.FieldSpec(order=1, ncomponents=3)},
+        dbcs=[tb.Dirichlet("displacement", "Base", 0.0)], dtype=DT)
+    fn3d, circ = tb.semidiscretize(RSAFDQ2022Split(coupled), disc, mesh)
+    solver = Coupled3D0DSolver(newton=BlockedNewtonSolver(tol=1e-6,
+                                                          max_iter=30))
+    w, c = solver.init(fn3d, circ, DT)
+    V0 = float(fn3d.volumes(w[: fn3d.nmech])[0])
+    c = c.at[circ.volume_index("lv")].set(V0)
+    t, dt = 0.0, 5.0
+    trace = []
+    for k in range(12):                     # march to t = 60 (Ca = 0.6)
+        w, c, stats = solver.step(fn3d, circ, w, c, t, dt)
+        assert stats.converged, (k, stats)
+        t += dt
+        trace.append((float(fn3d.volumes(w[: fn3d.nmech])[0]),
+                      float(w[fn3d.nmech])))
+    V = np.asarray([v for v, _ in trace])
+    p = np.asarray([q for _, q in trace])
+    assert np.isfinite(V).all() and np.isfinite(p).all()
+    # diastolic filling first (closed circuit pushes volume in) ...
+    assert V[2] > V0
+    # ... then the valves pin the volume: isovolumetric contraction
+    assert abs(V[-1] - V[-4]) < 1e-6 * V0, (V[-4], V[-1])
+    # ... while active tension develops cavity pressure with calcium
+    assert p[-1] > p[-4] + 0.2, (p[-4], p[-1])
