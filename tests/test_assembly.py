@@ -206,3 +206,59 @@ def test_sym_dia_matches_full():
     kp = K.offsets.index(1)
     bad = type(K)(K.offsets, K.diags.at[kp, 0].add(1.0), K.n)
     assert dia_to_symmetric(bad) is None
+
+
+def test_mixed_hex_wedge_pyramid_transition_poisson():
+    """One conforming 3D mesh with THREE element types — hexes, wedges
+    (hex split along the xy diagonal) and pyramids (hex split into 6 about
+    its centroid) — solving Laplace with u(0)=0, u(1)=1 across the
+    transitions. Every type reproduces linears and all internal interfaces
+    are matching quad faces, so u = x is exact. This is the pyramid's
+    raison d'être: transition elements between structured and
+    unstructured regions (ref ``src/mesh/meshes.jl:15-16``)."""
+    from thunderbolt_tpu.mesh.mesh import Mesh, ElementBlock
+    from thunderbolt_tpu.mesh.elements import get_element
+    import thunderbolt_tpu as tb
+
+    base = generate_mesh("hex8", (6, 2, 2))
+    conn = base.blocks[0].connectivity
+    cent = base.nodes[conn].mean(axis=1)
+    hex_cells = conn[cent[:, 0] < 1 / 3]
+    wedge_src = conn[(cent[:, 0] >= 1 / 3) & (cent[:, 0] < 2 / 3)]
+    pyr_src = conn[cent[:, 0] >= 2 / 3]
+
+    # wedges: split along the xy diagonal (quad side faces conform)
+    wedges = np.concatenate([wedge_src[:, [0, 1, 2, 4, 5, 6]],
+                             wedge_src[:, [0, 2, 3, 4, 6, 7]]], axis=0)
+    # pyramids: 6 per hex about the centroid (base quads = hex faces)
+    hex_el = get_element("hex8")
+    nc = pyr_src.shape[0]
+    apex = base.nnodes + np.arange(nc, dtype=np.int64)
+    centroids = base.nodes[pyr_src].mean(axis=1)
+    pyrs = np.concatenate([
+        np.concatenate([pyr_src[:, list(reversed(f))], apex[:, None]],
+                       axis=1) for f in hex_el.facets], axis=0)
+    nodes = np.vstack([base.nodes, centroids])
+    mesh = Mesh(nodes, [ElementBlock("hex8", hex_cells),
+                        ElementBlock("wedge6", wedges),
+                        ElementBlock("pyramid5", pyrs)])
+    bf = mesh.boundary_facets()
+    # facetsets from boundary coordinates
+    left, right = [], []
+    for gc, lf in bf:
+        bi, lc = mesh.block_of_cells([gc])
+        b = mesh.blocks[int(bi[0])]
+        pts = mesh.nodes[b.connectivity[int(lc[0]),
+                                        list(b.element.facets[lf])]]
+        if np.allclose(pts[:, 0], 0.0):
+            left.append((gc, lf))
+        elif np.allclose(pts[:, 0], 1.0):
+            right.append((gc, lf))
+    mesh.facetsets["left"] = np.asarray(left)
+    mesh.facetsets["right"] = np.asarray(right)
+
+    from thunderbolt_tpu.models.coordinates import solve_laplace_nodal
+    u = solve_laplace_nodal(mesh, [tb.Dirichlet("u", "left", 0.0),
+                                   tb.Dirichlet("u", "right", 1.0)])
+    assert np.abs(u - mesh.nodes[:, 0]).max() < 1e-6, \
+        np.abs(u - mesh.nodes[:, 0]).max()
