@@ -612,9 +612,7 @@ def compute_center_of_mass(mesh: Mesh, domain_name: str = None) -> np.ndarray:
     fit): per block, quadrature of degree max(2·order−1, 2).
     """
     from thunderbolt_tpu.mesh.quadrature import quadrature_rule
-    cells = mesh.cellset(domain_name)
-    member = np.zeros(mesh.ncells, dtype=bool)
-    member[cells] = True
+    member = mesh.cell_membership(mesh.cellset(domain_name))
     Ix = np.zeros(mesh.sdim)
     I1 = 0.0
     for b in mesh.blocks:

@@ -16,6 +16,8 @@ vocabulary).
 
 from __future__ import annotations
 
+from collections import namedtuple
+
 from dataclasses import dataclass, field as dfield
 from typing import Dict, Optional
 
@@ -53,6 +55,11 @@ class CellIndexCoordinateSystem:
         nc, nqp = batch.xq.shape[:2]
         return jnp.broadcast_to(batch.cells[:, None, None].astype(batch.xq.dtype),
                                 (nc, nqp, 1))
+
+
+def _unit(v):
+    """Normalize along the last axis with a zero-safe floor."""
+    return v / np.maximum(np.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
 
 
 class NodalCoordinateSystem:
@@ -122,11 +129,6 @@ class NodalCoordinateSystem:
         if "transmural" not in names or "apicobasal" not in names:
             raise ValueError(
                 "coordinate system lacks transmural/apicobasal fields")
-
-        def _unit(v):
-            return v / np.maximum(
-                np.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
-
         conn = self._batch_conn(batch)
         dNgeo = np.asarray(batch.dNgeo)          # [nqp, nbg, rdim]
         Xe = np.asarray(batch.Xe)                # [nc, nbg, sdim]
@@ -151,8 +153,6 @@ class NodalCoordinateSystem:
         _, idx = tree.query(coords)
         return self.stacked()[idx]
 
-
-from collections import namedtuple
 
 #: gradient-based local frame (parity: ``LocalCoordinateAxes``,
 #: ``coordinate_systems.jl:13``)

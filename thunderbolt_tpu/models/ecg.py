@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from thunderbolt_tpu.fem.dofs import DofHandler
 from thunderbolt_tpu.fem.forms import (
-    make_form_batch, element_diffusion, scatter_matrix)
+    make_form_batch, element_diffusion, scatter_matrix, _normalize_tensor)
 from thunderbolt_tpu.fem.sparsity import build_sparsity, csr_to_ell
 from thunderbolt_tpu.fem.constraints import (
     Dirichlet, close_constraints, ConstraintHandler)
@@ -82,7 +82,6 @@ class Plonsey1964ECGGaussCache:
                 if D is not None:
                     # scalar kappa means kappa*I (NOT a kappa-filled matrix,
                     # which would mix gradient components across axes)
-                    from thunderbolt_tpu.fem.forms import _normalize_tensor
                     nc, nqp = detJw.shape
                     Dn = _normalize_tensor(D, nc, nqp, grad.shape[-1],
                                            grad.dtype)
