@@ -88,7 +88,10 @@ def _tpu_reachable(timeout_s=180.0):
     import subprocess, sys
     try:
         r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
+            [sys.executable, "-c",
+             "import jax, sys; "
+             "sys.exit(0 if any(d.platform != 'cpu' "
+             "for d in jax.devices()) else 1)"],
             timeout=timeout_s, capture_output=True)
         return r.returncode == 0
     except subprocess.TimeoutExpired:

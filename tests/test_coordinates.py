@@ -354,3 +354,31 @@ def test_fibers_correct_on_off_center_geometry():
     b0 = frame((0.0, 0.0, 0.0))
     b1 = frame((25.0, -40.0, 7.0))
     assert np.abs(b0 - b1).max() < 1e-6, np.abs(b0 - b1).max()
+
+
+def test_transversal_angle_paths_agree():
+    """With a nonzero transversal angle, the gradient-axes path and the
+    idealized radial-proxy path apply the SAME rotation (Rodrigues about
+    the apicobasal axis) — on a centered ring the two frames coincide up
+    to the discretization error of grad(transmural)."""
+    from thunderbolt_tpu.models.coordinates import (
+        compute_midmyocardial_section_coordinate_system)
+    from thunderbolt_tpu.models.microstructure import (
+        _rule_based_frame, ODB25LTMicrostructureParameters)
+    ring = tb.generate_ring_mesh(32, 6, 3)
+    cs = compute_midmyocardial_section_coordinate_system(ring)
+    dh = DofHandler(ring).add_field("u").close()
+    batch = make_form_batch(dh, dh.subdofs[0], dtype=jnp.float64)
+    params = ODB25LTMicrostructureParameters(
+        endo_helix_angle=np.deg2rad(50.0), epi_helix_angle=np.deg2rad(-40.0),
+        endo_transversal_angle=0.3, epi_transversal_angle=0.1)
+    micro = tb.create_microstructure_model(cs, params)
+    basis_axes = np.asarray(evaluate_coefficient(
+        setup_coefficient_cache(micro, batch), 0.0)).reshape(-1, 3, 3)
+    gc = np.asarray(cs.at_qps(batch))
+    xq = np.asarray(batch.xq).reshape(-1, 3)
+    f_p, s_p, n_p = _rule_based_frame(
+        xq, gc[..., 0].reshape(-1), np.array([0.0, 0.0, 1.0]), params)
+    basis_proxy = np.stack([f_p, s_p, n_p], axis=-2)
+    # measured first-order gap: 0.114/0.057/0.028 at 16/32/64 segments
+    assert np.abs(basis_axes - basis_proxy).max() < 0.08

@@ -331,7 +331,10 @@ class ElastodynamicsFunction(QuasiStaticFunction):
 
 
 def _vector_mass(batches, elem_maps, pattern, rho, ncomp, dtype):
+    """CSR mass values + the per-batch dense element matrices (reused by
+    the BlockDIA layout so element_mass runs once per batch)."""
     mvals = jnp.zeros(pattern.nnz, dtype)
+    Mes = []
     for batch, em in zip(batches, elem_maps):
         rho_val = rho
         if hasattr(rho, "setup"):
@@ -341,9 +344,10 @@ def _vector_mass(batches, elem_maps, pattern, rho, ncomp, dtype):
         eye = jnp.eye(ncomp, dtype=Me.dtype)
         Mv = jnp.einsum("cab,ij->caibj", Me, eye)
         nd = Me.shape[1] * ncomp
-        mvals = mvals + scatter_matrix(Mv.reshape(-1, nd, nd), em,
-                                       pattern.nnz)
-    return mvals
+        Mv = Mv.reshape(-1, nd, nd)
+        Mes.append(Mv)
+        mvals = mvals + scatter_matrix(Mv, em, pattern.nnz)
+    return mvals, Mes
 
 
 def _wrap_elastodynamics(fn, rho, disc, ncomp):
@@ -351,8 +355,8 @@ def _wrap_elastodynamics(fn, rho, disc, ncomp):
     quasi-static function — shared by the single- and multi-subdomain
     elastodynamics registrars so both keep Newmark's scatter-free
     J = K + c M path."""
-    mvals = _vector_mass(fn.batches, fn.volume_elem_maps, fn.pattern,
-                         rho, ncomp, disc.dtype)
+    mvals, Mes = _vector_mass(fn.batches, fn.volume_elem_maps, fn.pattern,
+                              rho, ncomp, disc.dtype)
     fne = ElastodynamicsFunction(
         dh=fn.dh, field=fn.field, pattern=fn.pattern, batches=fn.batches,
         material=fn.material, materials=fn.materials,
@@ -365,18 +369,9 @@ def _wrap_elastodynamics(fn, rho, disc, ncomp):
     fne._lattice_plan = plan
     if plan is not None:
         # mass in the plan's BlockDIA layout (offsets/spill aligned with K)
-        # so Newmark's J = K + c M stays on the scatter-free path
-        Mes = []
-        for batch in fn.batches:
-            rho_val = rho
-            if hasattr(rho, "setup"):
-                rho_val = evaluate_coefficient(
-                    setup_coefficient_cache(rho, batch), 0.0)
-            Me = element_mass(batch, rho_val)
-            eye = jnp.eye(ncomp, dtype=Me.dtype)
-            Mv = jnp.einsum("cab,ij->caibj", Me, eye)
-            nd = Me.shape[1] * ncomp
-            Mes.append(Mv.reshape(-1, nd, nd))
+        # so Newmark's J = K + c M stays on the scatter-free path; the
+        # dense element matrices are the ones _vector_mass already built
+        Mes = list(Mes)
         for (res_fn, tan_fn, dofs, em) in fn.wbc_kernels:
             nf, nd = dofs.shape
             Mes.append(jnp.zeros((nf, nd, nd), disc.dtype))

@@ -45,11 +45,21 @@ def load_checkpoint(path: str, like: Any = None):
         meta = json.loads(bytes(data["__meta__"]).decode())
     if like is not None:
         treedef = jax.tree_util.tree_structure(like)
-        # restore each leaf as the template's array kind (device arrays
-        # come back as device arrays, so a resumed solve drops straight
-        # into the jitted machinery without .at[]-on-numpy surprises)
         tmpl = jax.tree_util.tree_leaves(like)
-        leaves = [jnp.asarray(l, t.dtype) if isinstance(t, jnp.ndarray)
+        if len(leaves) != len(tmpl):
+            raise ValueError(
+                f"checkpoint has {len(leaves)} leaves but the template "
+                f"has {len(tmpl)} — structure mismatch")
+        for l, t in zip(leaves, tmpl):
+            if hasattr(t, "dtype") and l.dtype != np.dtype(t.dtype):
+                raise ValueError(
+                    f"checkpoint leaf dtype {l.dtype} != template "
+                    f"{t.dtype}; bitwise resume requires matching dtypes")
+        # restore each leaf as the template's array KIND (device arrays
+        # come back as device arrays, so a resumed solve drops straight
+        # into the jitted machinery without .at[]-on-numpy surprises);
+        # dtypes are never cast — that would break bitwise resume
+        leaves = [jnp.asarray(l) if isinstance(t, jnp.ndarray)
                   else np.asarray(l) for l, t in zip(leaves, tmpl)]
         return jax.tree_util.tree_unflatten(treedef, leaves), meta
     return leaves, meta

@@ -30,8 +30,7 @@ from thunderbolt_tpu.models.coordinates import (
     NodalCoordinateSystem, compute_long_axis)
 
 
-def _normalize(v, axis=-1):
-    return v / np.maximum(np.linalg.norm(v, axis=axis, keepdims=True), 1e-30)
+from thunderbolt_tpu.models.coordinates import _unit as _normalize
 
 
 @dataclass(frozen=True)
@@ -141,8 +140,9 @@ def _rule_based_frame(x, transmural, axis, params):
     f = (np.cos(alpha)[:, None] * c
          + np.sin(alpha)[:, None] * axis[None])
     if np.any(beta != 0.0):
-        f = _normalize(np.cos(beta)[:, None] * f
-                       + np.sin(beta)[:, None] * r)
+        # SAME transversal rotation as the gradient-axes path: Rodrigues
+        # about the apicobasal axis (ref rotate_around(f, apicobasal, -b))
+        f = _normalize(_rodrigues(f, np.broadcast_to(axis, f.shape), -beta))
     # sheet: alpha + 90 deg in the wall-tangent (c, axis) plane
     s = (-np.sin(alpha)[:, None] * c
          + np.cos(alpha)[:, None] * axis[None])
@@ -163,7 +163,7 @@ def _rodrigues(v, k, theta):
     return v * ct + kxv * st + k * kdv * (1.0 - ct)
 
 
-def _rule_based_frame_from_axes(tcoord, t_hat, ab_hat, c_hat, params):
+def _rule_based_frame_from_axes(tcoord, t_hat, ab_hat, params):
     """(f, s, n) from gradient-based local axes (patient-mesh-correct path;
     parity: ``compute_local_microstructure``, ``microstructure.jl:208-244``
     on ``LocalCoordinateAxes``). Same rotation recipe as the idealized
@@ -213,11 +213,10 @@ class RuleBasedMicrostructure(Coefficient):
                 and hasattr(cs, "axes_at_qps"):
             # gradient-based local axes: correct on arbitrary (patient)
             # geometries where the idealized radial proxy is wrong
-            t_hat, ab_hat, c_hat = cs.axes_at_qps(batch)
+            t_hat, ab_hat, _ = cs.axes_at_qps(batch)
             f, s, n = _rule_based_frame_from_axes(
                 gc[..., names.index("transmural")].reshape(-1),
-                t_hat.reshape(-1, 3), ab_hat.reshape(-1, 3),
-                c_hat.reshape(-1, 3), self.params)
+                t_hat.reshape(-1, 3), ab_hat.reshape(-1, 3), self.params)
         else:
             xq = np.asarray(batch.xq).reshape(-1, 3)
             axis = getattr(cs, "axis", None)
