@@ -108,3 +108,32 @@ def test_tri_tet_quadrature_exactness():
                     val = (qr.weights * qr.points[:, 0] ** a
                            * qr.points[:, 1] ** b * qr.points[:, 2] ** c).sum()
                     assert np.isclose(val, exact, atol=1e-9), (deg, a, b, c)
+
+
+def test_quadratic_geometry_facet_areas_exact():
+    """Facet batches on QUADRATIC geometry (hex27/tet10/wedge18 from
+    straight-midpoint elevation of unit-box meshes) must integrate every
+    boundary face of the box to its exact area. Regression: the geometry
+    nodes used to be gathered in cell-edge order while the shape tables
+    are tabulated in the facet element's own ordering — garbling some
+    facets (unit-cube hex27 'left' integrated to 0.887)."""
+    import jax
+    import jax.numpy as jnp
+    import thunderbolt_tpu as tb
+    from thunderbolt_tpu.fem.dofs import DofHandler
+    from thunderbolt_tpu.fem.facets import make_facet_batch
+
+    for celltype in ("hex8", "tet4", "wedge6"):
+        mesh = tb.elevate_to_quadratic(tb.generate_mesh(celltype, (1, 1, 1)))
+        dh = DofHandler(mesh).add_field("d", order=2, ncomponents=3).close()
+        for name in ("left", "right", "top", "bottom", "front", "back"):
+            if name not in mesh.facetsets:
+                continue
+            try:
+                fb = make_facet_batch(dh, "d", name, dtype=jnp.float64)
+            except NotImplementedError:
+                continue          # mixed tri+quad facetsets (wedge boxes)
+            nda = jax.vmap(lambda X: fb.normal_da(X))(fb.Xf)
+            da = np.linalg.norm(np.asarray(nda), axis=-1)
+            area = float((da * np.asarray(fb.wq)[None]).sum())
+            assert abs(area - 1.0) < 1e-12, (celltype, name, area)

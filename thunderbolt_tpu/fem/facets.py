@@ -148,9 +148,12 @@ def make_facet_batch(dh: DofHandler, field: str, facetset: str,
             Ngeo = f_geo_el.shape(qr.points)
             dNgeo = f_geo_el.grad(qr.points)
             wq = qr.weights
-        # geometry nodes of the facet
-        from thunderbolt_tpu.mesh.mesh import facet_nodes
-        gnodes = facet_nodes(gel, int(lf), block.connectivity[lc])
+        # geometry nodes of the facet, in the FACET ELEMENT's own node
+        # ordering (corners, then ITS edge order, then center) — the same
+        # ordering the Ngeo/dNgeo tables above are tabulated in. The
+        # cell-edge ordering of mesh.facet_nodes differs on some hex
+        # facets and garbles the quadratic facet geometry.
+        gnodes = block.connectivity[lc, facet_basis_indices(gel, int(lf))]
         Xf_list.append(mesh.nodes[gnodes])
         # field dofs on the facet
         lcell = np.nonzero(sub.local_cells == lc)[0]
