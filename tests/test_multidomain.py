@@ -163,3 +163,35 @@ def test_rtc_on_multi_subdomain_split(multidomain):
     assert T / 1.0 < nsteps < T / 0.25, nsteps
     err = np.abs(np.asarray(u_rtc) - np.asarray(u_fix)).max()
     assert err < 5e-2, err
+
+
+def test_quadratic_interface_jump_exact():
+    """dG interface batches on QUADRATIC geometry: the jump of a continuous
+    field through N_jump vanishes to machine precision and w_dG integrates
+    the exact interface area (exercises the hex27 facet trace + inverse
+    mapping; depends on the facet-geometry node-ordering fix)."""
+    from thunderbolt_tpu.mesh.mesh import Mesh, ElementBlock
+    from thunderbolt_tpu.fem.dofs import DofHandler
+    from thunderbolt_tpu.fem.facets import make_interface_batch
+    ml = tb.elevate_to_quadratic(
+        tb.generate_mesh("hex8", (2, 2, 2), (0, 0, 0), (0.5, 1, 1)))
+    mr = tb.elevate_to_quadratic(
+        tb.generate_mesh("hex8", (2, 2, 2), (0.5, 0, 0), (1, 1, 1)))
+    nodes = np.vstack([ml.nodes, mr.nodes])
+    mesh = Mesh(nodes, [
+        ElementBlock("hex27", ml.blocks[0].connectivity),
+        ElementBlock("hex27", mr.blocks[0].connectivity + ml.nnodes)])
+    fa = ml.facetsets["right"].copy()
+    fb = mr.facetsets["left"].copy()
+    fb[:, 0] += ml.ncells
+    mesh.facetsets["ia"] = fa
+    mesh.facetsets["ib"] = fb
+    dh = DofHandler(mesh).add_field("u", order=2).close()
+    ib = make_interface_batch(dh, "u", "ia", "ib", dtype=jnp.float64)
+    coords = dh.fields["u"].entity_coords
+    u = jnp.asarray(1.0 + 2 * coords[:, 0] - coords[:, 1]
+                    + 0.5 * coords[:, 2] * coords[:, 1])
+    jump = np.asarray(jnp.einsum("pqb,pb->pq", ib["N_jump"],
+                                 u[ib["pair_dofs"]]))
+    assert np.abs(jump).max() < 1e-12
+    assert abs(float(np.asarray(ib["w_dG"]).sum()) - 1.0) < 1e-12
