@@ -70,6 +70,7 @@ def test_stiffness_nullspace(celltype, dims):
     ("quad4", (16, 16), 1, 2e-2), ("tri3", (16, 16), 1, 2e-2),
     ("quad9", (8, 8), 2, 2e-3), ("tri6", (8, 8), 2, 2e-3),
     ("hex8", (8, 8, 8), 1, 5e-2), ("tet10", (4, 4, 4), 2, 2e-2),
+    ("hex27", (3, 3, 3), 2, 2e-2),
 ])
 def test_poisson_manufactured(celltype, dims, order, tol):
     """-div(grad u) = f with u = prod sin(pi x_d), Dirichlet 0."""
