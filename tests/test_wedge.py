@@ -185,3 +185,26 @@ def test_carp_prism_roundtrip(tmp_path):
     dh, sub, batch, pattern = _setup(loaded)
     assert abs(float(element_mass(batch).sum()) -
                float(element_mass(_setup(mesh)[2]).sum())) < 1e-12
+
+
+def test_split_facetset_by_type():
+    """A facetset mixing wedge caps (tri) and sides (quad) splits into
+    per-type sets that facet batches accept (the documented workaround
+    for the one-type-per-batch rule, now automated)."""
+    from thunderbolt_tpu.mesh.tools import split_facetset_by_type
+    from thunderbolt_tpu.fem.dofs import DofHandler
+    from thunderbolt_tpu.fem.facets import make_facet_batch
+    mesh = tb.generate_mesh("wedge6", (2, 2, 2))
+    mixed = mesh.boundary_facets()
+    mesh.facetsets["all"] = mixed
+    names = split_facetset_by_type(mesh, "all")
+    assert sorted(names) == ["all:quad4", "all:tri3"]
+    assert (len(mesh.facetset("all:quad4"))
+            + len(mesh.facetset("all:tri3"))) == len(mixed)
+    dh = DofHandler(mesh).add_field("u").close()
+    for nm in names:
+        fb = make_facet_batch(dh, "u", nm, dtype=jnp.float64)
+        assert fb.nfacets == len(mesh.facetset(nm))
+    # single-type set is a no-op
+    mesh.facetsets["quadsonly"] = mesh.facetset("all:quad4")
+    assert split_facetset_by_type(mesh, "quadsonly") == ["quadsonly"]

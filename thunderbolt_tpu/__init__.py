@@ -48,6 +48,7 @@ from thunderbolt_tpu.mesh.tools import (
     extract_outer_surface_mesh,
     compute_center_of_mass,
     compute_center_of_surface,
+    split_facetset_by_type,
 )
 from thunderbolt_tpu.fem.points import (
     PointEvalHandler,

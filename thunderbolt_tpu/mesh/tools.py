@@ -674,3 +674,31 @@ def compute_center_of_surface(mesh: Mesh, name: str) -> np.ndarray:
             acc += (cent * areas[:, None]).sum(axis=0)
             total += areas.sum()
     return acc / total
+
+
+def split_facetset_by_type(mesh: Mesh, name: str,
+                           remove_original: bool = False):
+    """Split a facetset mixing facet types (e.g. wedge caps + sides) into
+    per-type sets ``{name}:{facettype}`` so each can feed a facet batch
+    (facet batches require one facet type per set; see
+    ``fem/facets.py:make_facet_batch``). Returns the new set names.
+
+    No-op (returns ``[name]``) when the set is already single-type."""
+    from thunderbolt_tpu.mesh.elements import facet_type
+    fs = mesh.facetset(name)
+    if len(fs) == 0:
+        return [name]
+    bis, lcs = mesh.block_of_cells(fs[:, 0])
+    types = np.asarray([facet_type(mesh.blocks[int(b)].element, int(lf))
+                        for b, (gc, lf) in zip(bis, fs)])
+    uniq = sorted(set(types.tolist()))
+    if len(uniq) == 1:
+        return [name]
+    out = []
+    for t in uniq:
+        nm = f"{name}:{t}"
+        mesh.facetsets[nm] = fs[types == t]
+        out.append(nm)
+    if remove_original:
+        del mesh.facetsets[name]
+    return out
