@@ -207,3 +207,17 @@ def test_surface_extraction_facetset_key_no_alias():
     s = tb.extract_outer_surface_mesh(mesh, subdomains=["tets"])
     assert s.ncells == 4 and s.elementtypes() == ("tri3",)
     assert "hextop" not in s.cellsets       # no aliased match
+
+
+def test_predicate_set_builders():
+    """Ferrite add*set! idiom (used throughout the reference's tests,
+    e.g. test_mesh.jl:31-57): predicate-based cell/facet/node sets; a
+    predicate-built facetset matches the generator's canonical one."""
+    m = generate_mesh("hex8", (3, 3, 3))
+    right = m.add_facetset("right_new", lambda x: np.isclose(x[:, 0], 1.0))
+    canon = m.facetset("right")
+    assert {tuple(r) for r in right} == {tuple(r) for r in canon}
+    cs = m.add_cellset("right_cells", lambda x: x[:, 0] >= 2 / 3 - 1e-9)
+    assert len(cs) == 9
+    ns = m.add_nodeset("corner", lambda x: np.isclose(x, 0.0).all(axis=1))
+    assert len(ns) == 1

@@ -125,6 +125,41 @@ class Mesh:
             out.extend(facet_nodes(el, int(lf), b.connectivity[lc]))
         return np.unique(np.asarray(out, dtype=np.int64))
 
+    # --- predicate-based set builders (Ferrite add*set! idiom) ----------
+
+    def add_cellset(self, name: str, predicate) -> np.ndarray:
+        """Cells whose EVERY node satisfies ``predicate(x) -> bool``
+        (vectorized over [n, sdim]; Ferrite ``addcellset!`` semantics)."""
+        ok = np.asarray(predicate(self.nodes), dtype=bool)
+        sel = []
+        for b in self.blocks:
+            hit = ok[b.connectivity].all(axis=1)
+            sel.append(b.cell_offset + np.nonzero(hit)[0])
+        self.cellsets[name] = np.concatenate(sel).astype(np.int64)
+        return self.cellsets[name]
+
+    def add_nodeset(self, name: str, predicate) -> np.ndarray:
+        """Nodes satisfying ``predicate(x)`` (Ferrite ``addnodeset!``)."""
+        ok = np.asarray(predicate(self.nodes), dtype=bool)
+        self.nodesets[name] = np.nonzero(ok)[0].astype(np.int64)
+        return self.nodesets[name]
+
+    def add_facetset(self, name: str, predicate) -> np.ndarray:
+        """Boundary facets whose EVERY corner node satisfies
+        ``predicate(x)`` (Ferrite ``addfacetset!`` semantics — the census
+        runs over boundary facets only)."""
+        ok = np.asarray(predicate(self.nodes), dtype=bool)
+        bf = self.boundary_facets()
+        keep = []
+        for gc, lf in bf:
+            bi, lc = self.block_of_cell(int(gc))
+            b = self.blocks[bi]
+            corners = b.connectivity[lc, list(b.element.facets[lf])]
+            if ok[corners].all():
+                keep.append((gc, lf))
+        self.facetsets[name] = np.asarray(keep, dtype=np.int64).reshape(-1, 2)
+        return self.facetsets[name]
+
     def cell_membership(self, cells) -> np.ndarray:
         """Boolean [ncells] mask from a global cell index array."""
         member = np.zeros(self.ncells, dtype=bool)
