@@ -227,3 +227,36 @@ def test_mg_with_condensed_internal_variables():
     assert s_mg.converged and s_lu.converged
     assert np.abs(np.asarray(u_mg) - np.asarray(u_lu)).max() < 1e-6
     assert np.abs(np.asarray(u_lu)).max() > 1e-4   # activation did bite
+
+
+def test_mg_ell_slot_cache_survives_tracing():
+    """The ELL-path block-diagonal slot cache must be host data: when the
+    preconditioner's first call happens INSIDE a jit trace (homotopy /
+    one-dispatch Newton), a jnp array materialized there is trace-bound
+    and leaks into later calls (UnexpectedTracerError — the failure seen
+    driving MG through HomotopyPathSolver on unstructured rings)."""
+    model = tb.QuasiStaticModel(
+        "d", tb.PK1Model(tb.NeoHookeanModel(mu=1.0, lam=2.0)),
+        (tb.ConstantPressureBC(0.02, "Epicardium"),))
+    disc = tb.FiniteElementDiscretization(
+        {"d": tb.FieldSpec(order=1, ncomponents=3)},
+        dbcs=[tb.Dirichlet("d", "Bottom", 0.0)], dtype=DT)
+    h = build_mechanics_hierarchy(model, disc,
+                                  tb.generate_ring_mesh(8, 2, 1), 2)
+    fn = h.fine_function
+    mg = MechanicsGMGPreconditioner(h)
+    u = jnp.zeros(fn.solution_size, DT)
+    kv, _ = fn.assemble(u, 0.0)
+    from thunderbolt_tpu.fem.sparsity import ELLMatrix
+    assert isinstance(fn.jacobian_matrix(kv), ELLMatrix)  # the ELL path
+    r = fn.constraints.apply_zero(jnp.asarray(
+        np.random.default_rng(0).standard_normal(fn.solution_size)))
+
+    def apply_mg(kvals, uu):
+        A = fn.constraints.apply_operator(fn.jacobian_matrix(kvals))
+        return mg(A, uu, 0.0, ())(r)
+
+    z_jit = jax.jit(apply_mg)(kv, u)       # first call inside a trace
+    z_eager = apply_mg(kv, u)              # pre-fix: escaped-tracer error
+    np.testing.assert_allclose(np.asarray(z_jit), np.asarray(z_eager),
+                               rtol=1e-10)

@@ -443,9 +443,12 @@ class MechanicsGMGPreconditioner:
             # apply_operator already zeroed constrained rows/cols and set
             # unit diagonals, so the extracted blocks are mask-correct
             if self._ell_block_slots is None:
+                # cache as HOST numpy: a jnp array materialized here would
+                # be trace-bound when this first runs inside jit/cond (the
+                # constant becomes a tracer) and leak into later traces
                 pat = self.h.fine_function.pattern
-                self._ell_block_slots = jnp.asarray(
-                    np.asarray(pat.ell_pos)[self._slots[-1]])
+                self._ell_block_slots = np.asarray(
+                    pat.ell_pos)[self._slots[-1]]
             D = A.vals.reshape(-1)[self._ell_block_slots]
             return inv_small(D, det_small(D))
         raise TypeError(f"unsupported fine operator {type(A).__name__}")
