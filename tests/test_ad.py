@@ -1,0 +1,122 @@
+"""Differentiable-simulation module (thunderbolt_tpu.ad).
+
+Beyond-reference capability tests: (1) the reverse-differentiable
+monodomain march reproduces the production operator-split integrator,
+(2) its conductivity gradient matches finite differences, (3) the
+adjoint (implicit-function-theorem) equilibrium solve's load-parameter
+gradient matches finite differences.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import thunderbolt_tpu as tb
+from thunderbolt_tpu.ad import DifferentiableMonodomain, make_equilibrium_solve
+
+DT = jnp.float64
+
+
+def _square_pulse(coords):
+    return np.where(coords[:, 0] < 0.3, 1.0, 0.0)
+
+
+def test_differentiable_march_matches_production_integrator():
+    """Same physics as LieTrotterGodunov((BackwardEuler, ForwardEulerCells))
+    — phi trajectories agree to the linear-solve tolerance."""
+    mesh = tb.generate_mesh("quad4", (24, 4), (0.0, 0.0), (1.5, 0.25))
+    dm = DifferentiableMonodomain(mesh, tb.FHNModel(), dt=0.5, substeps=4,
+                                  dtype=DT, rtol=1e-10, D_ref=1e-3)
+    states0 = dm.initial_states()
+    states0 = states0.at[0].set(jnp.asarray(_square_pulse(
+        np.asarray(dm.coords)), DT))
+    states, _ = dm.march(jnp.asarray(1e-3, DT), states0, 40)
+
+    model = tb.MonodomainModel(chi=1.0, Cm=1.0, kappa=1e-3,
+                               stim=tb.NoStimulationProtocol(),
+                               ion=tb.FHNModel())
+    ode = tb.semidiscretize(
+        tb.ReactionDiffusionSplit(model),
+        tb.FiniteElementDiscretization({"phi_m": 1}, dtype=DT), mesh)
+    u0 = tb.create_initial_condition(ode, DT)
+    u0 = tb.setvariable(u0, ode, "phi_m", _square_pulse)
+    alg = tb.LieTrotterGodunov((
+        tb.BackwardEulerSolver(rtol=1e-12, atol=0.0, maxiter=500),
+        tb.ForwardEulerCellSolver(substeps=4, use_pallas=False)))
+    u = tb.init(ode, alg, u0, (0.0, 20.0), 0.5).solve()
+    phi_ref = np.asarray(tb.getvariable(u, ode, "phi_m"))
+
+    assert np.abs(np.asarray(states[0]) - phi_ref).max() < 1e-6
+    assert phi_ref.max() > 0.8          # the wave is alive
+
+
+def test_conductivity_gradient_matches_fd():
+    """d loss / d D through assembly + Chebyshev solves + reaction chain."""
+    mesh = tb.generate_mesh("quad4", (16, 4), (0.0, 0.0), (1.0, 0.25))
+    dm = DifferentiableMonodomain(mesh, tb.FHNModel(), dt=0.5, substeps=4,
+                                  dtype=DT, rtol=1e-10, D_ref=1e-3)
+    states0 = dm.initial_states()
+    states0 = states0.at[0].set(jnp.asarray(_square_pulse(
+        np.asarray(dm.coords)), DT))
+    probe = np.array([int(np.argmin(
+        np.linalg.norm(np.asarray(dm.coords) - [0.75, 0.125], axis=1)))])
+
+    def loss(k):
+        _, trace = dm.march(k, states0, 30, probe=probe)
+        return jnp.sum(trace ** 2)
+
+    k0 = jnp.asarray(1e-3, DT)
+    g = jax.grad(loss)(k0)
+    h = 1e-7
+    fd = (loss(k0 + h) - loss(k0 - h)) / (2 * h)
+    assert np.isfinite(float(g)) and abs(float(fd)) > 1e-3  # nontrivial
+    np.testing.assert_allclose(float(g), float(fd), rtol=5e-5)
+
+
+def test_equilibrium_adjoint_gradient_matches_fd():
+    """d QoI / d t through the Newton equilibrium via ONE adjoint solve
+    (implicit function theorem), against central finite differences of
+    full re-solves."""
+    mesh = tb.generate_mesh("hex8", (2, 2, 2))
+    model = tb.QuasiStaticModel(
+        "d", tb.PK1Model(tb.NeoHookeanModel(mu=1.0, lam=2.0)),
+        (tb.ConstantPressureBC(lambda t: 0.05 * t, "right"),))
+    disc = tb.FiniteElementDiscretization(
+        {"d": tb.FieldSpec(order=1, ncomponents=3)},
+        dbcs=[tb.Dirichlet("d", "left", 0.0)], dtype=DT)
+    fn = tb.semidiscretize(model, disc, mesh)
+    newton = tb.NewtonRaphsonSolver(tol=1e-12, inner="gmres",
+                                    inner_rtol=1e-12, inner_maxiter=2000,
+                                    max_iter=30)
+    solve = make_equilibrium_solve(fn, newton, adjoint_rtol=1e-12)
+    u0 = jnp.zeros(fn.solution_size, DT)
+    w = jnp.asarray(np.random.default_rng(0).standard_normal(
+        fn.solution_size))
+
+    def qoi(t):
+        return jnp.vdot(w, solve(u0, t))
+
+    t0 = jnp.asarray(1.0, DT)
+    g = jax.grad(qoi)(t0)
+    h = 1e-5
+    fd = (qoi(t0 + h) - qoi(t0 - h)) / (2 * h)
+    assert abs(float(fd)) > 1e-6
+    np.testing.assert_allclose(float(g), float(fd), rtol=1e-6)
+
+
+def test_equilibrium_adjoint_u0_cotangent_is_zero():
+    """The equilibrium forgets its initial guess: d QoI / d u0 == 0."""
+    mesh = tb.generate_mesh("hex8", (1, 1, 1))
+    model = tb.QuasiStaticModel(
+        "d", tb.PK1Model(tb.NeoHookeanModel(mu=1.0, lam=2.0)),
+        (tb.ConstantPressureBC(lambda t: 0.05 * t, "right"),))
+    disc = tb.FiniteElementDiscretization(
+        {"d": tb.FieldSpec(order=1, ncomponents=3)},
+        dbcs=[tb.Dirichlet("d", "left", 0.0)], dtype=DT)
+    fn = tb.semidiscretize(model, disc, mesh)
+    newton = tb.NewtonRaphsonSolver(tol=1e-12, inner="gmres",
+                                    inner_rtol=1e-12, max_iter=30)
+    solve = make_equilibrium_solve(fn, newton)
+    u0 = jnp.zeros(fn.solution_size, DT) + 0.001
+    g = jax.grad(lambda uu: jnp.sum(solve(uu, jnp.asarray(1.0, DT))))(u0)
+    assert float(jnp.abs(g).max()) == 0.0

@@ -1,0 +1,20 @@
+"""Differentiable simulation (adjoint / reverse-mode gradients).
+
+A capability the reference framework has no analog for: because the whole
+stack is jax-native, gradients of physical quantities of interest flow
+through assembly, linear solves, time marches, and Newton equilibria —
+
+* :func:`make_equilibrium_solve` — adjoint (implicit-function-theorem)
+  differentiation of quasi-static Newton solves: O(1) linear adjoint
+  solve per gradient instead of differentiating through Newton's
+  iteration history;
+* :class:`DifferentiableMonodomain` — a reverse-differentiable
+  operator-split monodomain march (traced conductivity assembly +
+  fixed-count Chebyshev backward Euler + unrolled reaction substeps),
+  for conductivity/parameter identification from activation data.
+"""
+
+from thunderbolt_tpu.ad.implicit import make_equilibrium_solve
+from thunderbolt_tpu.ad.ep import DifferentiableMonodomain
+
+__all__ = ["make_equilibrium_solve", "DifferentiableMonodomain"]
