@@ -120,3 +120,29 @@ def test_equilibrium_adjoint_u0_cotangent_is_zero():
     u0 = jnp.zeros(fn.solution_size, DT) + 0.001
     g = jax.grad(lambda uu: jnp.sum(solve(uu, jnp.asarray(1.0, DT))))(u0)
     assert float(jnp.abs(g).max()) == 0.0
+
+
+def test_vmap_ensemble_over_conductivity():
+    """A conductivity population runs as ONE vmapped program and matches
+    per-member marches; wave arrival is monotone in D (CV ~ sqrt(D))."""
+    mesh = tb.generate_mesh("quad4", (24, 4), (0.0, 0.0), (1.5, 0.25))
+    dm = DifferentiableMonodomain(mesh, tb.FHNModel(), dt=0.5, substeps=4,
+                                  dtype=DT, rtol=1e-8, D_ref=2e-3)
+    states0 = dm.initial_states()
+    states0 = states0.at[0].set(jnp.asarray(_square_pulse(
+        np.asarray(dm.coords)), DT))
+    probe = np.array([int(np.argmin(np.linalg.norm(
+        np.asarray(dm.coords) - [1.0, 0.125], axis=1)))])
+    Ds = jnp.asarray([1e-3, 2e-3, 4e-3], DT)
+
+    traces = jax.vmap(
+        lambda d: dm.march(d, states0, 100, probe=probe)[1])(Ds)
+    arrivals = []
+    for i, d in enumerate(Ds):
+        _, tr = dm.march(d, states0, 100, probe=probe)
+        np.testing.assert_allclose(np.asarray(traces[i]), np.asarray(tr),
+                                   rtol=0, atol=1e-12)
+        up = np.nonzero(np.asarray(tr)[:, 0] > 0.5)[0]
+        assert up.size, f"wave never arrived at D={float(d)}"
+        arrivals.append(up[0])
+    assert arrivals[0] > arrivals[1] > arrivals[2], arrivals

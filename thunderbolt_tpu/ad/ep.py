@@ -120,13 +120,21 @@ class DifferentiableMonodomain:
         return jnp.asarray(self.ion.initial_state_array(self.npoints),
                            dtype)
 
-    def march(self, D, states0, nsteps: int, t0: float = 0.0, probe=None):
+    def march(self, D, states0, nsteps: int, t0: float = 0.0, probe=None,
+              stim_params=None):
         """March ``nsteps`` Lie-Trotter steps (heat then reaction, as the
         production ``LieTrotterGodunov((BackwardEulerSolver, cells))``
         ordering). Returns ``(states, trace)`` where ``trace`` is the
         per-step phi at the ``probe`` dof indices (``None`` -> no trace).
-        Fully reverse-differentiable in ``D`` (and in anything ``stim``
-        closes over, if it is a traced closure)."""
+
+        Fully reverse-differentiable in ``D`` and ``stim_params`` (when
+        given, ``stim`` is called as ``stim(x, t, stim_params)``). Also a
+        pure function of its traced arguments, so **ensembles vmap**:
+
+            jax.vmap(lambda d: dm.march(d, states0, n, probe=p)[1])(Ds)
+
+        runs a whole parameter population as one batched XLA program —
+        the TPU-native form of population-of-models sweeps."""
         A = self.assemble_A(D)
         Minv = jacobi_preconditioner(A.diagonal())
         ion, pi = self.ion, self.ion.phi_index
@@ -144,7 +152,9 @@ class DifferentiableMonodomain:
                 ts = t + i * h
                 du = ion.rhs(states, x, ts)
                 if self.stim is not None:
-                    du = du.at[pi].add(self.stim(self.coords, ts))
+                    cur = (self.stim(self.coords, ts) if stim_params is None
+                           else self.stim(self.coords, ts, stim_params))
+                    du = du.at[pi].add(cur)
                 states = states + h * du
             return states
 
