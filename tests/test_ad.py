@@ -12,7 +12,9 @@ import jax
 import jax.numpy as jnp
 
 import thunderbolt_tpu as tb
-from thunderbolt_tpu.ad import DifferentiableMonodomain, make_equilibrium_solve
+from thunderbolt_tpu.ad import (DifferentiableMonodomain,
+                                make_equilibrium_solve,
+                                make_parametric_equilibrium_solve)
 
 DT = jnp.float64
 
@@ -120,6 +122,101 @@ def test_equilibrium_adjoint_u0_cotangent_is_zero():
     u0 = jnp.zeros(fn.solution_size, DT) + 0.001
     g = jax.grad(lambda uu: jnp.sum(solve(uu, jnp.asarray(1.0, DT))))(u0)
     assert float(jnp.abs(g).max()) == 0.0
+
+
+def _parametric_setup():
+    import dataclasses as dc
+    mesh = tb.generate_mesh("hex8", (2, 2, 2))
+    model = tb.QuasiStaticModel(
+        "d", tb.PK1Model(tb.NeoHookeanModel(mu=1.0, lam=2.0)),
+        (tb.ConstantPressureBC(lambda t: 0.05 * t, "right"),))
+    disc = tb.FiniteElementDiscretization(
+        {"d": tb.FieldSpec(order=1, ncomponents=3)},
+        dbcs=[tb.Dirichlet("d", "left", 0.0)], dtype=DT)
+    fn = tb.semidiscretize(model, disc, mesh)
+    newton = tb.NewtonRaphsonSolver(tol=1e-12, inner="gmres",
+                                    inner_rtol=1e-12, inner_maxiter=2000,
+                                    max_iter=30)
+
+    def apply_params(mat, th):
+        return dc.replace(mat, material_model=dc.replace(
+            mat.material_model, mu=th["mu"], lam=th["lam"]))
+
+    solve = make_parametric_equilibrium_solve(fn, newton, apply_params,
+                                              adjoint_rtol=1e-12)
+    return fn, solve
+
+
+def test_material_parameter_gradient_matches_fd():
+    """d QoI / d {mu, lam} through the Newton equilibrium: ONE adjoint
+    solve + ONE reverse residual pass vs central finite differences of
+    full re-solves, per parameter."""
+    fn, solve = _parametric_setup()
+    u0 = jnp.zeros(fn.solution_size, DT)
+    w = jnp.asarray(np.random.default_rng(1).standard_normal(
+        fn.solution_size))
+    t = jnp.asarray(1.0, DT)
+
+    def qoi(th):
+        return jnp.vdot(w, solve(u0, t, th))
+
+    th0 = {"mu": jnp.asarray(1.0, DT), "lam": jnp.asarray(2.0, DT)}
+    g = jax.grad(qoi)(th0)
+    h = 1e-5
+    for key in ("mu", "lam"):
+        thp = dict(th0); thp[key] = th0[key] + h
+        thm = dict(th0); thm[key] = th0[key] - h
+        fd = (qoi(thp) - qoi(thm)) / (2 * h)
+        assert abs(float(fd)) > 1e-7, key
+        np.testing.assert_allclose(float(g[key]), float(fd), rtol=1e-5,
+                                   err_msg=key)
+
+
+def test_parametric_solve_joint_load_gradient():
+    """The same parametric solve also carries the load-parameter cotangent
+    (t and theta cotangents come from one reverse pass); t-gradient
+    matches the non-parametric adjoint path."""
+    fn, solve = _parametric_setup()
+    u0 = jnp.zeros(fn.solution_size, DT)
+    w = jnp.asarray(np.random.default_rng(2).standard_normal(
+        fn.solution_size))
+    th0 = {"mu": jnp.asarray(1.0, DT), "lam": jnp.asarray(2.0, DT)}
+
+    def qoi_t(t):
+        return jnp.vdot(w, solve(u0, t, th0))
+
+    t0 = jnp.asarray(1.0, DT)
+    g = jax.grad(qoi_t)(t0)
+    h = 1e-5
+    fd = (qoi_t(t0 + h) - qoi_t(t0 - h)) / (2 * h)
+    assert abs(float(fd)) > 1e-7
+    np.testing.assert_allclose(float(g), float(fd), rtol=1e-6)
+
+
+def test_parametric_solve_theta_is_runtime_operand():
+    """Two theta values through the SAME solve object give the two
+    correct equilibria (theta is a traced operand of one cached Newton
+    program, not baked into the compilation)."""
+    fn, solve = _parametric_setup()
+    u0 = jnp.zeros(fn.solution_size, DT)
+    t = jnp.asarray(1.0, DT)
+    u_soft = solve(u0, t, {"mu": jnp.asarray(0.5, DT),
+                           "lam": jnp.asarray(1.0, DT)})
+    u_stiff = solve(u0, t, {"mu": jnp.asarray(2.0, DT),
+                            "lam": jnp.asarray(4.0, DT)})
+    # softer material deflects more under the same pressure
+    assert float(jnp.abs(u_soft).max()) > 2 * float(jnp.abs(u_stiff).max())
+    # and both are genuine equilibria of their own materials
+    for th, u in ((0.5, u_soft), (2.0, u_stiff)):
+        import dataclasses as dc
+        from thunderbolt_tpu.ad import ParametricQuasiStaticFunction
+        pfn = ParametricQuasiStaticFunction(
+            fn, lambda m, s: dc.replace(m, material_model=dc.replace(
+                m.material_model, mu=s["mu"], lam=s["lam"])),
+            {"mu": jnp.asarray(th, DT), "lam": jnp.asarray(2 * th, DT)})
+        r = pfn.rebound(pfn.theta).residual(u, t)
+        r = fn.constraints.apply_zero(r)
+        assert float(jnp.linalg.norm(r)) < 1e-10
 
 
 def test_vmap_ensemble_over_conductivity():

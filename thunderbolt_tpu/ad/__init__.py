@@ -8,6 +8,11 @@ through assembly, linear solves, time marches, and Newton equilibria —
   differentiation of quasi-static Newton solves: O(1) linear adjoint
   solve per gradient instead of differentiating through Newton's
   iteration history;
+* :func:`make_parametric_equilibrium_solve` — the same adjoint with an
+  arbitrary pytree of MATERIAL parameters: one reverse pass through the
+  residual yields every stiffness/modulus gradient simultaneously, and
+  theta rides Newton's traced extra channel so parameter sweeps reuse
+  one compiled solve;
 * :class:`DifferentiableMonodomain` — a reverse-differentiable
   operator-split monodomain march (traced conductivity assembly +
   fixed-count Chebyshev backward Euler + unrolled reaction substeps),
@@ -15,6 +20,9 @@ through assembly, linear solves, time marches, and Newton equilibria —
 """
 
 from thunderbolt_tpu.ad.implicit import make_equilibrium_solve
+from thunderbolt_tpu.ad.parametric import (
+    ParametricQuasiStaticFunction, make_parametric_equilibrium_solve)
 from thunderbolt_tpu.ad.ep import DifferentiableMonodomain
 
-__all__ = ["make_equilibrium_solve", "DifferentiableMonodomain"]
+__all__ = ["make_equilibrium_solve", "make_parametric_equilibrium_solve",
+           "ParametricQuasiStaticFunction", "DifferentiableMonodomain"]

@@ -422,8 +422,9 @@ def _build_quasistatic(sym, dh, disc, mesh, sub_mats, face_models,
             if any_stateful:
                 internal.append(None)
             aux0 = material.aux(cache, 0.0)
+        cache["aux_keys"] = tuple(aux0.keys())
         cache["kernels"] = make_material_kernels(
-            material, cache["frames"], tuple(aux0.keys()))
+            material, cache["frames"], cache["aux_keys"])
         mat_caches.append(cache)
 
     # weak BCs: facet batches + their dof tables feed the sparsity union;
