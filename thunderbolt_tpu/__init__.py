@@ -171,6 +171,7 @@ from thunderbolt_tpu.models.solid.materials import (
     GeneralizedHillModel,
     ExtendedHillModel,
     PrestressedMechanicalModel,
+    FieldParametrizedMaterial,
 )
 from thunderbolt_tpu.models.solid.active import (
     ActiveMaterialAdapter,

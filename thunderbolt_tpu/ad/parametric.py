@@ -82,11 +82,23 @@ class ParametricQuasiStaticFunction:
         mats = fn.materials if fn.materials is not None \
             else [fn.material] * len(fn.batches)
         new_mats = [self._apply(m, theta) for m in mats]
+        internal = fn.internal if fn.internal is not None \
+            else [None] * len(fn.batches)
         new_caches = []
-        for cache, nm in zip(fn.mat_caches, new_mats):
+        for cache, nm, st in zip(fn.mat_caches, new_mats, internal):
             c = dict(cache)
+            # recompute the aux-key set from the REBOUND material: theta may
+            # splice in a FieldParametrizedMaterial whose parameter fields
+            # ride new aux entries the setup-time kernels never saw
+            if st is not None:
+                aux0 = nm.aux(cache, 0.0, {
+                    "Qprev": st["Qprev"], "lam_prev": st["lam_prev"],
+                    "dt": jnp.asarray(1.0), "t": jnp.asarray(0.0)})
+            else:
+                aux0 = nm.aux(cache, 0.0)
+            c["aux_keys"] = tuple(aux0.keys())
             c["kernels"] = make_material_kernels(nm, cache["frames"],
-                                                 cache["aux_keys"])
+                                                 c["aux_keys"])
             new_caches.append(c)
         fn2 = dataclasses.replace(
             fn, material=new_mats[0], mat_caches=new_caches,

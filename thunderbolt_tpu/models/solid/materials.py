@@ -229,3 +229,69 @@ class PrestressedMechanicalModel(MaterialModel):
         # chain rule: P = P_inner(F F0) F0^T
         P_in = self.inner_model.first_piola(mmul(F, F0), frame, inner_aux)
         return mmul(P_in, jnp.swapaxes(F0, -1, -2))
+
+
+@dataclass(frozen=True)
+class FieldParametrizedMaterial(MaterialModel):
+    """Constitutive parameters varying PER CELL (or per qp): heterogeneous
+    stiffness maps (infarct scars, fibrotic gradients) without subdomain
+    splitting, and — with traced field arrays — differentiable stiffness
+    MAPS through the adjoint equilibrium solve (``ad/parametric.py``).
+
+    The reference expresses heterogeneity only through per-subdomain
+    materials (``fem.jl:843-895``, one compiled integrator per region); here
+    the parameter fields ride the per-(cell, qp) ``aux`` channel of ONE
+    vmapped kernel, so a million-cell map costs the same dispatch as a
+    homogeneous material.
+
+    ``fields`` maps name -> array ``[ncells]`` or ``[ncells, nqp]`` (cells
+    ordered as the batch the material is assembled over); ``build(base,
+    values)`` receives the base material and the per-qp scalar values and
+    returns the material used at that point — typically nested
+    ``dataclasses.replace``::
+
+        mat = FieldParametrizedMaterial(
+            base=PK1Model(NeoHookeanModel(mu=1.0, lam=2.0)),
+            fields={"mu": mu_per_cell},
+            build=lambda m, v: dc.replace(m, material_model=dc.replace(
+                m.material_model, mu=v["mu"])))
+    """
+    base: Any
+    fields: Dict[str, Any]
+    build: Any
+
+    @property
+    def microstructure_model(self):
+        return self.base.microstructure_model
+
+    @property
+    def has_internal_state(self):
+        return getattr(self.base, "has_internal_state", False)
+
+    def internal_template(self, batch):
+        return self.base.internal_template(batch)
+
+    def setup(self, batch):
+        return self.base.setup(batch)
+
+    def aux(self, cache, t, state=None):
+        if state is not None:
+            out = dict(self.base.aux(cache, t, state))
+        else:
+            out = dict(self.base.aux(cache, t))
+        nc, nqp = cache["frames"].shape[:2]
+        for name, arr in self.fields.items():
+            a = jnp.asarray(arr)
+            if a.ndim == 1:
+                a = a[:, None]
+            out[name] = jnp.broadcast_to(a, (nc, nqp))
+        return out
+
+    def _built(self, aux):
+        return self.build(self.base, {k: aux[k] for k in self.fields})
+
+    def _condensed_state(self, F, frame, aux):
+        return self._built(aux)._condensed_state(F, frame, aux)
+
+    def first_piola(self, F, frame, aux):
+        return self._built(aux).first_piola(F, frame, aux)
