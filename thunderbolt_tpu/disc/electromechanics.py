@@ -1,0 +1,219 @@
+"""Coupled electromechanics: simulated calcium drives the sarcomeres.
+
+Beyond-reference capability: the reference's electromechanics tutorials
+(CM03, ``src/modeling/rsafdq2022.jl``) drive contraction from a PRESCRIBED
+analytical calcium transient; its EP and mechanics stacks never exchange
+state. Here the monodomain solve's ionic calcium (e.g. ten Tusscher 2006
+``Ca_i``) is interpolated to the mechanics quadrature points every coupling
+step and fed to the Ca-driven sarcomere models — one-way (excitation →
+contraction) coupling, the standard weakly-coupled electromechanics
+formulation.
+
+TPU-native data path: the nodal Ca → qp interpolation is ONE static gather
+(`ca_points[gather_idx]`) + one einsum against the shape table, composed
+from the EP and mechanics dof handlers' ``entity_nodes`` maps at setup; the
+per-step Ca field rides the mechanics function's internal-state channel
+(``QuasiStaticFunction.newton_extra``) as a traced operand, so the cached
+one-dispatch Newton loop never recompiles across steps.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from thunderbolt_tpu.disc.mechanics import make_material_kernels
+from thunderbolt_tpu.disc.solution_variables import (
+    solution_variable, _leaf_functions)
+from thunderbolt_tpu.solver.time.integrator import init as integrator_init
+from thunderbolt_tpu.solver.nonlinear.newton import NewtonRaphsonSolver
+
+
+def refresh_material_kernels(fn):
+    """Rebuild each batch's material kernels from the CURRENT internal-state
+    key set. Required after injecting a new per-step driving field (e.g.
+    ``internal[i]["Ca"]``) into a semidiscretized mechanics function: the
+    kernels thread exactly the aux keys they were built with, so a key
+    added later would otherwise be silently ignored."""
+    internal = fn.internal if fn.internal is not None \
+        else [None] * len(fn.batches)
+    for bi, (cache, st) in enumerate(zip(fn.mat_caches, internal)):
+        material = fn._material(bi)
+        if st is not None:
+            aux0 = material.aux(cache, 0.0, {
+                **st, "dt": jnp.asarray(1.0), "t": jnp.asarray(0.0)})
+        else:
+            aux0 = material.aux(cache, 0.0)
+        cache["aux_keys"] = tuple(aux0.keys())
+        cache["kernels"] = make_material_kernels(
+            material, cache["frames"], cache["aux_keys"])
+
+
+class CoupledElectromechanics:
+    """One-way coupled EP → mechanics driver on a shared mesh.
+
+    Parameters:
+      ep_ode / ep_alg / ep_dt: a semidiscretized ``ReactionDiffusionSplit``
+        (whose ionic model publishes ``ca_symbol``) and its splitting
+        algorithm + inner dt.
+      mech_fn: a semidiscretized ``QuasiStaticModel`` whose (stateful,
+        Ca-driven) materials consume per-qp calcium; passive subdomains
+        (no internal state) are left untouched.
+      mech_solver: ``NewtonRaphsonSolver`` (warm-started from the previous
+        step's displacement).
+      ca_symbol: name of the ionic calcium state (default ``"Ca_i"``).
+      ca_transform: elementwise map applied to the nodal calcium before it
+        reaches the sarcomeres (unit conversion / scaling, e.g. mM → the
+        sarcomere model's μM-calibrated drive). Default identity.
+    """
+
+    def __init__(self, ep_ode, ep_alg, ep_dt, mech_fn, mech_solver=None, *,
+                 ca_symbol: str = "Ca_i",
+                 ca_transform: Optional[Callable] = None):
+        if mech_fn.internal is None:
+            raise ValueError(
+                "coupled electromechanics needs a mechanics function with "
+                "stateful Ca-driven materials (e.g. ActiveStressModel with "
+                "an RDQ20MF CaDrivenInternalSarcomereModel)")
+        self.ep_ode = ep_ode
+        self.ep_alg = ep_alg
+        self.ep_dt = float(ep_dt)
+        self.fn = mech_fn
+        self.solver = mech_solver or NewtonRaphsonSolver(
+            tol=1e-8, inner="gmres", inner_rtol=1e-10)
+        self.ca_transform = ca_transform or (lambda c: c)
+
+        # static EP-point -> mechanics-(cell, node) gather maps
+        vi = solution_variable(ep_ode, ca_symbol)
+        self._ca_slice = vi.slice
+        heat = _leaf_functions(ep_ode)[0]
+        ep_nodes = heat.dh.fields[heat.field].entity_nodes
+        nnodes = int(ep_nodes.max()) + 1
+        node_to_point = np.full(nnodes, -1, dtype=np.int64)
+        node_to_point[ep_nodes] = np.arange(len(ep_nodes))
+        mfi = mech_fn.dh.fields[mech_fn.field]
+        ncomp = mfi.ncomponents
+        self._gather = []
+        for batch, st in zip(mech_fn.batches, mech_fn.internal):
+            if st is None:
+                self._gather.append(None)
+                continue
+            ent = np.asarray(batch.cell_dofs)[:, ::ncomp] // ncomp
+            cell_nodes = mfi.entity_nodes[ent]           # [nc, nb] mesh ids
+            idx = node_to_point[cell_nodes]
+            if (idx < 0).any():
+                raise ValueError(
+                    "mechanics subdomain has nodes outside the EP domain; "
+                    "coupled EM requires the EP solve to cover every "
+                    "Ca-driven mechanics cell")
+            self._gather.append(jnp.asarray(idx))
+
+        # inject the Ca channel (zeros until the march sets the real field)
+        # and rebuild the kernels so the new aux key is threaded
+        self.set_calcium(None)
+        refresh_material_kernels(mech_fn)
+
+    # -- calcium transport ---------------------------------------------------
+
+    def _ca_to_qps(self, ca_points):
+        """Per-batch [nc, nqp] calcium from the EP point values."""
+        ca = self.ca_transform(ca_points)
+        out = []
+        for batch, idx in zip(self.fn.batches, self._gather):
+            if idx is None:
+                out.append(None)
+                continue
+            ca_elem = ca[idx]                             # [nc, nb]
+            out.append(jnp.einsum("qb,cb->cq", batch.N,
+                                  ca_elem.astype(batch.N.dtype)))
+        return out
+
+    def _write_ca(self, ca_qps):
+        for bi, st in enumerate(self.fn.internal):
+            if st is None:
+                continue
+            if ca_qps is None:
+                nc, nqp = self.fn.mat_caches[bi]["frames"].shape[:2]
+                st["Ca"] = jnp.zeros((nc, nqp), self.fn.batches[bi].N.dtype)
+            else:
+                st["Ca"] = ca_qps[bi]
+
+    def set_calcium(self, u_ep):
+        """Write the EP state's calcium into the mechanics internal-state
+        channel (zeros when ``u_ep`` is None)."""
+        self._write_ca(None if u_ep is None
+                       else self._ca_to_qps(u_ep[self._ca_slice]))
+
+    # -- time marching ---------------------------------------------------
+
+    def solve(self, tspan, dt_mech, u_mech0=None, u_ep0=None, *,
+              monitor: Optional[Callable] = None):
+        """March ``tspan`` with mechanics step ``dt_mech``; the EP
+        integrator advances to each mechanics time with its own (finer)
+        dt. Returns ``(ts, us, u_ep)`` — mechanics times/solutions and the
+        final EP state. ``monitor(t, u_mech, u_ep)`` is called after every
+        accepted coupled step."""
+        from thunderbolt_tpu.disc.solution_variables import (
+            create_initial_condition)
+        t0, tf = float(tspan[0]), float(tspan[1])
+        if u_ep0 is None:
+            u_ep0 = create_initial_condition(self.ep_ode, jnp.float64)
+        integ = integrator_init(self.ep_ode, self.ep_alg, u_ep0,
+                                (t0, tf), self.ep_dt)
+        u = u_mech0 if u_mech0 is not None \
+            else jnp.zeros(self.fn.solution_size,
+                           self.fn.batches[0].N.dtype)
+        ca = self._ca_to_qps(integ.u[self._ca_slice])
+        self._write_ca(ca)
+        ts, us = [t0], [u]
+        nsteps = int(round((tf - t0) / dt_mech))
+        for k in range(1, nsteps + 1):
+            t_prev, t = t0 + (k - 1) * dt_mech, t0 + k * dt_mech
+            integ.advance_to(t)
+            ca_new = self._ca_to_qps(integ.u[self._ca_slice])
+            u = self._mech_advance(u, t_prev, t, ca, ca_new)
+            ca = ca_new
+            ts.append(t)
+            us.append(u)
+            if monitor is not None:
+                monitor(t, u, integ.u)
+        return np.asarray(ts), us, integ.u
+
+    def _mech_advance(self, u, t_prev, t, ca_old, ca_new,
+                      max_halvings: int = 6):
+        """One coupled mechanics step with continuation on Newton reject:
+        the calcium drive is linearly interpolated between the two EP
+        instants and the step is bisected (Deuflhard-style halving, parity
+        with the homotopy controllers) until Newton converges."""
+        dt = t - t_prev
+        internal0 = [None if st is None else dict(st)
+                     for st in self.fn.internal]
+        for halving in range(max_halvings + 1):
+            nsub = 2 ** halving
+            u_try = u
+            ok = True
+            for j in range(1, nsub + 1):
+                alpha = j / nsub
+                tj = t_prev + alpha * dt
+                self._write_ca([
+                    None if co is None else (1 - alpha) * co + alpha * cn
+                    for co, cn in zip(ca_old, ca_new)])
+                self.fn.internal_dt = dt / nsub
+                self.fn.internal_t = tj
+                u_try, stats = self.solver.solve(self.fn, u_try,
+                                                 jnp.asarray(tj))
+                if not stats.converged:
+                    ok = False
+                    break
+                # commits Q/lam; the Ca entries carry through ({**st, ...})
+                self.fn.update_internal_state(u_try, tj, dt / nsub)
+            if ok:
+                return u_try
+            # restore the pre-step internal state before retrying finer
+            self.fn.internal = [None if st is None else dict(st)
+                                for st in internal0]
+        raise RuntimeError(
+            f"mechanics Newton failed at t={t} even with "
+            f"{2 ** max_halvings} continuation substeps")

@@ -126,7 +126,11 @@ class QuasiStaticFunction:
         flat = []
         for st in self.internal:
             if st is not None:
-                flat.extend([st["Qprev"], st["lam_prev"]])
+                # key-generic flattening (sorted for a static order): besides
+                # Qprev/lam_prev this carries any per-step driving field the
+                # driver injects (e.g. "Ca" from a coupled EP solve)
+                for key in sorted(st):
+                    flat.append(st[key])
         flat.append(jnp.asarray(self.internal_dt))
         flat.append(jnp.asarray(self.internal_t))
         return tuple(flat)
@@ -141,9 +145,11 @@ class QuasiStaticFunction:
             if st is None:
                 out.append(None)
             else:
-                out.append({"Qprev": extra[k], "lam_prev": extra[k + 1],
-                            "dt": dt, "t": t0})
-                k += 2
+                d = {key: extra[k + i] for i, key in enumerate(sorted(st))}
+                k += len(st)
+                d["dt"] = dt
+                d["t"] = t0
+                out.append(d)
         return out
 
     def update_internal_state(self, u, t, dt):
@@ -164,8 +170,7 @@ class QuasiStaticFunction:
             F, _, _ = element_kinematics(batch, ue)
             frames = cache["frames"]
             aux = material.aux(cache, t, {
-                "Qprev": st["Qprev"], "lam_prev": st["lam_prev"],
-                "dt": jnp.asarray(dt), "t": jnp.asarray(t)})
+                **st, "dt": jnp.asarray(dt), "t": jnp.asarray(t)})
             nc, nqp = F.shape[:2]
 
             def one(Fq, frame, Qp, lp, Ca):
@@ -182,8 +187,9 @@ class QuasiStaticFunction:
             Q, lam = jax.vmap(one)(flatF, fr,
                                    st["Qprev"].reshape(nc * nqp, -1),
                                    st["lam_prev"].reshape(-1), Ca)
-            new.append({"Qprev": Q.reshape(nc, nqp, -1),
-                        "lam_prev": lam.reshape(nc, nqp)})
+            st_new = {**st, "Qprev": Q.reshape(nc, nqp, -1),
+                      "lam_prev": lam.reshape(nc, nqp)}
+            new.append(st_new)
         self.internal = new
 
     def variables(self):

@@ -125,6 +125,10 @@ class ActiveStressModel(MaterialModel):
             ca = evaluate_coefficient(cache["ca"], t)
             out["Ca"] = jnp.broadcast_to(ca, (nc, nqp))
         if state is not None:
+            if "Ca" in state:
+                # simulated calcium (coupled EP drive) overrides the
+                # prescribed coefficient — see disc/electromechanics.py
+                out["Ca"] = jnp.broadcast_to(state["Ca"], (nc, nqp))
             out["Qprev"] = state["Qprev"]
             out["lam_prev"] = state["lam_prev"]
             out["dt"] = jnp.broadcast_to(state["dt"], (nc, nqp))
