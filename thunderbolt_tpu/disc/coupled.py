@@ -74,11 +74,17 @@ class RSAFDQ20223DFunction:
                 ch.batch.nfacets, ch.batch.nbf, 3))
             for ch in self.chambers])
 
-    def assemble(self, w, t, V_targets):
+    def newton_extra(self):
+        """Per-step traced operands of the structural block (condensed
+        sarcomere state, simulated calcium, ...)."""
+        return self.mech.newton_extra() \
+            if hasattr(self.mech, "newton_extra") else ()
+
+    def assemble(self, w, t, V_targets, *extra):
         """(kvals incl. p*Hess(V), B [m, n], r_u, r_p)."""
         u = w[: self.nmech]
         p = w[self.nmech:]
-        kvals, r = self.mech.assemble(u, t)
+        kvals, r = self.mech.assemble(u, t, *extra)
         Bs, rps = [], []
         for i, ch in enumerate(self.chambers):
             U = u[ch.batch.facet_dofs].reshape(ch.batch.nfacets,
@@ -204,12 +210,13 @@ class BlockedNewtonSolver:
             cg, jacobi_preconditioner, schur_complement_solve)
         ch = fn.mech.constraints
         cfg = self
+        extra0 = fn.newton_extra() if hasattr(fn, "newton_extra") else ()
 
         cache_key = ("_blocked_jit_device", self)
         run = fn.__dict__.get(cache_key)
         if run is None:
-            def assemble(w, t, V_targets):
-                kvals, B, r_u, r_p = fn.assemble(w, t, V_targets)
+            def assemble(w, t, V_targets, extra):
+                kvals, B, r_u, r_p = fn.assemble(w, t, V_targets, *extra)
                 A_raw = fn.mech.jacobian_matrix(kvals)
                 A = ch.apply_operator(A_raw) if ch is not None else A_raw
                 if ch is not None:
@@ -218,7 +225,7 @@ class BlockedNewtonSolver:
                 return A, B, r_u, r_p
 
             @jax.jit
-            def run(w0, t, V_targets):
+            def run(w0, t, V_targets, extra):
                 u0 = ch.apply(w0[: fn.nmech]) if ch is not None \
                     else w0[: fn.nmech]
                 w_init = jnp.concatenate([u0, w0[fn.nmech:]])
@@ -231,7 +238,7 @@ class BlockedNewtonSolver:
 
                 def body(c):
                     w, rnorm0, rnorm_prev, it, status = c
-                    A, B, r_u, r_p = assemble(w, t, V_targets)
+                    A, B, r_u, r_p = assemble(w, t, V_targets, extra)
                     rnorm = jnp.sqrt(jnp.sum(r_u ** 2) + jnp.sum(r_p ** 2))
                     rnorm0 = jnp.where(it == 0, rnorm, rnorm0)
                     target = jnp.maximum(jnp.asarray(cfg.tol, dt_),
@@ -261,7 +268,7 @@ class BlockedNewtonSolver:
                 w, rnorm0, rnorm, it, status = jax.lax.while_loop(
                     cond, body, carry)
                 # final residual check (covers max_iter exits)
-                _, _, r_u, r_p = assemble(w, t, V_targets)
+                _, _, r_u, r_p = assemble(w, t, V_targets, extra)
                 rn = jnp.sqrt(jnp.sum(r_u ** 2) + jnp.sum(r_p ** 2))
                 target = jnp.maximum(jnp.asarray(cfg.tol, dt_),
                                      cfg.rtol * rnorm0)
@@ -269,7 +276,7 @@ class BlockedNewtonSolver:
 
             fn.__dict__[cache_key] = run
 
-        w, it, rnorm, conv = jax.device_get(run(w0, t, V_targets))
+        w, it, rnorm, conv = jax.device_get(run(w0, t, V_targets, extra0))
         return jnp.asarray(w), NewtonStats(int(it), float(rnorm),
                                            bool(conv), ())
 
@@ -280,8 +287,8 @@ class BlockedNewtonSolver:
         assemble_j = fn.__dict__.get("_blocked_jit")
         if assemble_j is None:
             @jax.jit
-            def assemble_j(w, t, V_targets):
-                kvals, B, r_u, r_p = fn.assemble(w, t, V_targets)
+            def assemble_j(w, t, V_targets, extra):
+                kvals, B, r_u, r_p = fn.assemble(w, t, V_targets, *extra)
                 A_raw = fn.mech.jacobian_matrix(kvals)
                 A = ch.apply_operator(A_raw) if ch is not None else A_raw
                 if ch is not None:
@@ -290,8 +297,10 @@ class BlockedNewtonSolver:
                 return A, B, r_u, r_p
             fn.__dict__["_blocked_jit"] = assemble_j
 
+        extra0 = fn.newton_extra() if hasattr(fn, "newton_extra") else ()
+
         def assemble(w):
-            return assemble_j(w, t, V_targets)
+            return assemble_j(w, t, V_targets, extra0)
 
         from thunderbolt_tpu.fem.sparsity import any_to_scipy
         import scipy.sparse.linalg as spla
