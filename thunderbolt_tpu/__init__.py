@@ -266,7 +266,8 @@ from thunderbolt_tpu.models.ecg import (
 )
 import thunderbolt_tpu.disc.coupled  # registers semidiscretize(RSAFDQ2022Split)
 from thunderbolt_tpu.disc.coupled import BlockedNewtonSolver, Coupled3D0DSolver
-from thunderbolt_tpu.disc.electromechanics import CoupledElectromechanics
+from thunderbolt_tpu.disc.electromechanics import (
+    CalciumTransfer, CoupledElectromechanics, CoupledElectromechanics3D0D)
 from thunderbolt_tpu.io.vtk import ParaViewWriter, write_vtu, read_vtu
 
 __version__ = "0.1.0"

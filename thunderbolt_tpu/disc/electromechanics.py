@@ -51,41 +51,23 @@ def refresh_material_kernels(fn):
             material, cache["frames"], cache["aux_keys"])
 
 
-class CoupledElectromechanics:
-    """One-way coupled EP → mechanics driver on a shared mesh.
+class CalciumTransfer:
+    """Static EP-point → mechanics-qp calcium transport.
 
-    Parameters:
-      ep_ode / ep_alg / ep_dt: a semidiscretized ``ReactionDiffusionSplit``
-        (whose ionic model publishes ``ca_symbol``) and its splitting
-        algorithm + inner dt.
-      mech_fn: a semidiscretized ``QuasiStaticModel`` whose (stateful,
-        Ca-driven) materials consume per-qp calcium; passive subdomains
-        (no internal state) are left untouched.
-      mech_solver: ``NewtonRaphsonSolver`` (warm-started from the previous
-        step's displacement).
-      ca_symbol: name of the ionic calcium state (default ``"Ca_i"``).
-      ca_transform: elementwise map applied to the nodal calcium before it
-        reaches the sarcomeres (unit conversion / scaling, e.g. mM → the
-        sarcomere model's μM-calibrated drive). Default identity.
-    """
+    Builds (once, at setup) the gather maps from the EP dof handler's point
+    numbering to each Ca-driven mechanics batch's (cell, node) table; per
+    step the transport is ONE gather + one einsum against the shape table.
+    Shared by the mechanics-only and the 3D-0D electromechanics drivers."""
 
-    def __init__(self, ep_ode, ep_alg, ep_dt, mech_fn, mech_solver=None, *,
-                 ca_symbol: str = "Ca_i",
+    def __init__(self, ep_ode, mech_fn, ca_symbol: str = "Ca_i",
                  ca_transform: Optional[Callable] = None):
         if mech_fn.internal is None:
             raise ValueError(
                 "coupled electromechanics needs a mechanics function with "
                 "stateful Ca-driven materials (e.g. ActiveStressModel with "
                 "an RDQ20MF CaDrivenInternalSarcomereModel)")
-        self.ep_ode = ep_ode
-        self.ep_alg = ep_alg
-        self.ep_dt = float(ep_dt)
         self.fn = mech_fn
-        self.solver = mech_solver or NewtonRaphsonSolver(
-            tol=1e-8, inner="gmres", inner_rtol=1e-10)
         self.ca_transform = ca_transform or (lambda c: c)
-
-        # static EP-point -> mechanics-(cell, node) gather maps
         vi = solution_variable(ep_ode, ca_symbol)
         self._ca_slice = vi.slice
         heat = _leaf_functions(ep_ode)[0]
@@ -110,16 +92,9 @@ class CoupledElectromechanics:
                     "Ca-driven mechanics cell")
             self._gather.append(jnp.asarray(idx))
 
-        # inject the Ca channel (zeros until the march sets the real field)
-        # and rebuild the kernels so the new aux key is threaded
-        self.set_calcium(None)
-        refresh_material_kernels(mech_fn)
-
-    # -- calcium transport ---------------------------------------------------
-
-    def _ca_to_qps(self, ca_points):
-        """Per-batch [nc, nqp] calcium from the EP point values."""
-        ca = self.ca_transform(ca_points)
+    def to_qps(self, u_ep):
+        """Per-batch [nc, nqp] calcium from the full EP state vector."""
+        ca = self.ca_transform(u_ep[self._ca_slice])
         out = []
         for batch, idx in zip(self.fn.batches, self._gather):
             if idx is None:
@@ -130,7 +105,9 @@ class CoupledElectromechanics:
                                   ca_elem.astype(batch.N.dtype)))
         return out
 
-    def _write_ca(self, ca_qps):
+    def write(self, ca_qps):
+        """Write per-batch qp calcium (zeros when None) into the mechanics
+        internal-state channel."""
         for bi, st in enumerate(self.fn.internal):
             if st is None:
                 continue
@@ -140,11 +117,55 @@ class CoupledElectromechanics:
             else:
                 st["Ca"] = ca_qps[bi]
 
+    @staticmethod
+    def blend(ca_old, ca_new, alpha):
+        return [None if co is None else (1 - alpha) * co + alpha * cn
+                for co, cn in zip(ca_old, ca_new)]
+
+
+class CoupledElectromechanics:
+    """One-way coupled EP → mechanics driver on a shared mesh.
+
+    Parameters:
+      ep_ode / ep_alg / ep_dt: a semidiscretized ``ReactionDiffusionSplit``
+        (whose ionic model publishes ``ca_symbol``) and its splitting
+        algorithm + inner dt.
+      mech_fn: a semidiscretized ``QuasiStaticModel`` whose (stateful,
+        Ca-driven) materials consume per-qp calcium; passive subdomains
+        (no internal state) are left untouched.
+      mech_solver: ``NewtonRaphsonSolver`` (warm-started from the previous
+        step's displacement).
+      ca_symbol: name of the ionic calcium state (default ``"Ca_i"``).
+      ca_transform: elementwise map applied to the nodal calcium before it
+        reaches the sarcomeres (unit conversion / scaling, e.g. mM → the
+        sarcomere model's μM-calibrated drive). Default identity.
+    """
+
+    def __init__(self, ep_ode, ep_alg, ep_dt, mech_fn, mech_solver=None, *,
+                 ca_symbol: str = "Ca_i",
+                 ca_transform: Optional[Callable] = None):
+        self.ep_ode = ep_ode
+        self.ep_alg = ep_alg
+        self.ep_dt = float(ep_dt)
+        self.fn = mech_fn
+        self.solver = mech_solver or NewtonRaphsonSolver(
+            tol=1e-8, inner="gmres", inner_rtol=1e-10)
+        self._ca = CalciumTransfer(ep_ode, mech_fn, ca_symbol, ca_transform)
+
+        # inject the Ca channel (zeros until the march sets the real field)
+        # and rebuild the kernels so the new aux key is threaded
+        self.set_calcium(None)
+        refresh_material_kernels(mech_fn)
+
+    # -- calcium transport ---------------------------------------------------
+
+    def _write_ca(self, ca_qps):
+        self._ca.write(ca_qps)
+
     def set_calcium(self, u_ep):
         """Write the EP state's calcium into the mechanics internal-state
         channel (zeros when ``u_ep`` is None)."""
-        self._write_ca(None if u_ep is None
-                       else self._ca_to_qps(u_ep[self._ca_slice]))
+        self._write_ca(None if u_ep is None else self._ca.to_qps(u_ep))
 
     # -- time marching ---------------------------------------------------
 
@@ -165,14 +186,14 @@ class CoupledElectromechanics:
         u = u_mech0 if u_mech0 is not None \
             else jnp.zeros(self.fn.solution_size,
                            self.fn.batches[0].N.dtype)
-        ca = self._ca_to_qps(integ.u[self._ca_slice])
-        self._write_ca(ca)
+        ca = self._ca.to_qps(integ.u)
+        self._ca.write(ca)
         ts, us = [t0], [u]
         nsteps = int(round((tf - t0) / dt_mech))
         for k in range(1, nsteps + 1):
             t_prev, t = t0 + (k - 1) * dt_mech, t0 + k * dt_mech
             integ.advance_to(t)
-            ca_new = self._ca_to_qps(integ.u[self._ca_slice])
+            ca_new = self._ca.to_qps(integ.u)
             u = self._mech_advance(u, t_prev, t, ca, ca_new)
             ca = ca_new
             ts.append(t)
@@ -197,9 +218,7 @@ class CoupledElectromechanics:
             for j in range(1, nsub + 1):
                 alpha = j / nsub
                 tj = t_prev + alpha * dt
-                self._write_ca([
-                    None if co is None else (1 - alpha) * co + alpha * cn
-                    for co, cn in zip(ca_old, ca_new)])
+                self._ca.write(CalciumTransfer.blend(ca_old, ca_new, alpha))
                 self.fn.internal_dt = dt / nsub
                 self.fn.internal_t = tj
                 u_try, stats = self.solver.solve(self.fn, u_try,
@@ -216,4 +235,120 @@ class CoupledElectromechanics:
                                 for st in internal0]
         raise RuntimeError(
             f"mechanics Newton failed at t={t} even with "
+            f"{2 ** max_halvings} continuation substeps")
+
+
+class CoupledElectromechanics3D0D:
+    """Full heartbeat driver: excitation → contraction → circulation.
+
+    Composes the three stacks end-to-end on one device: the monodomain EP
+    solve's ionic calcium (via :class:`CalciumTransfer`) drives the
+    Ca-driven sarcomeres of a 3D-0D coupled structural function
+    (``RSAFDQ20223DFunction``), whose chamber volumes are tied to a lumped
+    0D circulation circuit per step (``Coupled3D0DSolver`` Lie-Trotter
+    split, SURVEY.md call stack 3.4). Beyond-reference: the reference's
+    CM03 tutorial drives the 3D-0D heartbeat from a PRESCRIBED analytical
+    calcium transient; here the transient is the ionic model's own.
+
+    Parameters:
+      ep_ode / ep_alg / ep_dt: semidiscretized ``ReactionDiffusionSplit``
+        + splitting algorithm + EP dt (ms scale).
+      fn3d: ``RSAFDQ20223DFunction`` from
+        ``semidiscretize(RSAFDQ2022Split(...))`` whose ``mech`` block has
+        stateful Ca-driven materials.
+      circuit: the lumped circuit function returned alongside ``fn3d``.
+      solver: a ``Coupled3D0DSolver`` (default: BlockedNewtonSolver inside).
+      ca_symbol / ca_transform: as in :class:`CoupledElectromechanics`.
+    """
+
+    def __init__(self, ep_ode, ep_alg, ep_dt, fn3d, circuit, solver=None, *,
+                 ca_symbol: str = "Ca_i",
+                 ca_transform: Optional[Callable] = None):
+        from thunderbolt_tpu.disc.coupled import Coupled3D0DSolver
+        self.ep_ode = ep_ode
+        self.ep_alg = ep_alg
+        self.ep_dt = float(ep_dt)
+        self.fn3d = fn3d
+        self.circuit = circuit
+        self.solver = solver or Coupled3D0DSolver()
+        self._ca = CalciumTransfer(ep_ode, fn3d.mech, ca_symbol,
+                                   ca_transform)
+        self._ca.write(None)
+        refresh_material_kernels(fn3d.mech)
+
+    def solve(self, tspan, dt_mech, w0=None, c0=None, u_ep0=None, *,
+              monitor: Optional[Callable] = None):
+        """March ``tspan`` with coupled-step ``dt_mech``; the EP integrator
+        advances to each coupling time with its own (finer) dt. Returns
+        ``(ts, ws, cs, u_ep)`` — times, 3D states ``[u_mech; p]``, circuit
+        states, and the final EP state. ``monitor(t, w, c, u_ep)`` runs
+        after every accepted coupled step."""
+        from thunderbolt_tpu.disc.solution_variables import (
+            create_initial_condition)
+        t0, tf = float(tspan[0]), float(tspan[1])
+        if u_ep0 is None:
+            u_ep0 = create_initial_condition(self.ep_ode, jnp.float64)
+        integ = integrator_init(self.ep_ode, self.ep_alg, u_ep0,
+                                (t0, tf), self.ep_dt)
+        w, c = self.solver.init(self.fn3d, self.circuit)
+        if w0 is not None:
+            w = jnp.asarray(w0, w.dtype)
+        if c0 is not None:
+            c = jnp.asarray(c0, c.dtype)
+        else:
+            # smooth takeoff: start each circuit chamber volume at the 3D
+            # cavity volume it is tied to
+            V0 = self.fn3d.volumes(w[: self.fn3d.nmech])
+            for i, ch in enumerate(self.fn3d.chambers):
+                c = c.at[self.circuit.volume_index(
+                    ch.lumped_symbol)].set(V0[i].astype(c.dtype))
+        ca = self._ca.to_qps(integ.u)
+        self._ca.write(ca)
+        ts, ws, cs = [t0], [w], [c]
+        nsteps = int(round((tf - t0) / dt_mech))
+        for k in range(1, nsteps + 1):
+            t_prev, t = t0 + (k - 1) * dt_mech, t0 + k * dt_mech
+            integ.advance_to(t)
+            ca_new = self._ca.to_qps(integ.u)
+            w, c = self._coupled_advance(w, c, t_prev, t, ca, ca_new)
+            ca = ca_new
+            ts.append(t)
+            ws.append(w)
+            cs.append(c)
+            if monitor is not None:
+                monitor(t, w, c, integ.u)
+        return np.asarray(ts), ws, cs, integ.u
+
+    def _coupled_advance(self, w, c, t_prev, t, ca_old, ca_new,
+                         max_halvings: int = 6):
+        """One excitation→contraction→circulation step with continuation on
+        Newton reject: Ca linearly interpolated between the EP instants,
+        the 3D-0D split bisected until the blocked Newton converges."""
+        mech = self.fn3d.mech
+        dt = t - t_prev
+        internal0 = [None if st is None else dict(st)
+                     for st in mech.internal]
+        for halving in range(max_halvings + 1):
+            nsub = 2 ** halving
+            h = dt / nsub
+            w_try, c_try = w, c
+            ok = True
+            for j in range(1, nsub + 1):
+                alpha = j / nsub
+                tj = t_prev + alpha * dt
+                self._ca.write(CalciumTransfer.blend(ca_old, ca_new, alpha))
+                mech.internal_dt = h
+                mech.internal_t = tj
+                w_try, c_try, stats = self.solver.step(
+                    self.fn3d, self.circuit, w_try, c_try, tj - h, h)
+                if not stats.converged:
+                    ok = False
+                    break
+                mech.update_internal_state(w_try[: self.fn3d.nmech], tj, h)
+            if ok:
+                return w_try, c_try
+            mech.internal = [None if st is None else dict(st)
+                             for st in internal0]
+        raise RuntimeError(
+            f"3D-0D blocked Newton failed at t={t} even with "
             f"{2 ** max_halvings} continuation substeps")
