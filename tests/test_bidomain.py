@@ -132,3 +132,49 @@ def test_bidomain_with_stimulus_and_integrator():
     phi = np.asarray(tb.getvariable(u, fn, "phi_m"))
     assert np.isfinite(np.asarray(u)).all()
     assert phi.max() > 0.1  # the stimulus actually depolarized tissue
+
+
+def test_parabolic_parabolic_matches_parabolic_elliptic():
+    """The untransformed (phi_i, phi_e) backward-Euler block solve must
+    produce EXACTLY the parabolic-elliptic trajectories (block-row
+    difference/sum equivalence) — phi_m AND gauged phi_e, unequal
+    anisotropy ratios, with a stimulus. Both formulations are
+    BEYOND-reference (declared, unimplemented:
+    ``electrophysiology.jl:296,319``)."""
+    mesh = tb.generate_mesh("quad4", (10, 10), (0.0, 0.0), (2.5, 2.5))
+    ki = np.array([[4.5e-3, 0.0], [0.0, 1.0e-3]])
+    ke = np.array([[2.0e-3, 0.0], [0.0, 3.0e-3]])
+    stim = tb.AnalyticalTransmembraneStimulationProtocol(
+        lambda x, t: jnp.where((x[..., 0] < 0.5) & (t < 2.0), 1.0, 0.0))
+    kw = dict(chi=1.0, Cm=1.0, kappa_i=ki, kappa_e=ke, stim=stim,
+              ion=tb.FHNModel())
+    fpp = _split(tb.ParabolicParabolicBidomainModel(**kw), mesh)
+    fpe = _split(tb.ParabolicEllipticBidomainModel(**kw), mesh)
+
+    upp = _march(fpp, _ic(fpp, mesh), 6)
+    upe = _march(fpe, _ic(fpe, mesh), 6)
+
+    for sym, tol in (("phi_m", 1e-8), ("phi_e", 1e-8)):
+        a = np.asarray(tb.getvariable(upp, fpp, sym))
+        b = np.asarray(tb.getvariable(upe, fpe, sym))
+        assert np.allclose(a, b, atol=tol), (sym, np.abs(a - b).max())
+
+    # membrane-balance check on the PP form directly: after one bare
+    # diffusion step, M (phi_m' - phi_m) = dt K_i (phi_m' + phi_e')
+    # AND = -dt K_e phi_e' (both parabolic rows, K = -S convention)
+    from thunderbolt_tpu.solver.time.euler import BackwardEulerSolver
+    bido = fpp.functions[0]
+    dstep = BackwardEulerSolver(rtol=1e-13, atol=1e-15,
+                                maxiter=4000).make_step(bido, DT)
+    phim0 = tb.getvariable(upp, fpp, "phi_m")
+    u2 = dstep(upp, 6 * DT)
+    phim = tb.getvariable(u2, fpp, "phi_m")
+    phie = tb.getvariable(u2, fpp, "phi_e")
+    lhs = np.asarray(bido.M.mv(phim - phim0))
+    row_i = DT * np.asarray(bido.K_i.mv(phim + phie))
+    row_e = -DT * np.asarray(bido.K_e.mv(phie))
+    scale = max(np.abs(lhs).max(), 1e-30)
+    assert np.abs(lhs - row_i).max() / scale < 1e-5
+    assert np.abs(lhs - row_e).max() / scale < 1e-5
+    # gauge: phi_e mean-free; phi_i = phi_m + phi_e is the derived unknown
+    assert abs(float(np.asarray(phie).mean())) < 1e-12

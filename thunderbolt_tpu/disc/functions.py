@@ -115,6 +115,21 @@ class BidomainFunction:
 
 
 @dataclass
+class PPBidomainFunction(BidomainFunction):
+    """Parabolic-parabolic bidomain diffusion stage: same assembled
+    operators and state layout as :class:`BidomainFunction`, but the
+    backward-Euler solve runs in the UNTRANSFORMED unknowns (phi_i, phi_e)
+
+        [[M - dt K_i,      -M     ],
+         [    -M,      M - dt K_e ]]
+
+    (SPD up to the shared-potential nullvector [1; 1]) and writes back
+    phi_m = phi_i - phi_e plus the zero-mean-gauged phi_e. Discrete
+    trajectories are exactly those of the parabolic-elliptic form (block
+    row difference/sum); see ``ParabolicParabolicBidomainModel``."""
+
+
+@dataclass
 class AffineSteadyStateFunction:
     """0 = K u + f with constraints (``functions.jl:90``)."""
     dh: DofHandler

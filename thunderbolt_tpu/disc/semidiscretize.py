@@ -37,13 +37,14 @@ from thunderbolt_tpu.models.coefficients import (
     ConductivityToDiffusivityCoefficient,
 )
 from thunderbolt_tpu.models.ep import (
-    MonodomainModel, ParabolicEllipticBidomainModel, ReactionDiffusionSplit,
+    MonodomainModel, ParabolicEllipticBidomainModel,
+    ParabolicParabolicBidomainModel, ReactionDiffusionSplit,
     TransientDiffusionModel, SteadyDiffusionModel, InterfaceDiffusionModel,
     NoStimulationProtocol, AnalyticalTransmembraneStimulationProtocol,
 )
 from thunderbolt_tpu.disc.functions import (
     AffineODEFunction, AffineSteadyStateFunction, BidomainFunction,
-    PointwiseODEFunction,
+    PPBidomainFunction, PointwiseODEFunction,
     PointwiseMultiODEFunction, MultiODEPart, GenericSplitFunction,
     VariableInfo,
 )
@@ -157,7 +158,8 @@ def _(split: ReactionDiffusionSplit, disc, mesh):
     model = split.model
     if isinstance(model, dict):
         return _semidiscretize_multidomain_split(model, disc, mesh)
-    if isinstance(model, ParabolicEllipticBidomainModel):
+    if isinstance(model, (ParabolicEllipticBidomainModel,
+                          ParabolicParabolicBidomainModel)):
         return _semidiscretize_bidomain_split(model, disc, mesh)
     if not isinstance(model, MonodomainModel):
         raise NotImplementedError(
@@ -237,15 +239,19 @@ def _(split: ReactionDiffusionSplit, disc, mesh):
 
 
 def _semidiscretize_bidomain_split(model, disc, mesh):
-    """ReactionDiffusionSplit of a ParabolicEllipticBidomainModel:
-    (coupled parabolic-elliptic diffusion stage, pointwise cell ODEs).
+    """ReactionDiffusionSplit of a ParabolicElliptic- or
+    ParabolicParabolicBidomainModel: (coupled 2x2-block diffusion stage,
+    pointwise cell ODEs).
 
-    BEYOND-reference: the reference declares this model but has no lowering
-    or solver for it (``electrophysiology.jl:319``). Layout: the ion SoA
-    block as in the monodomain split (phi_m aliased at ``phi_index``), with
-    the extracellular potential phi_e appended at ``nstates*nd``. Both
-    conductivities are folded by 1/(Cm*chi) so the two rows of the block
-    system share one scaling (``fem.jl:415`` analog).
+    BEYOND-reference: the reference declares both models but has no
+    lowering or solver for either (``electrophysiology.jl:296,319``).
+    Layout (shared): the ion SoA block as in the monodomain split (phi_m
+    aliased at ``phi_index``), with the extracellular potential phi_e
+    appended at ``nstates*nd``; the two formulations differ only in the
+    backward-Euler block system the solver forms (see
+    ``BidomainFunction`` / ``PPBidomainFunction``). Both conductivities
+    are folded by 1/(Cm*chi) so the block rows share one scaling
+    (``fem.jl:415`` analog).
     """
     phisym = model.transmembrane_solution_symbol
     esym = model.extracellular_solution_symbol
@@ -302,7 +308,10 @@ def _semidiscretize_bidomain_split(model, disc, mesh):
     p = ion.phi_index
     ns = ion.nstates
     total = (ns + 1) * nd
-    bido = BidomainFunction(
+    fn_cls = PPBidomainFunction \
+        if isinstance(model, ParabolicParabolicBidomainModel) \
+        else BidomainFunction
+    bido = fn_cls(
         dh=dh, field=phisym, field_e=esym, pattern=pattern,
         M=M, K_i=Ki, K_e=Ke, source=source,
         phi_offset=p * nd, e_offset=ns * nd, total_size=total,

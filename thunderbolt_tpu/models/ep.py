@@ -80,14 +80,43 @@ class MonodomainModel:
 
 @dataclass(frozen=True)
 class ParabolicParabolicBidomainModel:
-    """Placeholder — explicitly unimplemented in the reference too
-    (``electrophysiology.jl:296`` "Not implemented yet")."""
+    """Parabolic-parabolic (untransformed) bidomain:
+
+    chi*Cm dphi_m/dt =  div(kappa_i grad phi_i) + chi*(I_ion + I_stim)
+    chi*Cm dphi_m/dt = -div(kappa_e grad phi_e) - chi*(I_ion + I_stim)
+    phi_m            =  phi_i - phi_e
+
+    BEYOND-reference: the reference declares this model but marks it "Not
+    implemented yet" (``electrophysiology.jl:296``; its docstring also
+    carries a sign slip on the extracellular row — the conservation law
+    div(kappa_i grad phi_i + kappa_e grad phi_e) = 0 fixes the sign used
+    here). The diffusion stage solves the UNTRANSFORMED (phi_i, phi_e)
+    backward-Euler block system
+
+        [[M - dt K_i,      -M     ],     [ M phi_m^n + dt f]
+         [    -M,      M - dt K_e ]]  =  [-M phi_m^n - dt f]
+
+    (K = -S negative semidefinite), which is symmetric positive
+    semidefinite with the single nullvector [1; 1] (shared potential
+    gauge, fixed by zero-mean phi_e). Block-row difference/sum shows the
+    discrete trajectories are IDENTICAL to the parabolic-elliptic
+    transformation's (tests/test_bidomain.py asserts this exactly);
+    stored state is (phi_m, phi_e), with phi_i = phi_m + phi_e derived.
+    """
     chi: Any
     Cm: Any
     kappa_i: Any
     kappa_e: Any
     stim: Any
     ion: Any
+    cell_coordinates: Any = None
+    transmembrane_solution_symbol: str = "phi_m"
+    extracellular_solution_symbol: str = "phi_e"
+    internal_state_symbol: str = "s"
+
+    def field_variable_names(self):
+        return (self.transmembrane_solution_symbol,
+                self.extracellular_solution_symbol)
 
 
 @dataclass(frozen=True)

@@ -136,38 +136,67 @@ class BackwardEulerSolver:
         automatically (row 2 of the operator maps everything to zero-mean,
         and the rhs's second block is zero)."""
         import jax.lax as lax
+        from thunderbolt_tpu.disc.functions import PPBidomainFunction
         M, Ki, Ke = self._bidomain_ops(fn)
         n = fn.ndofs_field
         po, eo = fn.phi_offset, fn.e_offset
         source = fn.source
+        pp = isinstance(fn, PPBidomainFunction)
 
         def step(U, t, dt):
             u = lax.dynamic_slice(U, (po,), (n,))
             v = lax.dynamic_slice(U, (eo,), (n,))
 
-            def Amv(z):
-                zu, zv = z[:n], z[n:]
-                kiw = Ki.mv(zu + zv)
-                return jnp.concatenate([
-                    M.mv(zu) - dt * kiw,
-                    -dt * (kiw + Ke.mv(zv)),
-                ])
+            if pp:
+                # untransformed (phi_i, phi_e) block system — SPD up to
+                # the shared-potential nullvector [1; 1] (b is orthogonal
+                # to it by construction: the two blocks are +-(M phi_m))
+                def Amv(z):
+                    zu, zv = z[:n], z[n:]
+                    w = M.mv(zu - zv)
+                    return jnp.concatenate([
+                        w - dt * Ki.mv(zu),
+                        -w - dt * Ke.mv(zv),
+                    ])
 
-            d = jnp.concatenate([
-                M.diagonal() - dt * Ki.diagonal(),
-                -dt * (Ki.diagonal() + Ke.diagonal()),
-            ])
+                d = jnp.concatenate([
+                    M.diagonal() - dt * Ki.diagonal(),
+                    M.diagonal() - dt * Ke.diagonal(),
+                ])
+            else:
+                def Amv(z):
+                    zu, zv = z[:n], z[n:]
+                    kiw = Ki.mv(zu + zv)
+                    return jnp.concatenate([
+                        M.mv(zu) - dt * kiw,
+                        -dt * (kiw + Ke.mv(zv)),
+                    ])
+
+                d = jnp.concatenate([
+                    M.diagonal() - dt * Ki.diagonal(),
+                    -dt * (Ki.diagonal() + Ke.diagonal()),
+                ])
             Minv = jacobi_preconditioner(d) \
                 if self.preconditioner == "jacobi" else None
             b1 = M.mv(u)
             if source is not None:
                 b1 = b1 + dt * source(t + dt)
-            b = jnp.concatenate([b1, jnp.zeros_like(b1)])
-            x, info = cg(Amv, b, x0=jnp.concatenate([u, v]), Minv=Minv,
+            if pp:
+                b = jnp.concatenate([b1, -b1])
+                x0 = jnp.concatenate([u + v, v])   # phi_i = phi_m + phi_e
+            else:
+                b = jnp.concatenate([b1, jnp.zeros_like(b1)])
+                x0 = jnp.concatenate([u, v])
+            x, info = cg(Amv, b, x0=x0, Minv=Minv,
                          rtol=self.rtol, atol=self.atol,
                          maxiter=self.maxiter)
-            un, vn = x[:n], x[n:]
-            vn = vn - jnp.mean(vn)
+            if pp:
+                phii, vn = x[:n], x[n:]
+                un = phii - vn                     # gauge-invariant
+                vn = vn - jnp.mean(vn)
+            else:
+                un, vn = x[:n], x[n:]
+                vn = vn - jnp.mean(vn)
             U = lax.dynamic_update_slice(U, un, (po,))
             U = lax.dynamic_update_slice(U, vn, (eo,))
             return U
