@@ -221,16 +221,101 @@ def test_homotopy_ramps_pressure():
     assert uz > 0.1, uz
 
 
+def test_simplified_newton_frozen_tangent():
+    """simplified_newton=True (newton_raphson.jl:67,223-233) reuses the
+    iteration-0 tangent: same solution as full Newton, linear (more
+    iterations) convergence, on BOTH the jitted and host paths."""
+    # mildly nonlinear problem (chord Newton requires the frozen tangent
+    # to stay contraction-close to the true one)
+    mesh, fn = _cube_fn(wbcs=[tb.ConstantPressureBC(0.02, "top")],
+                        dbcs=[tb.Dirichlet("d", "bottom", 0.0)])
+    u0 = jnp.zeros(fn.solution_size, DT)
+    full = tb.NewtonRaphsonSolver(tol=1e-10, max_iter=60, inner="bicgstab",
+                                  inner_rtol=1e-10)
+    simp = tb.NewtonRaphsonSolver(tol=1e-10, max_iter=60,
+                                  inner="bicgstab", inner_rtol=1e-10,
+                                  simplified_newton=True)
+    u_full, st_full = full.solve(fn, u0, 1.0)
+    u_simp, st_simp = simp.solve(fn, u0, 1.0)
+    assert st_full.converged and st_simp.converged, (st_full, st_simp)
+    assert np.allclose(np.asarray(u_full), np.asarray(u_simp), atol=1e-7)
+    # the chord method trades tangent reassembly for extra iterations
+    assert st_simp.iterations >= st_full.iterations
+    # host path (monitor forces it) agrees
+    calls = []
+    u_host, st_host = simp.solve(fn, u0, 1.0, monitor=lambda it, rn:
+                                 calls.append((it, rn)))
+    assert st_host.converged
+    assert np.allclose(np.asarray(u_host), np.asarray(u_simp), atol=1e-6)
+    assert abs(st_host.iterations - st_simp.iterations) <= 2
+
+
+def test_newton_theta_history():
+    """NewtonStats.thetas mirrors the reference's Theta_k log
+    (newton_raphson.jl:276-291): rates below 1 during quadratic
+    convergence, terminal 0.0 sentinel on success, Inf on failure."""
+    mesh, fn = _cube_fn(wbcs=[tb.ConstantPressureBC(0.02, "top")],
+                        dbcs=[tb.Dirichlet("d", "bottom", 0.0)])
+    u0 = jnp.zeros(fn.solution_size, DT)
+    solver = tb.NewtonRaphsonSolver(tol=1e-9, max_iter=40, inner="lu")
+    u, st = solver.solve(fn, u0, 1.0, monitor=lambda it, rn: None)
+    assert st.converged
+    assert len(st.thetas) >= 1
+    assert st.thetas[-1] == 0.0                 # success sentinel (:246)
+    assert all(th < 1.0 for th in st.thetas[:-1]), st.thetas
+    # jitted path records the same signal shape
+    u2, st2 = solver.__class__(tol=1e-9, max_iter=40, inner="bicgstab",
+                               inner_rtol=1e-10).solve(fn, u0, 1.0)
+    assert st2.converged and st2.thetas[-1] == 0.0
+    assert all(np.isfinite(st2.thetas))
+    # starved budget -> failure -> Inf sentinel (:249,253)
+    bad = tb.NewtonRaphsonSolver(tol=1e-14, max_iter=2, inner="lu")
+    _, st3 = bad.solve(fn, u0, 1.0, monitor=lambda it, rn: None)
+    assert not st3.converged and st3.thetas[-1] == np.inf
+
+
 def test_deuflhard_continuation_controller():
-    """Predictive Deuflhard step control reaches the same ramped state and
-    shows the expected grow/shrink behavior (homotopy.jl:219-283 parity)."""
+    """Rate-driven Deuflhard step control reaches the same ramped state and
+    shows the expected grow/shrink behavior (homotopy.jl:219-283 parity:
+    Theta_k from NewtonStats.thetas drives Eq. 5.24 prediction)."""
     ctrl = tb.Deuflhard2004DiscreteContinuationController(
+        theta_min=0.125, p=1)
+    g = lambda x: np.sqrt(1.0 + 4.0 * x) - 1.0
+    # adapt_dt! formula: q = clamp(gamma*(g(theta_bar)/(2*Theta0))^(1/p))
+    th = (0.3, 0.1)
+    q = np.clip(0.95 * g(0.5) / (2 * 0.3), 0.2, 5.0)
+    assert np.isclose(ctrl.on_accept(1.0, th), q)
+    # Theta0 below theta_min clamps to theta_min
+    assert np.isclose(ctrl.on_accept(1.0, (0.01,)),
+                      np.clip(0.95 * g(0.5) / (2 * 0.125), 0.2, 5.0))
+    # fast rates grow, slow rates shrink
+    assert ctrl.on_accept(1.0, (0.125,)) > 1.0
+    assert ctrl.on_accept(1.0, (0.9,)) < 1.0
+    # should_accept: any rate above theta_reject rejects (monotonic mode)
+    assert ctrl.should_accept((0.3, 0.9))
+    assert not ctrl.should_accept((0.3, 0.96))
+    # reject shrink uses the first offending rate's Eq. 5.24 factor
+    assert np.isclose(ctrl.on_reject(1.0, (0.2, 0.97)),
+                      np.clip(0.95 * g(0.5) / g(0.97), 0.2, 5.0))
+    # B variant: growth uses g(Theta0), not 2*Theta0 (homotopy.jl:283-345)
+    ctrl_b = tb.Deuflhard2004_B_DiscreteContinuationControllerVariant(
+        theta_min=0.125, p=1)
+    assert np.isclose(ctrl_b.on_accept(1.0, th),
+                      np.clip(0.95 * g(0.5) / g(0.3), 0.2, 5.0))
+    # experimental: reject on max rate, adapt on mean (homotopy.jl:345-399)
+    ctrl_e = tb.ExperimentalDiscreteContinuationController(
+        theta_min=0.125, p=1)
+    assert np.isclose(ctrl_e.on_accept(1.0, (0.2, 0.6)),
+                      np.clip(0.95 * g(0.75) / (2 * 0.4), 0.2, 5.0))
+    assert ctrl_e.should_accept((0.3, 0.89))
+    assert not ctrl_e.should_accept((0.3, 0.91))
+    # iteration-count fallback keeps its documented behavior
+    fb = tb.IterationCountContinuationController(
         target_iterations=4, gamma=1.0, max_growth=2.0)
-    # fast convergence grows the increment, slow shrinks, rejection halves+
-    assert ctrl.on_accept(1.0, 1) == 2.0           # clipped growth
-    assert ctrl.on_accept(1.0, 4) == 1.0
-    assert ctrl.on_accept(1.0, 16) == 0.5
-    assert ctrl.on_reject(1.0, 12) < 0.6
+    assert fb.on_accept(1.0, 1) == 2.0
+    assert fb.on_accept(1.0, 4) == 1.0
+    assert fb.on_accept(1.0, 16) == 0.5
+    assert fb.on_reject(1.0, 12) < 0.6
 
     mesh = tb.generate_mesh("hex8", (6, 2, 2), (0, 0, 0), (4.0, 1.0, 1.0))
     material = tb.PK1Model(tb.NeoHookeanModel(mu=1.0, lam=5.0))

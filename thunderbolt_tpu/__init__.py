@@ -210,6 +210,9 @@ from thunderbolt_tpu.solver.nonlinear.newton import (
 from thunderbolt_tpu.solver.time.homotopy import (
     HomotopyPathSolver,
     Deuflhard2004DiscreteContinuationController,
+    Deuflhard2004_B_DiscreteContinuationControllerVariant,
+    ExperimentalDiscreteContinuationController,
+    IterationCountContinuationController,
 )
 from thunderbolt_tpu.solver.time.newmark import NewmarkSolver, NewmarkState
 from thunderbolt_tpu.solver.time.controllers import (

@@ -42,6 +42,28 @@ class NewtonStats:
     residual_norm: float = np.inf
     converged: bool = False
     history: tuple = ()
+    #: per-iteration convergence rates Theta_k = min(|r_k|/|r_{k-1}|,
+    #: |du_k|/|du_{k-1}|) for k >= 1 (``newton_raphson.jl:277``); the
+    #: continuation controllers' input signal
+    thetas: tuple = ()
+
+
+def _thetas_from(history, increments, converged):
+    """Theta_k list from residual + increment norm histories (the host-side
+    analog of the reference's in-loop push, ``newton_raphson.jl:276-282``):
+    an entry per iteration k >= 1 that applied an update, plus the
+    reference's terminal sentinel — 0.0 on convergence (``:246``), Inf on
+    failure (``:249,253``)."""
+    thetas = []
+    for k in range(1, len(increments)):
+        rprev, rcur = history[k - 1], history[k]
+        iprev, icur = increments[k - 1], increments[k]
+        if rprev == 0.0 or iprev == 0.0:
+            thetas.append(0.0)
+        else:
+            thetas.append(float(min(rcur / rprev, icur / iprev)))
+    thetas.append(0.0 if converged else np.inf)
+    return tuple(thetas)
 
 
 @dataclass(frozen=True)
@@ -71,6 +93,13 @@ class NewtonRaphsonSolver:
     #: at every linearization point (e.g. ``MechanicsGMGPreconditioner``);
     #: None keeps the block-Jacobi/Jacobi default
     precon: Any = None
+    #: simplified (chord) Newton: assemble the Jacobian and build the
+    #: preconditioner ONCE at iteration 0, then iterate with residual-only
+    #: updates against the frozen tangent (``newton_raphson.jl:67,223-242``
+    #: ``simplified_newton=true``). Linear convergence, but each iteration
+    #: drops the tangent assembly + preconditioner setup — the cheap-
+    #: tangent lever for tightly-stepped coupled marches.
+    simplified_newton: bool = False
 
     def solve(self, fn, u0, t, monitor=None):
         """Solve fn.residual(u, t) = 0 from u0; returns (u, NewtonStats).
@@ -109,10 +138,19 @@ class NewtonRaphsonSolver:
                 r = ch.apply_zero(r) if ch is not None else r
                 return A, r
 
-            def rnorm_of(u, t, extra):
+            def resid_of(u, t, extra):
                 r = fn.residual(u, t, *extra)
-                r = ch.apply_zero(r) if ch is not None else r
-                return jnp.linalg.norm(r)
+                return ch.apply_zero(r) if ch is not None else r
+
+            def rnorm_of(u, t, extra):
+                return jnp.linalg.norm(resid_of(u, t, extra))
+
+            def make_minv(A, u, t, extra):
+                if cfg.precon is not None:
+                    return cfg.precon(A, u, t, extra)
+                if hasattr(A, "block_jacobi_inv"):
+                    return A.block_jacobi_inv()
+                return jacobi_preconditioner(A.diagonal())
 
             @jax.jit
             def run(u0, t, extra):
@@ -121,23 +159,33 @@ class NewtonRaphsonSolver:
                 rnorm0 = rnorm_of(u0, t, extra)
                 target = jnp.maximum(jnp.asarray(cfg.tol, dt_),
                                      cfg.rtol * rnorm0)
+                if cfg.simplified_newton:
+                    # frozen tangent + preconditioner from the predictor
+                    # state; the loop body only re-evaluates residuals
+                    A_frozen, _ = assemble(u0, t, extra)
+                    Minv_frozen = make_minv(A_frozen, u0, t, extra)
                 # hist[i] = residual at the START of iteration i (host-loop
                 # semantics); written in the body, no duplicate seed
                 hist0 = jnp.zeros(cfg.max_iter + 1, dt_)
+                ihist0 = jnp.zeros(cfg.max_iter + 1, dt_)
                 # status: 0 running / 1 converged / 2 nonfinite / 3 growth
                 carry0 = (u0, rnorm0, jnp.asarray(cfg.inner_rtol, dt_),
                           jnp.asarray(0, jnp.int32),   # growth count
                           jnp.asarray(0, jnp.int32),   # iteration
                           jnp.asarray(0, jnp.int32),   # status
-                          hist0)
+                          hist0, ihist0)
 
                 def cond(c):
-                    _, _, _, _, it, status, _ = c
+                    _, _, _, _, it, status, _, _ = c
                     return (status == 0) & (it < cfg.max_iter)
 
                 def body(c):
-                    u, rnorm_prev, eta, growth, it, status, hist = c
-                    A, r = assemble(u, t, extra)
+                    u, rnorm_prev, eta, growth, it, status, hist, ihist = c
+                    if cfg.simplified_newton:
+                        A = A_frozen
+                        r = resid_of(u, t, extra)
+                    else:
+                        A, r = assemble(u, t, extra)
                     rnorm = jnp.linalg.norm(r)
                     finite = jnp.isfinite(rnorm)
                     grew = (rnorm >= rnorm_prev) & (it > 0)
@@ -163,12 +211,8 @@ class NewtonRaphsonSolver:
                         # solve, line search — is gated behind the status
                         # check: the terminating iteration's update is
                         # discarded anyway, so this work would be dead
-                        if cfg.precon is not None:
-                            Minv = cfg.precon(A, u, t, extra)
-                        elif hasattr(A, "block_jacobi_inv"):
-                            Minv = A.block_jacobi_inv()
-                        else:
-                            Minv = jacobi_preconditioner(A.diagonal())
+                        Minv = Minv_frozen if cfg.simplified_newton \
+                            else make_minv(A, u, t, extra)
                         kfun = _krylov_fn(cfg.inner)
                         du, _ = kfun(A.mv, r, Minv=Minv, rtol=eta,
                                      atol=cfg.inner_atol,
@@ -215,31 +259,35 @@ class NewtonRaphsonSolver:
                     u_new = jax.lax.cond(status == 0, solve_and_search,
                                          lambda _: u, operand=None)
                     hist = hist.at[it].set(rnorm)
-                    return (u_new, rnorm, eta, growth, it + 1, status, hist)
+                    ihist = ihist.at[it].set(jnp.linalg.norm(u_new - u))
+                    return (u_new, rnorm, eta, growth, it + 1, status,
+                            hist, ihist)
 
-                u, rnorm_last, eta, growth, it, status, hist = \
+                u, rnorm_last, eta, growth, it, status, hist, ihist = \
                     jax.lax.while_loop(cond, body, carry0)
                 rnorm_fin = rnorm_of(u, t, extra)
                 converged = (status == 1) | (rnorm_fin <= target)
-                return u, it, rnorm_fin, converged, status, hist
+                return u, it, rnorm_fin, converged, status, hist, ihist
 
             try:
                 fn.__dict__[cache_key] = run
             except (AttributeError, TypeError):
                 pass
 
-        u, it, rnorm, converged, status, hist = run(u0, t, extra)
+        u, it, rnorm, converged, status, hist, ihist = run(u0, t, extra)
         # ONE batched host readback — separate scalar pulls each pay a
         # full device round-trip (tens of ms on tunneled chips)
-        it, rnorm, converged, status, hist = jax.device_get(
-            (it, rnorm, converged, status, hist))
+        it, rnorm, converged, status, hist, ihist = jax.device_get(
+            (it, rnorm, converged, status, hist, ihist))
         # loop `it` counts body executions; the terminating body (status
         # set) performed no update, matching the host loop's returned
         # iteration index `it - 1`
         nhist = int(it)
         it = nhist - (1 if int(status) != 0 else 0)
         history = tuple(hist[:nhist].tolist())
-        return u, NewtonStats(it, float(rnorm), bool(converged), history)
+        thetas = _thetas_from(history, list(ihist[:it]), bool(converged))
+        return u, NewtonStats(it, float(rnorm), bool(converged), history,
+                              thetas)
 
     def solve_host(self, fn, u0, t, monitor=None):
         """Host-loop Newton (per-iteration logging / host LU path).
@@ -251,7 +299,7 @@ class NewtonRaphsonSolver:
         ch = fn.constraints
         extra = fn.newton_extra() if hasattr(fn, "newton_extra") else ()
 
-        jits_key = ("_newton_jits", self.inner, self.precon)
+        jits_key = ("_newton_jits_v2", self.inner, self.precon)
         jits = fn.__dict__.get(jits_key) if hasattr(fn, "__dict__") \
             else None
         if jits is None:
@@ -272,10 +320,13 @@ class NewtonRaphsonSolver:
                 return A, r
 
             @jax.jit
-            def rnorm_j(u, t, extra):
+            def resid_j(u, t, extra):
                 r = fn.residual(u, t, *extra)
-                r = ch.apply_zero(r) if ch is not None else r
-                return jnp.linalg.norm(r)
+                return ch.apply_zero(r) if ch is not None else r
+
+            @jax.jit
+            def rnorm_j(u, t, extra):
+                return jnp.linalg.norm(resid_j(u, t, extra))
 
             # Inner Krylov solves MUST be jitted with the matrix as a
             # pytree ARGUMENT: calling cg eagerly with a fresh `A.mv`
@@ -297,12 +348,12 @@ class NewtonRaphsonSolver:
                 return f(A.mv, r, Minv=Minv, rtol=eta, atol=atol,
                          maxiter=maxiter)
 
-            jits = (assemble_j, rnorm_j, krylov_j)
+            jits = (assemble_j, resid_j, rnorm_j, krylov_j)
             try:
                 fn.__dict__[jits_key] = jits
             except (AttributeError, TypeError):
                 pass
-        assemble_j, rnorm_j, krylov_j = jits
+        assemble_j, resid_j, rnorm_j, krylov_j = jits
 
         def assemble(u):
             return assemble_j(u, t, extra)
@@ -324,24 +375,36 @@ class NewtonRaphsonSolver:
 
         u = ch.apply(u0) if ch is not None else u0
         history = []
+        increments = []
         rnorm_prev = None
         eta = self.inner_rtol
         growth = 0
+        A_frozen = None
+
+        def _stats(it, rnorm, conv):
+            return NewtonStats(it, rnorm, conv, tuple(history),
+                               _thetas_from(history, increments, conv))
+
         for it in range(self.max_iter):
-            A, r = assemble(u)
+            if self.simplified_newton and A_frozen is not None:
+                A = A_frozen
+                r = resid_j(u, t, extra)
+            else:
+                A, r = assemble(u)
+                A_frozen = A
             rnorm = float(jnp.linalg.norm(r))
             history.append(rnorm)
             if monitor is not None:
                 monitor(it, rnorm)
             target = max(self.tol, self.rtol * history[0])
             if rnorm <= target:
-                return u, NewtonStats(it, rnorm, True, tuple(history))
+                return u, _stats(it, rnorm, True)
             if not np.isfinite(rnorm):
-                return u, NewtonStats(it, rnorm, False, tuple(history))
+                return u, _stats(it, rnorm, False)
             if rnorm_prev is not None and rnorm >= rnorm_prev:
                 growth += 1
                 if growth >= self.max_growth_iters:
-                    return u, NewtonStats(it, rnorm, False, tuple(history))
+                    return u, _stats(it, rnorm, False)
             else:
                 growth = 0
             if self.forcing is not None and rnorm_prev is not None:
@@ -361,6 +424,7 @@ class NewtonRaphsonSolver:
                 monitor.step_fields(it, u, r, du)
             # line search: prefer decrease, but fall back to the FULL step
             # (non-monotone Newton) rather than a crippled tiny step
+            u_prev = u
             u_full = u - du
             rn_full = float(rnorm_only(u_full))
             if np.isfinite(rn_full) and rn_full <= 0.9 * rnorm:
@@ -380,10 +444,10 @@ class NewtonRaphsonSolver:
                     u = u_full  # accept growth; quadratic phase may follow
                 else:
                     u = u - (2.0 ** -self.max_backtracks) * du
+            increments.append(float(jnp.linalg.norm(u - u_prev)))
             rnorm_prev = rnorm
         rnorm = float(rnorm_only(u))
         # same convergence target as the jitted path: max(tol, rtol*r0)
         target = max(self.tol, self.rtol * history[0]) if history \
             else self.tol
-        return u, NewtonStats(self.max_iter, rnorm, rnorm <= target,
-                              tuple(history))
+        return u, _stats(self.max_iter, rnorm, rnorm <= target)

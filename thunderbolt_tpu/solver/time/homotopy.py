@@ -1,10 +1,32 @@
 """Load-stepping / pseudo-time continuation for quasi-static problems.
 
 Parity: ``HomotopyPathSolver`` (``src/solver/time/homotopy.jl:7-399``) with
-the Deuflhard-style adaptive step control in its simple form: accept a step
-when Newton converges; on failure halve the load increment and retry; grow
-the increment again after successes (the discrete continuation controllers
-``homotopy.jl:219-341`` refine the growth/shrink factors — here fixed 2x).
+the full discrete-continuation controller family:
+
+* ``Deuflhard2004DiscreteContinuationController``
+  (``homotopy.jl:219-283``) — convergence-RATE-driven control. The Newton
+  solve records per-iteration rates ``Theta_k = min(|r_k|/|r_{k-1}|,
+  |du_k|/|du_{k-1}|)`` (``newton_raphson.jl:276-282``; exposed here as
+  ``NewtonStats.thetas``); the controller rejects a step whose worst rate
+  exceeds ``theta_reject`` and predicts the next increment from Deuflhard
+  2004 Eq. 5.24: ``q = clamp(gamma * (g(theta_bar)/(2*Theta_0))**(1/p),
+  qmin, qmax)`` with ``g(x) = sqrt(1+4x) - 1``.
+* ``Deuflhard2004_B_DiscreteContinuationControllerVariant``
+  (``homotopy.jl:283-345``) — identical except the a-priori growth uses
+  ``g(Theta_0)`` in the denominator instead of ``2*Theta_0``.
+* ``ExperimentalDiscreteContinuationController`` (``homotopy.jl:345-399``)
+  — rejects on ``max(Theta_k)`` and adapts from ``mean(Theta_k)``.
+* ``IterationCountContinuationController`` — the repo's documented
+  FALLBACK heuristic (iteration counts instead of rates; rates are the
+  finer signal — iteration counts saturate at the budget, Theta_k does
+  not). Not a reference controller.
+
+Reference step-failure semantics are preserved: a Newton *failure*
+(non-convergence) shrinks dt by ``1/failfactor`` exactly once per attempt
+(``post_newton_controller!``, ``diffeq-interface.jl:553-560`` +
+``homotopy.jl:251`` guard), while a Theta-based *rejection* of a converged
+solve shrinks via the controller's rate formula (``reject_step!``,
+``homotopy.jl:243-265``).
 """
 
 from __future__ import annotations
@@ -30,19 +52,118 @@ class HomotopySolveReport:
     dt_final: float = 0.0
 
 
-@dataclass(frozen=True)
-class Deuflhard2004DiscreteContinuationController:
-    """Predictive load-increment control from observed Newton effort
-    (Deuflhard 2004 ch. 5 discrete continuation; parity:
-    ``Deuflhard2004DiscreteContinuationController``,
-    ``src/solver/time/homotopy.jl:219-283``).
+def _g(x):
+    """g(x) = sqrt(1+4x) - 1 (Deuflhard 2004 Eq. 5.24 helper,
+    ``homotopy.jl:253``)."""
+    return np.sqrt(1.0 + 4.0 * x) - 1.0
 
-    On acceptance the increment scales by
-    ``gamma * sqrt(target_iterations / iters)`` (few iterations -> the
-    path is mildly nonlinear here -> grow; many -> shrink), clipped to
-    [shrink_min, max_growth]. On rejection the same prediction is applied
-    with the iteration budget as the observed effort, so repeated
-    rejections contract geometrically."""
+
+@dataclass(frozen=True)
+class _ThetaControllerBase:
+    """Shared fields + accept test of the three reference controllers
+    (``homotopy.jl:219-399``: all three ``should_accept_step`` methods are
+    identical)."""
+
+    theta_min: float = 0.125
+    p: int = 1
+    theta_reject: float = 0.95
+    theta_bar: float = 0.5
+    gamma: float = 0.95
+    qmin: float = 0.2
+    qmax: float = 5.0
+    #: mirror of the reference Newton's ``enforce_monotonic_convergence``
+    #: read by ``should_accept_step`` — when False only non-finite rates
+    #: reject
+    enforce_monotonic_convergence: bool = True
+
+    def _q(self, theta):
+        return float(np.clip(
+            self.gamma * (_g(self.theta_bar) / _g(theta)) ** (1.0 / self.p),
+            self.qmin, self.qmax))
+
+    def should_accept(self, thetas) -> bool:
+        """``should_accept_step`` (``homotopy.jl:231-243``): every observed
+        rate at most ``theta_reject`` (monotonic mode) / finite."""
+        th = np.asarray(thetas, float) if len(thetas) else np.zeros(0)
+        if self.enforce_monotonic_convergence:
+            return bool(np.all(th <= self.theta_reject))
+        return bool(np.all(np.isfinite(th)))
+
+    def on_reject(self, dt: float, thetas) -> float:
+        """``reject_step!`` (``homotopy.jl:243-265``): shrink by the Eq. 5.24
+        factor of the FIRST offending rate."""
+        for theta in thetas:
+            if theta > self.theta_reject:
+                return self._q(theta) * dt
+        return dt
+
+
+@dataclass(frozen=True)
+class Deuflhard2004DiscreteContinuationController(_ThetaControllerBase):
+    """Deuflhard 2004 ch. 5 discrete continuation, rate-driven (parity:
+    ``Deuflhard2004DiscreteContinuationController``,
+    ``src/solver/time/homotopy.jl:219-283``)."""
+
+    def on_accept(self, dt: float, thetas) -> float:
+        """``adapt_dt!`` (``homotopy.jl:267-280``): a-priori prediction from
+        the first-iteration rate, ``q = gamma*(g(theta_bar)/(2*Theta_0))^
+        (1/p)``."""
+        theta0 = max(float(thetas[0]), self.theta_min) if len(thetas) \
+            else self.theta_min
+        q = float(np.clip(
+            self.gamma * (_g(self.theta_bar) / (2.0 * theta0))
+            ** (1.0 / self.p),
+            self.qmin, self.qmax))
+        return q * dt
+
+
+@dataclass(frozen=True)
+class Deuflhard2004_B_DiscreteContinuationControllerVariant(
+        _ThetaControllerBase):
+    """B-variant (``homotopy.jl:283-345``): the reference's DEFAULT
+    homotopy controller (``homotopy.jl:406``, ``theta_min=1/8, p=1``);
+    growth uses ``g(Theta_0)`` instead of ``2*Theta_0``."""
+
+    def on_accept(self, dt: float, thetas) -> float:
+        theta0 = max(float(thetas[0]), self.theta_min) if len(thetas) \
+            else self.theta_min
+        q = float(np.clip(
+            self.gamma * (_g(self.theta_bar) / _g(theta0)) ** (1.0 / self.p),
+            self.qmin, self.qmax))
+        return q * dt
+
+
+@dataclass(frozen=True)
+class ExperimentalDiscreteContinuationController(_ThetaControllerBase):
+    """Experimental variant (``homotopy.jl:345-399``): reject on the WORST
+    rate, adapt from the MEAN rate; softer defaults
+    (``theta_reject=0.9, theta_bar=0.75``)."""
+
+    theta_reject: float = 0.9
+    theta_bar: float = 0.75
+
+    def on_reject(self, dt: float, thetas) -> float:
+        theta = max(thetas) if len(thetas) else 0.0
+        return self._q(max(theta, 1e-12)) * dt
+
+    def on_accept(self, dt: float, thetas) -> float:
+        theta0 = max(float(np.mean(np.asarray(thetas, float))),
+                     self.theta_min) if len(thetas) else self.theta_min
+        q = float(np.clip(
+            self.gamma * (_g(self.theta_bar) / (2.0 * theta0))
+            ** (1.0 / self.p),
+            self.qmin, self.qmax))
+        return q * dt
+
+
+@dataclass(frozen=True)
+class IterationCountContinuationController:
+    """Iteration-count heuristic (the repo's fallback, NOT a reference
+    controller): scale the increment by
+    ``gamma * sqrt(target_iterations / iters)`` on acceptance, contract
+    geometrically on rejection. Coarser than the Theta_k controllers —
+    iteration counts saturate at the budget while rates keep resolving —
+    but needs no rate history (e.g. solvers that report only counts)."""
 
     target_iterations: int = 4
     gamma: float = 0.95
@@ -58,19 +179,28 @@ class Deuflhard2004DiscreteContinuationController:
         return dt * float(np.clip(f, self.shrink_min, 0.5))
 
 
+def _is_theta_controller(ctrl) -> bool:
+    return isinstance(ctrl, _ThetaControllerBase) or \
+        hasattr(ctrl, "should_accept")
+
+
 @dataclass(frozen=True)
 class HomotopyPathSolver:
     """March the load parameter t over [t0, t1]; at each step solve the
     quasi-static problem with the previous solution as predictor.
-    ``controller=None`` keeps the fixed halve/grow rule; pass a
-    ``Deuflhard2004DiscreteContinuationController`` for predictive
-    increments."""
+    ``controller=None`` keeps the fixed halve/grow rule; pass one of the
+    ``*DiscreteContinuationController``s for reference-parity rate-driven
+    control, or ``IterationCountContinuationController`` for the count
+    heuristic."""
 
     newton: NewtonRaphsonSolver = NewtonRaphsonSolver()
     adaptive: bool = True
     dt_min_factor: float = 1e-4   # smallest allowed dt as fraction of initial
     growth: float = 2.0
     controller: Optional[Any] = None
+    #: Newton-failure shrink divisor (``post_newton_controller!``:
+    #: ``integrator.dt /= failfactor``; OrdinaryDiffEqCore default)
+    failfactor: float = 2.0
 
     def solve(self, fn, u0, tspan, dt, monitor=None, store=None):
         """Returns (u at t1, HomotopySolveReport)."""
@@ -81,6 +211,8 @@ class HomotopyPathSolver:
         u = u0
         rep = HomotopySolveReport(t_reached=t0)
         dt_cur = dt0
+        ctrl = self.controller
+        theta_mode = ctrl is not None and _is_theta_controller(ctrl)
         while t < t1 - 1e-12 * max(1.0, abs(t1)):
             dt_cur = min(dt_cur, t1 - t)
             t_try = t + dt_cur
@@ -89,7 +221,11 @@ class HomotopyPathSolver:
                 fn.internal_t = t
             u_new, stats = self.newton.solve(fn, u, t_try, monitor=monitor)
             rep.newton_iterations += stats.iterations
-            if stats.converged:
+            # a converged solve may still be REJECTED on its convergence
+            # rates (``should_accept_step``); a failed solve always is
+            accepted = stats.converged and (
+                not theta_mode or ctrl.should_accept(stats.thetas))
+            if accepted:
                 t = t_try
                 u = u_new
                 if getattr(fn, "internal", None) is not None:
@@ -98,9 +234,12 @@ class HomotopyPathSolver:
                 rep.t_reached = t
                 if store is not None:
                     store(t, u)
-                if self.controller is not None:
-                    dt_cur = min(self.controller.on_accept(
-                        dt_cur, stats.iterations), t1 - t0)
+                if theta_mode:
+                    dt_cur = min(ctrl.on_accept(dt_cur, stats.thetas),
+                                 t1 - t0)
+                elif ctrl is not None:
+                    dt_cur = min(ctrl.on_accept(dt_cur, stats.iterations),
+                                 t1 - t0)
                 elif self.adaptive and stats.iterations <= 5:
                     dt_cur = min(dt_cur * self.growth, dt0)
             else:
@@ -108,9 +247,17 @@ class HomotopyPathSolver:
                 if not self.adaptive:
                     rep.dt_final = dt_cur
                     return u, rep
-                if self.controller is not None:
-                    dt_cur = self.controller.on_reject(
-                        dt_cur, self.newton.max_iter)
+                if not stats.converged:
+                    # solve failure: the step-footer's shrink
+                    # (``post_newton_controller!``), one division per
+                    # attempt — the controller's rate formula does NOT
+                    # stack on top (``homotopy.jl:251`` force_stepfail
+                    # guard)
+                    dt_cur = dt_cur / self.failfactor
+                elif theta_mode:
+                    dt_cur = ctrl.on_reject(dt_cur, stats.thetas)
+                elif ctrl is not None:
+                    dt_cur = ctrl.on_reject(dt_cur, self.newton.max_iter)
                 else:
                     dt_cur *= 0.5
                 if dt_cur < dt_min:
