@@ -107,6 +107,44 @@ def test_coupled_heartbeat_steps():
     assert np.abs(v3[:-1] - vc[1:]).max() < np.abs(vc).max()
 
 
+def test_march_matches_step_loop():
+    """The one-dispatch device march (lax.scan over coupled steps) must
+    reproduce the host step loop exactly, and the chord
+    (simplified_newton) march must agree to solver tolerance with more,
+    cheaper iterations."""
+    circuit = RSAFDQ2022LumpedCircuitModel(lv_pressure_given=False)
+    mesh, fn3d, circ = _lv_setup(circuit, scale=5.14)
+    sol = Coupled3D0DSolver(newton=BlockedNewtonSolver(tol=1e-8,
+                                                       max_iter=25))
+    w, c = sol.init(fn3d, circ, DT)
+    V0 = float(fn3d.volumes(w[: fn3d.nmech])[0])
+    c = c.at[circ.volume_index("lv")].set(V0)
+    w0, c0 = w, c
+    t, dt, N = 0.0, 2.0, 4
+    for _ in range(N):
+        w, c, stats = sol.step(fn3d, circ, w, c, t, dt)
+        assert stats.converged
+        t += dt
+    # fresh function object: no shared jit caches between the two paths
+    _, fn_b, circ_b = _lv_setup(circuit, scale=5.14)
+    wm, cm, rep = sol.march(fn_b, circ_b, w0, c0, 0.0, dt, N)
+    assert rep.all_converged(), np.asarray(rep.converged)
+    assert float(jnp.abs(wm - w).max()) < 1e-9
+    assert float(jnp.abs(cm - c).max()) < 1e-9
+    # report records the tied trajectory
+    assert rep.volumes.shape == (N, 1) and rep.pressures.shape == (N, 1)
+    assert np.all(np.diff(np.asarray(rep.volumes)[:, 0]) > 0)  # filling
+    # chord mode: frozen tangent with auto re-linearization
+    sol_c = Coupled3D0DSolver(newton=BlockedNewtonSolver(
+        tol=1e-8, max_iter=40, simplified_newton=True))
+    _, fn_c, _ = _lv_setup(circuit, scale=5.14)
+    wc, cc, repc = sol_c.march(fn_c, circ_b, w0, c0, 0.0, dt, N)
+    assert repc.all_converged()
+    assert float(jnp.abs(wc - w).max()) < 1e-6
+    assert np.asarray(repc.iterations)[1:].min() >= \
+        np.asarray(rep.iterations)[1:].min()
+
+
 def test_hirschvogel_volume_dilation_law():
     """Hirschvogel2017SurrogateVolume: under uniform dilation d = eps*x,
     det(F) (x+d) . F^-T N = (1+eps)^3 x . N exactly, so the surrogate

@@ -102,6 +102,27 @@ class RSAFDQ20223DFunction:
             rps.append(V - V_targets[i])
         return kvals, jnp.stack(Bs), r, jnp.stack(rps)
 
+    def residual(self, w, t, V_targets, *extra):
+        """(B [m, n], r_u, r_p) WITHOUT the tangent — the cheap evaluation
+        the simplified (chord) Newton iterations run against a frozen
+        blocked tangent (``newton_raphson.jl:223-233``:
+        ``residual!``-only branch of ``simplified_newton``)."""
+        u = w[: self.nmech]
+        p = w[self.nmech:]
+        r = self.mech.residual(u, t, *extra)
+        Bs, rps = [], []
+        for i, ch in enumerate(self.chambers):
+            U = u[ch.batch.facet_dofs].reshape(ch.batch.nfacets,
+                                               ch.batch.nbf, 3)
+            V = ch.volume_fn(U)
+            G = ch.grad_fn(U)
+            g = scatter_vector(G.reshape(ch.batch.nfacets, -1),
+                               ch.batch.facet_dofs, self.nmech)
+            r = r - p[i] * g
+            Bs.append(g)
+            rps.append(V - V_targets[i])
+        return jnp.stack(Bs), r, jnp.stack(rps)
+
 
 def _build_tying(mech_fn, coupler: LumpedFluidSolidCoupler, dtype):
     """Extend the structural pattern with chamber facet blocks and build
@@ -179,12 +200,21 @@ class BlockedNewtonSolver:
     (``SchurComplementLinearSolver``, ``src/solver/linear/schur.jl:26``).
 
     ``inner="schur_cg"`` (default) runs the WHOLE solve on device inside a
-    jitted while_loop — Schur elimination with one preconditioned CG solve
-    per multiplier column (m+1 inner solves/iteration) and a single host
-    readback at the end. ``inner="lu"`` is the host path: transfer the
-    assembled tangent, scipy LU, one triangular solve per column — robust
-    for indefinite tangents but pays a device->host round-trip per Newton
-    iteration."""
+    jitted while_loop — Schur elimination with ONE batched preconditioned
+    CG over the m+1 right-hand sides [r_u | -B^T] (the columns share every
+    matvec) and a single host readback at the end. ``inner="lu"`` is the
+    host path: transfer the assembled tangent, scipy LU, one triangular
+    solve per column — robust for indefinite tangents but pays a
+    device->host round-trip per Newton iteration.
+
+    ``simplified_newton=True`` is the chord mode of the reference
+    (``newton_raphson.jl:67,223-242``) extended with automatic
+    re-linearization: the blocked tangent + preconditioner are assembled at
+    iteration 0 and REUSED while convergence stays fast; an iteration whose
+    residual contracts slower than ``relinearize_ratio`` re-assembles at
+    the current state. On tightly-stepped coupled marches (dt = 2 ms) most
+    steps converge on the predictor-state tangent alone, dropping the
+    per-iteration tangent assembly + preconditioner setup."""
 
     tol: float = 1e-6
     rtol: float = 0.0
@@ -193,6 +223,172 @@ class BlockedNewtonSolver:
     inner_rtol: float = 1e-8
     inner_atol: float = 1e-12
     inner_maxiter: int = 4000
+    simplified_newton: bool = False
+    #: chord-mode refresh threshold: re-linearize when
+    #: |r_k| > relinearize_ratio * |r_{k-1}|
+    relinearize_ratio: float = 0.5
+    #: optional preconditioner factory ``(A, w, t, extra) -> pytree data``
+    #: with a matching static ``precon_apply(data, r)``; None keeps
+    #: block-Jacobi. (Factories returning closures — the
+    #: NewtonRaphsonSolver convention — are NOT accepted here because the
+    #: chord mode must carry the preconditioner through the while_loop.)
+    precon: Any = None
+    precon_apply: Any = None
+
+    # -- traceable core ----------------------------------------------------
+
+    def make_device_core(self, fn: RSAFDQ20223DFunction):
+        """Build the TRACEABLE blocked-Newton solve
+        ``core(w0, t, V_targets, extra) -> (w, iters, rnorm, converged)``
+        — no jit wrapper, so callers can embed it inside their own jitted
+        loops (``Coupled3D0DSolver.march``'s per-step body)."""
+        from thunderbolt_tpu.solver.linear import cg
+        ch = fn.mech.constraints
+        cfg = self
+
+        def assemble(w, t, V_targets, extra):
+            kvals, B, r_u, r_p = fn.assemble(w, t, V_targets, *extra)
+            A_raw = fn.mech.jacobian_matrix(kvals)
+            A = ch.apply_operator(A_raw) if ch is not None else A_raw
+            if ch is not None:
+                r_u = ch.apply_zero(r_u)
+                B = jax.vmap(ch.apply_zero)(B)
+            return A, B, r_u, r_p
+
+        def resid(w, t, V_targets, extra):
+            B, r_u, r_p = fn.residual(w, t, V_targets, *extra)
+            if ch is not None:
+                r_u = ch.apply_zero(r_u)
+                B = jax.vmap(ch.apply_zero)(B)
+            return B, r_u, r_p
+
+        from thunderbolt_tpu.fem.sparsity import (
+            MaskedOperator, BlockDIAMatrix)
+        from thunderbolt_tpu.utils.smallmat import det_small, inv_small
+
+        def make_minv(A, w, t, extra):
+            """Preconditioner DATA (a pytree, carryable across while_loop
+            iterations — a closure could not be). Default: the inverted
+            [c,c] diagonal blocks, computed ONCE per linearization."""
+            if cfg.precon is not None:
+                return cfg.precon(A, w, t, extra)
+            inner = A.A if isinstance(A, MaskedOperator) else A
+            if isinstance(inner, BlockDIAMatrix):
+                D = inner.blocks[inner.offsets.index(0)]
+                return inv_small(D, det_small(D))
+            return 1.0 / A.diagonal()
+
+        def apply_minv(A, data, r):
+            if cfg.precon is not None:
+                return cfg.precon_apply(data, r)
+            if data.ndim == 3:           # block-Jacobi [nent, c, c]
+                c_ = data.shape[-1]
+                y = jnp.einsum("nab,nb->na", data,
+                               r.reshape(-1, c_)).reshape(-1)
+            else:
+                y = data * r
+            if isinstance(A, MaskedOperator):
+                f = A.free_mask.astype(r.dtype)
+                y = f * y + (1.0 - f) * r
+            return y
+
+        def schur_step(A, Mdata, B, r_u, r_p):
+            """One blocked-Newton update: ONE vmapped CG over the m+1
+            right-hand sides [r_u | -B^T] (columns share each sweep's
+            matvec batch; per-column scalars, so no scale mixing), then
+            the tiny multiplier Schur solve."""
+            rhs = jnp.concatenate([r_u[:, None], -B.T], axis=1)  # [n, m+1]
+
+            def solve_col(b):
+                x, _ = cg(A.mv, b, Minv=lambda v: apply_minv(A, Mdata, v),
+                          rtol=cfg.inner_rtol, atol=cfg.inner_atol,
+                          maxiter=cfg.inner_maxiter)
+                return x
+
+            X = jax.vmap(solve_col, in_axes=1, out_axes=1)(rhs)
+            xf, W = X[:, 0], X[:, 1:]
+            S = B @ W
+            from thunderbolt_tpu.solver.linear import _small_dense_solve
+            dp = _small_dense_solve(S, B @ xf - r_p)
+            du = xf - W @ dp
+            return du, dp
+
+        i32 = lambda v: jnp.asarray(v, jnp.int32)
+
+        def core(w0, t, V_targets, extra):
+            u0 = ch.apply(w0[: fn.nmech]) if ch is not None \
+                else w0[: fn.nmech]
+            w_init = jnp.concatenate([u0, w0[fn.nmech:]])
+            dt_ = w_init.dtype
+            A0, B0, ru0, rp0 = assemble(w_init, t, V_targets, extra)
+            M0 = make_minv(A0, w_init, t, extra)
+
+            def cond(c):
+                return (c["status"] == 0) & (c["it"] < cfg.max_iter)
+
+            def body(c):
+                w, it = c["w"], c["it"]
+                if cfg.simplified_newton:
+                    # iteration 0 uses the pre-loop tangent; later
+                    # iterations refresh only on slow contraction
+                    fresh = resid(w, t, V_targets, extra)
+                    rn_here = jnp.sqrt(jnp.sum(fresh[1] ** 2)
+                                       + jnp.sum(fresh[2] ** 2))
+                    relin = (it > 0) & (rn_here >
+                                        cfg.relinearize_ratio * c["rnorm"])
+
+                    def do_relin(_):
+                        A, B, r_u, r_p = assemble(w, t, V_targets, extra)
+                        return A, make_minv(A, w, t, extra), B, r_u, r_p
+
+                    def reuse(_):
+                        B, r_u, r_p = fresh
+                        return c["A"], c["M"], B, r_u, r_p
+
+                    A, Mdata, B, r_u, r_p = jax.lax.cond(
+                        relin, do_relin, reuse, operand=None)
+                else:
+                    def first(_):
+                        return c["A"], c["M"], c["B"], c["ru"], c["rp"]
+
+                    def again(_):
+                        A, B, r_u, r_p = assemble(w, t, V_targets, extra)
+                        return A, make_minv(A, w, t, extra), B, r_u, r_p
+
+                    A, Mdata, B, r_u, r_p = jax.lax.cond(
+                        it == 0, first, again, operand=None)
+                rnorm = jnp.sqrt(jnp.sum(r_u ** 2) + jnp.sum(r_p ** 2))
+                rnorm0 = jnp.where(it == 0, rnorm, c["rnorm0"])
+                target = jnp.maximum(jnp.asarray(cfg.tol, dt_),
+                                     cfg.rtol * rnorm0)
+                status = jnp.where(
+                    rnorm <= target, i32(1),
+                    jnp.where(~jnp.isfinite(rnorm), i32(2), i32(0)))
+
+                def advance(_):
+                    du, dp = schur_step(A, Mdata, B, r_u, r_p)
+                    return w - jnp.concatenate([du, dp])
+
+                w_new = jax.lax.cond(status == 0, advance, lambda _: w,
+                                     operand=None)
+                return {"w": w_new, "rnorm0": rnorm0, "rnorm": rnorm,
+                        "it": it + 1, "status": status, "A": A, "M": Mdata,
+                        "B": B, "ru": r_u, "rp": r_p}
+
+            carry = {"w": w_init, "rnorm0": jnp.asarray(0.0, dt_),
+                     "rnorm": jnp.asarray(jnp.inf, dt_), "it": i32(0),
+                     "status": i32(0), "A": A0, "M": M0, "B": B0,
+                     "ru": ru0, "rp": rp0}
+            out = jax.lax.while_loop(cond, body, carry)
+            # final residual check (covers max_iter exits)
+            _, r_u, r_p = resid(out["w"], t, V_targets, extra)
+            rn = jnp.sqrt(jnp.sum(r_u ** 2) + jnp.sum(r_p ** 2))
+            target = jnp.maximum(jnp.asarray(cfg.tol, dt_),
+                                 cfg.rtol * out["rnorm0"])
+            return (out["w"], out["it"], rn,
+                    (out["status"] == 1) | (rn <= target))
+
+        return core
 
     def solve(self, fn: RSAFDQ20223DFunction, w0, t, V_targets):
         if self.inner == "lu":
@@ -206,76 +402,12 @@ class BlockedNewtonSolver:
         return w, stats
 
     def solve_device(self, fn: RSAFDQ20223DFunction, w0, t, V_targets):
-        from thunderbolt_tpu.solver.linear import (
-            cg, jacobi_preconditioner, schur_complement_solve)
-        ch = fn.mech.constraints
-        cfg = self
         extra0 = fn.newton_extra() if hasattr(fn, "newton_extra") else ()
-
         cache_key = ("_blocked_jit_device", self)
         run = fn.__dict__.get(cache_key)
         if run is None:
-            def assemble(w, t, V_targets, extra):
-                kvals, B, r_u, r_p = fn.assemble(w, t, V_targets, *extra)
-                A_raw = fn.mech.jacobian_matrix(kvals)
-                A = ch.apply_operator(A_raw) if ch is not None else A_raw
-                if ch is not None:
-                    r_u = ch.apply_zero(r_u)
-                    B = jax.vmap(ch.apply_zero)(B)
-                return A, B, r_u, r_p
-
-            @jax.jit
-            def run(w0, t, V_targets, extra):
-                u0 = ch.apply(w0[: fn.nmech]) if ch is not None \
-                    else w0[: fn.nmech]
-                w_init = jnp.concatenate([u0, w0[fn.nmech:]])
-                dt_ = w_init.dtype
-                i32 = lambda v: jnp.asarray(v, jnp.int32)
-
-                def cond(c):
-                    w, rnorm0, rnorm, it, status = c
-                    return (status == 0) & (it < cfg.max_iter)
-
-                def body(c):
-                    w, rnorm0, rnorm_prev, it, status = c
-                    A, B, r_u, r_p = assemble(w, t, V_targets, extra)
-                    rnorm = jnp.sqrt(jnp.sum(r_u ** 2) + jnp.sum(r_p ** 2))
-                    rnorm0 = jnp.where(it == 0, rnorm, rnorm0)
-                    target = jnp.maximum(jnp.asarray(cfg.tol, dt_),
-                                         cfg.rtol * rnorm0)
-                    status = jnp.where(
-                        rnorm <= target, i32(1),
-                        jnp.where(~jnp.isfinite(rnorm), i32(2), i32(0)))
-                    Minv = A.block_jacobi_inv() \
-                        if hasattr(A, "block_jacobi_inv") \
-                        else jacobi_preconditioner(A.diagonal())
-
-                    def A_solve(b):
-                        x, _ = cg(A.mv, b, Minv=Minv, rtol=cfg.inner_rtol,
-                                  atol=cfg.inner_atol,
-                                  maxiter=cfg.inner_maxiter)
-                        return x
-
-                    # J = [[K, -B], [B^T, 0]] -> schur([A, -B^T; B, 0])
-                    du, dp = schur_complement_solve(
-                        A_solve, -B.T, B, r_u, r_p)
-                    w_new = w - jnp.concatenate([du, dp])
-                    w_new = jnp.where(status == 0, w_new, w)
-                    return (w_new, rnorm0, rnorm, it + 1, status)
-
-                carry = (w_init, jnp.asarray(0.0, dt_),
-                         jnp.asarray(jnp.inf, dt_), i32(0), i32(0))
-                w, rnorm0, rnorm, it, status = jax.lax.while_loop(
-                    cond, body, carry)
-                # final residual check (covers max_iter exits)
-                _, _, r_u, r_p = assemble(w, t, V_targets, extra)
-                rn = jnp.sqrt(jnp.sum(r_u ** 2) + jnp.sum(r_p ** 2))
-                target = jnp.maximum(jnp.asarray(cfg.tol, dt_),
-                                     cfg.rtol * rnorm0)
-                return w, it, rn, (status == 1) | (rn <= target)
-
+            run = jax.jit(self.make_device_core(fn))
             fn.__dict__[cache_key] = run
-
         w, it, rnorm, conv = jax.device_get(run(w0, t, V_targets, extra0))
         return jnp.asarray(w), NewtonStats(int(it), float(rnorm),
                                            bool(conv), ())
@@ -333,6 +465,21 @@ class BlockedNewtonSolver:
 
 
 @dataclass
+class CoupledMarchReport:
+    """Per-step device records of a :meth:`Coupled3D0DSolver.march` —
+    everything a PV-loop analysis needs without any host round-trip
+    during the march."""
+    ts: Any            # [nsteps] end-of-step times
+    volumes: Any       # [nsteps, m] chamber volumes (circuit state)
+    pressures: Any     # [nsteps, m] chamber multiplier pressures
+    iterations: Any    # [nsteps] blocked-Newton iteration counts
+    converged: Any     # [nsteps] bool
+
+    def all_converged(self):
+        return bool(jnp.all(self.converged))
+
+
+@dataclass
 class Coupled3D0DSolver:
     """Lie-Trotter split: (1) solve the tied 3D block with the chamber
     volumes prescribed by the circuit state; (2) advance the 0D circuit
@@ -374,3 +521,73 @@ class Coupled3D0DSolver:
 
         c, _ = jax.lax.scan(body, c, jnp.arange(self.circuit_substeps))
         return w, c, stats
+
+    def march(self, fn3d, circuit, w, c, t0, dt, nsteps):
+        """Device-resident coupled march: ``nsteps`` Lie-Trotter coupled
+        steps — blocked 3D Newton + 0D circuit substepping — inside ONE
+        jitted ``lax.scan``. 400 coupled steps cost one dispatch and one
+        readback instead of 800 (the round-2 host loop paid a tunnel
+        round-trip per blocked solve AND per circuit advance).
+
+        Returns ``(w, c, CoupledMarchReport)``; the report's per-step
+        volumes/pressures are the PV-loop trace. A non-converged step is
+        recorded (``report.converged[k] = False``) and the march carries
+        on with the unconverged state — callers check ``all_converged()``.
+
+        Stateful structural models (condensed sarcomere state in
+        ``newton_extra``) are not supported here yet — their per-step
+        state update lives in ``disc/electromechanics.py``; this march
+        targets the passive/quasi-static 3D-0D configuration
+        (``cm03_3d0d-coupling.jl``)."""
+        extra0 = fn3d.newton_extra() \
+            if hasattr(fn3d, "newton_extra") else ()
+        if extra0 and getattr(fn3d.mech, "internal", None) is not None:
+            raise NotImplementedError(
+                "march() does not thread per-step internal-state updates; "
+                "use CoupledElectromechanics drivers for stateful models")
+        m = len(fn3d.chambers)
+        vol_ix = np.array([circuit.volume_index(ch.lumped_symbol)
+                           for ch in fn3d.chambers])
+        pix = np.array([circuit.pressure_input_index(ch.lumped_symbol)
+                        for ch in fn3d.chambers])
+        nsub = self.circuit_substeps
+
+        cache_key = ("_coupled_march_jit", self.newton, nsub, int(nsteps))
+        run = fn3d.__dict__.get(cache_key)
+        if run is None:
+            core = self.newton.make_device_core(fn3d)
+
+            @jax.jit
+            def run(w, c, t0, dt, extra):
+                def step(carry, k):
+                    w, c, t = carry
+                    V_targets = c[vol_ix].astype(w.dtype)
+                    w, iters, rnorm, conv = core(w, t + dt, V_targets,
+                                                 extra)
+                    p = w[fn3d.nmech:]
+                    ext = jnp.zeros(circuit.num_unknown_pressures(),
+                                    c.dtype).at[pix].set(p.astype(c.dtype))
+                    h = dt / nsub
+
+                    def sub(cc, i):
+                        ti = t + i * h
+                        k1 = circuit.rhs(cc, ti, ext)
+                        k2 = circuit.rhs(cc + 0.5 * h * k1, ti + 0.5 * h,
+                                         ext)
+                        return cc + h * k2, None
+
+                    c, _ = jax.lax.scan(sub, c, jnp.arange(nsub))
+                    t = t + dt
+                    rec = (t, c[vol_ix], p, iters, conv)
+                    return (w, c, t), rec
+
+                (w, c, t), recs = jax.lax.scan(
+                    step, (w, c, jnp.asarray(t0, c.dtype)),
+                    jnp.arange(nsteps))
+                return w, c, recs
+
+            fn3d.__dict__[cache_key] = run
+
+        w, c, (ts, vols, ps, iters, conv) = run(
+            w, c, t0, dt, extra0)
+        return w, c, CoupledMarchReport(ts, vols, ps, iters, conv)
