@@ -147,26 +147,25 @@ def config5_coupled_heartbeat():
     # (mesh scaled x5.14), so an absolute 1e-4 sits below the f32 roundoff
     # floor (~2.4e-4 measured at t=638 ms, pure-noise plateau after
     # quadratic convergence 0.39 -> 1.7e-3 -> 2.4e-4)
+    # chord (simplified) Newton: frozen blocked tangent + preconditioner,
+    # auto re-linearization on slow contraction — newton_raphson.jl:67,223
     solver = tb.Coupled3D0DSolver(
         newton=tb.BlockedNewtonSolver(tol=5e-4, rtol=1e-3, max_iter=25,
-                                      inner="schur_cg"))
-    w, c = solver.init(fn3d, circ, jnp.float32)
-    V0 = float(fn3d.volumes(w[: fn3d.nmech])[0])
-    c = c.at[circ.volume_index("lv")].set(V0)
-    t, dt = 0.0, 2.0
-    # warm: compile the blocked Newton + 0D integrator
-    for _ in range(2):
-        w, c, stats = solver.step(fn3d, circ, w, c, t, dt)
-        t += dt
+                                      inner="schur_cg",
+                                      simplified_newton=True))
+    w0, c0 = solver.init(fn3d, circ, jnp.float32)
+    V0 = float(fn3d.volumes(w0[: fn3d.nmech])[0])
+    c0 = c0.at[circ.volume_index("lv")].set(V0)
+    dt, nsteps = 2.0, 400
+    # warm: compile the one-dispatch march (the whole beat is ONE scan)
+    w, c, rep = solver.march(fn3d, circ, w0, c0, 0.0, dt, nsteps)
+    if not rep.all_converged():
+        bad = np.where(~np.asarray(rep.converged))[0]
+        raise RuntimeError(f"coupled march diverged at steps {bad[:5]}")
     t0 = time.perf_counter()
-    nsteps = 398  # steps 2..400 of the 800 ms beat (2 spent warming)
-    for _ in range(nsteps):
-        w, c, stats = solver.step(fn3d, circ, w, c, t, dt)
-        if not stats.converged:
-            raise RuntimeError(f"coupled step diverged at t={t}: {stats}")
-        t += dt
+    w, c, rep = solver.march(fn3d, circ, w0, c0, 0.0, dt, nsteps)
     jax.block_until_ready(w)
-    el = (time.perf_counter() - t0) * (400.0 / nsteps)
+    el = time.perf_counter() - t0
     print(json.dumps({
         "metric": "config5_full_heartbeat_wallclock",
         "value": round(el, 1), "unit": "s/beat",
