@@ -480,6 +480,13 @@ class CoupledMarchReport:
 
 
 @dataclass
+class EMMarchReport(CoupledMarchReport):
+    """CoupledMarchReport + the EP activation trace of a device-resident
+    electromechanics march (``CoupledElectromechanics3D0D.march``)."""
+    phi_max: Any = None   # [nsteps] max transmembrane potential
+
+
+@dataclass
 class Coupled3D0DSolver:
     """Lie-Trotter split: (1) solve the tied 3D block with the chamber
     volumes prescribed by the circuit state; (2) advance the 0D circuit

@@ -319,6 +319,138 @@ class CoupledElectromechanics3D0D:
                 monitor(t, w, c, integ.u)
         return np.asarray(ts), ws, cs, integ.u
 
+    def march(self, t0, dt_mech, nsteps, w0=None, c0=None, u_ep0=None,
+              dtype=None):
+        """Device-resident full-heartbeat march: ``nsteps`` coupled
+        excitation→contraction→circulation steps inside ONE jitted
+        ``lax.scan`` — per step: a fixed-count EP sub-march
+        (``dt_mech/ep_dt`` splitting steps), the Ca gather+einsum
+        transfer, the blocked chord/full Newton 3D-0D solve
+        (``BlockedNewtonSolver.make_device_core``) with the condensed
+        sarcomere state threaded as traced operands, the pure
+        committed-state advance (``internal_after_step``), and the 0D
+        circuit substeps. The host loop (:meth:`solve`) pays 3+ tunnel
+        round-trips per coupled step plus per-step Python dict copies of
+        the internal state; this march pays ONE dispatch for the whole
+        beat.
+
+        No continuation ladder: a coupled step whose blocked Newton fails
+        is recorded (``report.converged[k] = False``) and the march
+        carries on — callers check ``report.all_converged()`` and fall
+        back to :meth:`solve`'s halving driver for the failing regime.
+
+        Returns ``(u_ep, w, c, EMMarchReport)``."""
+        import jax
+        from thunderbolt_tpu.disc.solution_variables import (
+            create_initial_condition, solution_variable)
+        from thunderbolt_tpu.disc.coupled import EMMarchReport
+
+        mech = self.fn3d.mech
+        if dtype is None:
+            dtype = mech.batches[0].N.dtype
+        nsub_ep = int(round(dt_mech / self.ep_dt))
+        if abs(nsub_ep * self.ep_dt - dt_mech) > 1e-9 * max(1.0, dt_mech):
+            raise ValueError(
+                f"ep_dt={self.ep_dt} must divide dt_mech={dt_mech} for "
+                "the fixed-count device march")
+        ep_step = self.ep_alg.make_step(self.ep_ode, self.ep_dt)
+
+        if u_ep0 is None:
+            u_ep0 = create_initial_condition(
+                self.ep_ode, jnp.float64 if dtype == jnp.float64
+                else jnp.float32)
+        w, c = self.solver.init(self.fn3d, self.circuit, dtype)
+        if w0 is not None:
+            w = jnp.asarray(w0, w.dtype)
+        if c0 is not None:
+            c = jnp.asarray(c0, c.dtype)
+        else:
+            V0 = self.fn3d.volumes(w[: self.fn3d.nmech])
+            for i, ch in enumerate(self.fn3d.chambers):
+                c = c.at[self.circuit.volume_index(
+                    ch.lumped_symbol)].set(V0[i].astype(c.dtype))
+
+        # seed the Ca channel structure so the carried internal state and
+        # the kernels' aux threading agree
+        self._ca.write(self._ca.to_qps(jnp.asarray(u_ep0)))
+        internal0 = [None if st is None else dict(st)
+                     for st in mech.internal]
+
+        core = self.solver.newton.make_device_core(self.fn3d)
+        fn3d, circuit, ca = self.fn3d, self.circuit, self._ca
+        vol_ix = np.array([circuit.volume_index(ch.lumped_symbol)
+                           for ch in fn3d.chambers])
+        pix = np.array([circuit.pressure_input_index(ch.lumped_symbol)
+                        for ch in fn3d.chambers])
+        nsub_c = self.solver.circuit_substeps
+        phi_slice = solution_variable(self.ep_ode, "phi_m").slice
+        dtm, ep_dt = float(dt_mech), self.ep_dt
+
+        def flat_extra(internal, t):
+            flat = []
+            for st in internal:
+                if st is not None:
+                    for key in sorted(st):
+                        flat.append(st[key])
+            flat.append(jnp.asarray(dtm, dtype))
+            flat.append(jnp.asarray(t, dtype))
+            return tuple(flat)
+
+        cache_key = ("_em_march_jit", self.solver.newton, nsub_ep, nsub_c,
+                     int(nsteps))
+        run = self.fn3d.__dict__.get(cache_key)
+        if run is None:
+            @jax.jit
+            def run(u_ep, w, c, internal, t0):
+                def step(carry, k):
+                    u_ep, w, c, internal, t = carry
+
+                    def ep_body(u, i):
+                        return ep_step(u, t + i * ep_dt), None
+
+                    u_ep, _ = jax.lax.scan(ep_body, u_ep,
+                                           jnp.arange(nsub_ep))
+                    tn = t + dtm
+                    ca_qps = ca.to_qps(u_ep)
+                    internal = [
+                        st if st is None else {**st, "Ca": cq}
+                        for st, cq in zip(internal, ca_qps)]
+                    V_targets = c[vol_ix].astype(w.dtype)
+                    w, iters, rnorm, conv = core(
+                        w, tn, V_targets, flat_extra(internal, tn))
+                    internal = mech.internal_after_step(
+                        w[: fn3d.nmech], tn, dtm, internal)
+                    p = w[fn3d.nmech:]
+                    ext = jnp.zeros(circuit.num_unknown_pressures(),
+                                    c.dtype).at[pix].set(p.astype(c.dtype))
+                    h = dtm / nsub_c
+
+                    def sub(cc, i):
+                        ti = t + i * h
+                        k1 = circuit.rhs(cc, ti, ext)
+                        k2 = circuit.rhs(cc + 0.5 * h * k1,
+                                         ti + 0.5 * h, ext)
+                        return cc + h * k2, None
+
+                    c_new, _ = jax.lax.scan(sub, c, jnp.arange(nsub_c))
+                    rec = (tn, c_new[vol_ix], p,
+                           jnp.max(u_ep[phi_slice]), iters, conv)
+                    return (u_ep, w, c_new, internal, tn), rec
+
+                carry0 = (u_ep, w, c, internal,
+                          jnp.asarray(t0, c.dtype))
+                (u_ep, w, c, internal, t), recs = jax.lax.scan(
+                    step, carry0, jnp.arange(nsteps))
+                return u_ep, w, c, internal, recs
+
+            self.fn3d.__dict__[cache_key] = run
+
+        u_ep, w, c, internal, (ts, vols, ps, phis, iters, conv) = run(
+            jnp.asarray(u_ep0), w, c, internal0, t0)
+        mech.internal = [None if st is None else dict(st)
+                         for st in internal]
+        return u_ep, w, c, EMMarchReport(ts, vols, ps, iters, conv, phis)
+
     def _coupled_advance(self, w, c, t_prev, t, ca_old, ca_new,
                          max_halvings: int = 6):
         """One excitation→contraction→circulation step with continuation on

@@ -157,11 +157,19 @@ class QuasiStaticFunction:
         reference's gto1 commit of local solutions; elements.jl:125-138)."""
         if self.internal is None:
             return
+        self.internal = self.internal_after_step(u, t, dt, self.internal)
+
+    def internal_after_step(self, u, t, dt, internal):
+        """PURE committed-state advance: the list-of-dicts ``internal``
+        (same structure as ``self.internal``) after an accepted step at
+        ``(u, t, dt)``, with no mutation — traceable, so device marches
+        (``CoupledElectromechanics3D0D.march``'s lax.scan) can carry the
+        condensed state across steps without host round-trips."""
         ncomp = self.dh.fields[self.field].ncomponents
         new = []
         for bi, (batch, cache, st) in enumerate(zip(self.batches,
                                                     self.mat_caches,
-                                                    self.internal)):
+                                                    internal)):
             if st is None:
                 new.append(None)
                 continue
@@ -190,7 +198,7 @@ class QuasiStaticFunction:
             st_new = {**st, "Qprev": Q.reshape(nc, nqp, -1),
                       "lam_prev": lam.reshape(nc, nqp)}
             new.append(st_new)
-        self.internal = new
+        return new
 
     def variables(self):
         fi = self.dh.fields[self.field]

@@ -590,3 +590,19 @@ def block_dia_builder(pattern: SparsityPattern, ncomp: int, max_diags=96,
         return BlockDIAMatrix(offsets, blocks, nent, ncomp)
 
     return build
+
+
+def operator_to_dense(A):
+    """Materialize any of our operator types to a dense [n, n] device
+    array by batching ``A.mv`` over the identity — n vectorized SpMVs,
+    O(n * nnz_row * n) work, intended for SMALL systems (n <~ 15k) where
+    a direct MXU factorization beats Krylov iteration latency (each
+    Krylov step is a sequential ~us-scale op chain on TPU; a one-shot
+    [n, n] LU is a single dense kernel). Covers MaskedOperator semantics
+    (identity rows/cols on constrained dofs) for free since it probes
+    the masked ``mv``."""
+    n = A.shape[0]
+    dtype = A.diagonal().dtype
+    eye = jnp.eye(n, dtype=dtype)
+    # rows of vmap(mv)(I) are A @ e_j, i.e. columns of A -> transpose
+    return jax.vmap(A.mv)(eye).T

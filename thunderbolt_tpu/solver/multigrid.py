@@ -290,6 +290,11 @@ def build_mechanics_hierarchy(model, disc, coarse_mesh: Mesh, nlevels: int,
     """Refine ``coarse_mesh`` ``nlevels-1`` times and semidiscretize
     ``model`` on every level.
 
+    ``model`` may be a callable ``mesh -> model``: mesh-bound coefficients
+    (rule-based fiber fields, coordinate systems) must be rebuilt per
+    level, since a coefficient holding the fine mesh's connectivity cannot
+    be evaluated at a coarse level's quadrature points.
+
     ``renumber``: per-level node renumbering of the refined meshes —
     ``"none"`` keeps refinement order (coarse nodes first), ``"lex"``
     restores lattice ordering on box-like geometries so the BlockDIA SpMV
@@ -337,7 +342,9 @@ def build_mechanics_hierarchy(model, disc, coarse_mesh: Mesh, nlevels: int,
                               jnp.asarray(pw)))
         injections.append(jnp.asarray(injection, jnp.int32))
 
-    functions = [semidiscretize(model, disc, m) for m in meshes]
+    make = model if callable(model) and not hasattr(model, "field") \
+        else (lambda _m: model)
+    functions = [semidiscretize(make(m), disc, m) for m in meshes]
     fi = functions[-1].dh.fields[functions[-1].field]
     if fi.order != 1:
         raise ValueError("mechanics multigrid expects a P1 displacement "
