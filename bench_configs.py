@@ -62,17 +62,22 @@ def config3_passive_inflation():
         dbcs=[tb.Dirichlet("displacement", "Base", 0.0)],
         dtype=jnp.float32)
     fn = tb.semidiscretize(model, disc, mesh)
-    newton = tb.NewtonRaphsonSolver(tol=5e-4, inner="bicgstab",
-                                    inner_rtol=1e-5, inner_maxiter=2000,
-                                    max_iter=30)
-    hom = tb.HomotopyPathSolver(newton)
+    # dense inner: at 1k dofs a single MXU LU beats Krylov iteration
+    # latency (tools/bench_config3_variants.py); the whole 4-step load
+    # ladder runs as ONE jitted scan (march_fixed_ladder) — the host
+    # adaptive ramp paid one ~40-90 ms tunnel dispatch per load step,
+    # which dominated the round-2 number (20 iters/s ~= 4 dispatches)
+    from thunderbolt_tpu.solver.time.homotopy import march_fixed_ladder
+    newton = tb.NewtonRaphsonSolver(tol=5e-4, inner="dense", max_iter=30)
     u0 = jnp.zeros(fn.solution_size, jnp.float32)
-    # warm: compile + first ramp
-    u, rep = hom.solve(fn, u0, (0.0, 1.0), 0.25)
+    # warm: compile
+    u, its, convs = march_fixed_ladder(newton, fn, u0, (0.0, 1.0), 4)
+    assert bool(jnp.all(convs)), np.asarray(convs)
     t0 = time.perf_counter()
-    u, rep = hom.solve(fn, u0, (0.0, 1.0), 0.25)
+    u, its, convs = march_fixed_ladder(newton, fn, u0, (0.0, 1.0), 4)
+    jax.block_until_ready(u)
     el = time.perf_counter() - t0
-    iters = max(1, rep.newton_iterations)
+    iters = max(1, int(np.asarray(its).sum()))
     val = iters / el
     print(json.dumps({
         "metric": "config3_passive_lv_newton_iters_per_sec",
@@ -102,20 +107,23 @@ def config4_active_newmark():
         dbcs=[tb.Dirichlet("displacement", "Base", 0.0)],
         dtype=jnp.float32)
     fn = tb.semidiscretize(model, disc, mesh)
+    # device march: 20 implicit steps in ONE jitted scan with dense-LU
+    # inner solves (round 2's host loop paid a tunnel dispatch per step)
     solver = tb.NewmarkSolver(newton=tb.NewtonRaphsonSolver(
-        tol=5e-4, inner="bicgstab", inner_rtol=1e-5,
-        inner_maxiter=2000, max_iter=30))
+        tol=5e-4, inner="dense", max_iter=30))
     state = solver.init(fn)
     dt = 1.0
-    for _ in range(3):   # warm: compile + activation onset
-        state, stats = solver.step(fn, state, dt)
-        assert stats.converged, stats
     nsteps = 20
+    # warm: compile the march (same static nsteps as the timed run);
+    # the timed run CONTINUES from the warm state so the committed
+    # internal sarcomere state stays consistent with the kinematic state
+    state_w, its, convs = solver.march(fn, state, dt, nsteps)
+    assert bool(jnp.all(convs)), np.asarray(convs)
     t0 = time.perf_counter()
-    for _ in range(nsteps):
-        state, stats = solver.step(fn, state, dt)
-    jax.block_until_ready(state.u)
+    state_w, its, convs = solver.march(fn, state_w, dt, nsteps)
+    jax.block_until_ready(state_w.u)
     el = time.perf_counter() - t0
+    assert bool(jnp.all(convs)), np.asarray(convs)
     val = nsteps / el
     print(json.dumps({
         "metric": "config4_active_lv_newmark_steps_per_sec",

@@ -127,7 +127,6 @@ class NewtonRaphsonSolver:
         boundary. Line search: accept the full step on a 10% decrease,
         else backtrack (halving, bounded), else take the full
         (non-monotone) step — same policy as the host loop."""
-        ch = fn.constraints
         extra = fn.newton_extra() if hasattr(fn, "newton_extra") else ()
 
         # cache key includes the solver config: two NewtonRaphsonSolvers
@@ -137,161 +136,7 @@ class NewtonRaphsonSolver:
         run = fn.__dict__.get(cache_key) \
             if hasattr(fn, "__dict__") else None
         if run is None:
-            cfg = self
-
-            def assemble(u, t, extra):
-                if hasattr(fn, "assemble_operator"):
-                    A_raw, r = fn.assemble_operator(u, t, *extra)
-                else:
-                    kvals, r = fn.assemble(u, t, *extra)
-                    A_raw = fn.jacobian_matrix(kvals)
-                A = ch.apply_operator(A_raw) if ch is not None else A_raw
-                r = ch.apply_zero(r) if ch is not None else r
-                return A, r
-
-            def resid_of(u, t, extra):
-                r = fn.residual(u, t, *extra)
-                return ch.apply_zero(r) if ch is not None else r
-
-            def rnorm_of(u, t, extra):
-                return jnp.linalg.norm(resid_of(u, t, extra))
-
-            def make_minv(A, u, t, extra):
-                if cfg.precon is not None:
-                    return cfg.precon(A, u, t, extra)
-                if hasattr(A, "block_jacobi_inv"):
-                    return A.block_jacobi_inv()
-                return jacobi_preconditioner(A.diagonal())
-
-            @jax.jit
-            def run(u0, t, extra):
-                u0 = ch.apply(u0) if ch is not None else u0
-                dt_ = u0.dtype
-                rnorm0 = rnorm_of(u0, t, extra)
-                target = jnp.maximum(jnp.asarray(cfg.tol, dt_),
-                                     cfg.rtol * rnorm0)
-                if cfg.simplified_newton:
-                    # frozen tangent + preconditioner from the predictor
-                    # state; the loop body only re-evaluates residuals
-                    A_frozen, _ = assemble(u0, t, extra)
-                    if cfg.inner == "dense":
-                        from thunderbolt_tpu.fem.sparsity import (
-                            operator_to_dense)
-                        lu_frozen = jax.scipy.linalg.lu_factor(
-                            operator_to_dense(A_frozen))
-                        Minv_frozen = None
-                    else:
-                        Minv_frozen = make_minv(A_frozen, u0, t, extra)
-                # hist[i] = residual at the START of iteration i (host-loop
-                # semantics); written in the body, no duplicate seed
-                hist0 = jnp.zeros(cfg.max_iter + 1, dt_)
-                ihist0 = jnp.zeros(cfg.max_iter + 1, dt_)
-                # status: 0 running / 1 converged / 2 nonfinite / 3 growth
-                carry0 = (u0, rnorm0, jnp.asarray(cfg.inner_rtol, dt_),
-                          jnp.asarray(0, jnp.int32),   # growth count
-                          jnp.asarray(0, jnp.int32),   # iteration
-                          jnp.asarray(0, jnp.int32),   # status
-                          hist0, ihist0)
-
-                def cond(c):
-                    _, _, _, _, it, status, _, _ = c
-                    return (status == 0) & (it < cfg.max_iter)
-
-                def body(c):
-                    u, rnorm_prev, eta, growth, it, status, hist, ihist = c
-                    if cfg.simplified_newton:
-                        A = A_frozen
-                        r = resid_of(u, t, extra)
-                    else:
-                        A, r = assemble(u, t, extra)
-                    rnorm = jnp.linalg.norm(r)
-                    finite = jnp.isfinite(rnorm)
-                    grew = (rnorm >= rnorm_prev) & (it > 0)
-                    growth = jnp.where(grew, growth + 1, 0)
-                    # priority mirrors the host loop: converged > nonfinite
-                    # > growth abort
-                    i32 = lambda v: jnp.asarray(v, jnp.int32)
-                    status = jnp.where(
-                        rnorm <= target, i32(1), jnp.where(
-                            ~finite, i32(2), jnp.where(
-                                growth >= cfg.max_growth_iters,
-                                i32(3), i32(0))))
-                    if cfg.forcing is not None:
-                        f = cfg.forcing
-                        eta = jnp.where(
-                            it > 0,
-                            jnp.clip(f.gamma * (rnorm / rnorm_prev) ** 2,
-                                     f.eta_min, f.eta_max),
-                            eta).astype(dt_)
-                    def solve_and_search(_):
-                        # the whole inner stage — preconditioner setup
-                        # (MG rediscretizes every coarse level), Krylov
-                        # solve, line search — is gated behind the status
-                        # check: the terminating iteration's update is
-                        # discarded anyway, so this work would be dead
-                        if cfg.inner == "dense":
-                            du = jax.scipy.linalg.lu_solve(lu_frozen, r) \
-                                if cfg.simplified_newton \
-                                else _dense_solve(A, r)
-                        else:
-                            Minv = Minv_frozen if cfg.simplified_newton \
-                                else make_minv(A, u, t, extra)
-                            kfun = _krylov_fn(cfg.inner)
-                            du, _ = kfun(A.mv, r, Minv=Minv, rtol=eta,
-                                         atol=cfg.inner_atol,
-                                         maxiter=cfg.inner_maxiter)
-                        # a Krylov breakdown must not poison the carry: a
-                        # NaN step fails the line search and backtracking
-                        # cleanly only if du itself stays finite
-                        du = jnp.where(jnp.isfinite(du), du, 0.0)
-                        u_full = u - du
-                        rn_full = rnorm_of(u_full, t, extra)
-
-                        def backtrack(_):
-                            def bt_cond(s):
-                                alpha, rn, k = s
-                                return (~(jnp.isfinite(rn) & (rn < rnorm))
-                                        ) & (k < cfg.max_backtracks)
-
-                            def bt_body(s):
-                                alpha, _, k = s
-                                rn = rnorm_of(u - alpha * du, t, extra)
-                                return (alpha * 0.5, rn, k + 1)
-
-                            a0 = jnp.asarray(0.5, dt_)
-                            alpha, rn, k = jax.lax.while_loop(
-                                bt_cond, bt_body,
-                                (a0, jnp.asarray(jnp.inf, dt_),
-                                 jnp.asarray(0, jnp.int32)))
-                            # bt loop leaves alpha already halved past the
-                            # accepted value
-                            alpha_acc = alpha * 2.0
-                            good = jnp.isfinite(rn) & (rn < rnorm)
-                            return jnp.where(
-                                good, u - alpha_acc * du,
-                                jnp.where(jnp.isfinite(rn_full), u_full,
-                                          u - (2.0 ** -cfg.max_backtracks
-                                               ) * du))
-
-                        accept_full = jnp.isfinite(rn_full) & \
-                            (rn_full <= 0.9 * rnorm)
-                        return jax.lax.cond(
-                            accept_full, lambda _: u_full, backtrack,
-                            operand=None)
-
-                    u_new = jax.lax.cond(status == 0, solve_and_search,
-                                         lambda _: u, operand=None)
-                    hist = hist.at[it].set(rnorm)
-                    ihist = ihist.at[it].set(jnp.linalg.norm(u_new - u))
-                    return (u_new, rnorm, eta, growth, it + 1, status,
-                            hist, ihist)
-
-                u, rnorm_last, eta, growth, it, status, hist, ihist = \
-                    jax.lax.while_loop(cond, body, carry0)
-                rnorm_fin = rnorm_of(u, t, extra)
-                converged = (status == 1) | (rnorm_fin <= target)
-                return u, it, rnorm_fin, converged, status, hist, ihist
-
+            run = jax.jit(self.make_device_core(fn))
             try:
                 fn.__dict__[cache_key] = run
             except (AttributeError, TypeError):
@@ -311,6 +156,170 @@ class NewtonRaphsonSolver:
         thetas = _thetas_from(history, list(ihist[:it]), bool(converged))
         return u, NewtonStats(it, float(rnorm), bool(converged), history,
                               thetas)
+
+    def make_device_core(self, fn):
+        """The TRACEABLE one-dispatch Newton
+        ``core(u0, t, extra) -> (u, it, rnorm, converged, status, hist,
+        ihist)`` — no jit wrapper, so device marches (homotopy ladders,
+        Newmark scans, coupled beats) can embed whole Newton solves inside
+        their own ``lax.scan`` bodies and pay one dispatch for the march
+        instead of one per solve."""
+        ch = fn.constraints
+        cfg = self
+
+        def assemble(u, t, extra):
+            if hasattr(fn, "assemble_operator"):
+                A_raw, r = fn.assemble_operator(u, t, *extra)
+            else:
+                kvals, r = fn.assemble(u, t, *extra)
+                A_raw = fn.jacobian_matrix(kvals)
+            A = ch.apply_operator(A_raw) if ch is not None else A_raw
+            r = ch.apply_zero(r) if ch is not None else r
+            return A, r
+
+        def resid_of(u, t, extra):
+            r = fn.residual(u, t, *extra)
+            return ch.apply_zero(r) if ch is not None else r
+
+        def rnorm_of(u, t, extra):
+            return jnp.linalg.norm(resid_of(u, t, extra))
+
+        def make_minv(A, u, t, extra):
+            if cfg.precon is not None:
+                return cfg.precon(A, u, t, extra)
+            if hasattr(A, "block_jacobi_inv"):
+                return A.block_jacobi_inv()
+            return jacobi_preconditioner(A.diagonal())
+
+        def core(u0, t, extra):
+            u0 = ch.apply(u0) if ch is not None else u0
+            dt_ = u0.dtype
+            rnorm0 = rnorm_of(u0, t, extra)
+            target = jnp.maximum(jnp.asarray(cfg.tol, dt_),
+                                 cfg.rtol * rnorm0)
+            if cfg.simplified_newton:
+                # frozen tangent + preconditioner from the predictor
+                # state; the loop body only re-evaluates residuals
+                A_frozen, _ = assemble(u0, t, extra)
+                if cfg.inner == "dense":
+                    from thunderbolt_tpu.fem.sparsity import (
+                        operator_to_dense)
+                    lu_frozen = jax.scipy.linalg.lu_factor(
+                        operator_to_dense(A_frozen))
+                    Minv_frozen = None
+                else:
+                    Minv_frozen = make_minv(A_frozen, u0, t, extra)
+            # hist[i] = residual at the START of iteration i (host-loop
+            # semantics); written in the body, no duplicate seed
+            hist0 = jnp.zeros(cfg.max_iter + 1, dt_)
+            ihist0 = jnp.zeros(cfg.max_iter + 1, dt_)
+            # status: 0 running / 1 converged / 2 nonfinite / 3 growth
+            carry0 = (u0, rnorm0, jnp.asarray(cfg.inner_rtol, dt_),
+                      jnp.asarray(0, jnp.int32),   # growth count
+                      jnp.asarray(0, jnp.int32),   # iteration
+                      jnp.asarray(0, jnp.int32),   # status
+                      hist0, ihist0)
+
+            def cond(c):
+                _, _, _, _, it, status, _, _ = c
+                return (status == 0) & (it < cfg.max_iter)
+
+            def body(c):
+                u, rnorm_prev, eta, growth, it, status, hist, ihist = c
+                if cfg.simplified_newton:
+                    A = A_frozen
+                    r = resid_of(u, t, extra)
+                else:
+                    A, r = assemble(u, t, extra)
+                rnorm = jnp.linalg.norm(r)
+                finite = jnp.isfinite(rnorm)
+                grew = (rnorm >= rnorm_prev) & (it > 0)
+                growth = jnp.where(grew, growth + 1, 0)
+                # priority mirrors the host loop: converged > nonfinite
+                # > growth abort
+                i32 = lambda v: jnp.asarray(v, jnp.int32)
+                status = jnp.where(
+                    rnorm <= target, i32(1), jnp.where(
+                        ~finite, i32(2), jnp.where(
+                            growth >= cfg.max_growth_iters,
+                            i32(3), i32(0))))
+                if cfg.forcing is not None:
+                    f = cfg.forcing
+                    eta = jnp.where(
+                        it > 0,
+                        jnp.clip(f.gamma * (rnorm / rnorm_prev) ** 2,
+                                 f.eta_min, f.eta_max),
+                        eta).astype(dt_)
+                def solve_and_search(_):
+                    # the whole inner stage — preconditioner setup
+                    # (MG rediscretizes every coarse level), Krylov
+                    # solve, line search — is gated behind the status
+                    # check: the terminating iteration's update is
+                    # discarded anyway, so this work would be dead
+                    if cfg.inner == "dense":
+                        du = jax.scipy.linalg.lu_solve(lu_frozen, r) \
+                            if cfg.simplified_newton \
+                            else _dense_solve(A, r)
+                    else:
+                        Minv = Minv_frozen if cfg.simplified_newton \
+                            else make_minv(A, u, t, extra)
+                        kfun = _krylov_fn(cfg.inner)
+                        du, _ = kfun(A.mv, r, Minv=Minv, rtol=eta,
+                                     atol=cfg.inner_atol,
+                                     maxiter=cfg.inner_maxiter)
+                    # a Krylov breakdown must not poison the carry: a
+                    # NaN step fails the line search and backtracking
+                    # cleanly only if du itself stays finite
+                    du = jnp.where(jnp.isfinite(du), du, 0.0)
+                    u_full = u - du
+                    rn_full = rnorm_of(u_full, t, extra)
+
+                    def backtrack(_):
+                        def bt_cond(s):
+                            alpha, rn, k = s
+                            return (~(jnp.isfinite(rn) & (rn < rnorm))
+                                    ) & (k < cfg.max_backtracks)
+
+                        def bt_body(s):
+                            alpha, _, k = s
+                            rn = rnorm_of(u - alpha * du, t, extra)
+                            return (alpha * 0.5, rn, k + 1)
+
+                        a0 = jnp.asarray(0.5, dt_)
+                        alpha, rn, k = jax.lax.while_loop(
+                            bt_cond, bt_body,
+                            (a0, jnp.asarray(jnp.inf, dt_),
+                             jnp.asarray(0, jnp.int32)))
+                        # bt loop leaves alpha already halved past the
+                        # accepted value
+                        alpha_acc = alpha * 2.0
+                        good = jnp.isfinite(rn) & (rn < rnorm)
+                        return jnp.where(
+                            good, u - alpha_acc * du,
+                            jnp.where(jnp.isfinite(rn_full), u_full,
+                                      u - (2.0 ** -cfg.max_backtracks
+                                           ) * du))
+
+                    accept_full = jnp.isfinite(rn_full) & \
+                        (rn_full <= 0.9 * rnorm)
+                    return jax.lax.cond(
+                        accept_full, lambda _: u_full, backtrack,
+                        operand=None)
+
+                u_new = jax.lax.cond(status == 0, solve_and_search,
+                                     lambda _: u, operand=None)
+                hist = hist.at[it].set(rnorm)
+                ihist = ihist.at[it].set(jnp.linalg.norm(u_new - u))
+                return (u_new, rnorm, eta, growth, it + 1, status,
+                        hist, ihist)
+
+            u, rnorm_last, eta, growth, it, status, hist, ihist = \
+                jax.lax.while_loop(cond, body, carry0)
+            rnorm_fin = rnorm_of(u, t, extra)
+            converged = (status == 1) | (rnorm_fin <= target)
+            return u, it, rnorm_fin, converged, status, hist, ihist
+        return core
+
 
     def solve_host(self, fn, u0, t, monitor=None):
         """Host-loop Newton (per-iteration logging / host LU path).

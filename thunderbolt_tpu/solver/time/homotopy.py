@@ -35,6 +35,7 @@ from dataclasses import dataclass, field as dfield
 from typing import Any, Optional
 
 import numpy as np
+import jax.numpy as jnp
 
 from thunderbolt_tpu.solver.nonlinear.newton import NewtonRaphsonSolver
 
@@ -266,3 +267,70 @@ class HomotopyPathSolver:
         rep.converged = True
         rep.dt_final = dt_cur
         return u, rep
+
+
+def _flatten_internal(internal, dt, t, dtype):
+    """newton_extra layout from an explicit internal-state pytree:
+    sorted-key leaves per stateful batch + the (dt, t) step context."""
+    flat = []
+    for st in internal:
+        if st is not None:
+            for key in sorted(st):
+                flat.append(st[key])
+    flat.append(jnp.asarray(dt, dtype))
+    flat.append(jnp.asarray(t, dtype))
+    return tuple(flat)
+
+
+def march_fixed_ladder(newton, fn, u0, tspan, nsteps):
+    """Device-resident FIXED homotopy ladder: ``nsteps`` equally spaced
+    load steps, each a full embedded Newton solve, inside ONE jitted
+    ``lax.scan`` — the production fast path when the ramp is known to
+    converge at fixed increments (the adaptive/Theta_k controllers above
+    are the host path that discovers a working ladder; a latency-bound
+    chip pays ~40-90 ms per host dispatch, so a 4-step ramp costs more in
+    round-trips than in compute below ~10k dofs).
+
+    Stateful functions (condensed sarcomere state) carry their committed
+    state through the scan via ``internal_after_step``. A step whose
+    Newton fails is recorded and the march continues from its (unconverged)
+    state — callers check ``converged.all()``.
+
+    Returns ``(u, iterations [nsteps], converged [nsteps])``."""
+    import jax
+
+    core = newton.make_device_core(fn)
+    t0, t1 = float(tspan[0]), float(tspan[1])
+    dt = (t1 - t0) / int(nsteps)
+    internal0 = getattr(fn, "internal", None)
+    stateful = internal0 is not None
+    dtype = u0.dtype
+
+    cache_key = ("_homotopy_ladder_jit", newton, int(nsteps), t0, t1)
+    run = fn.__dict__.get(cache_key)
+    if run is None:
+        @jax.jit
+        def run(u0, internal):
+            def body(carry, k):
+                u, internal = carry
+                t = t0 + (k + 1) * dt
+                extra = _flatten_internal(internal, dt, t, dtype) \
+                    if stateful else ()
+                u, it, rn, conv, status, hist, ihist = core(u, t, extra)
+                if stateful:
+                    internal = fn.internal_after_step(u, t, dt, internal)
+                return (u, internal), (it, conv)
+
+            (u, internal), (its, convs) = jax.lax.scan(
+                body, (u0, internal),
+                jnp.arange(int(nsteps), dtype=jnp.int32))
+            return u, internal, its, convs
+
+        fn.__dict__[cache_key] = run
+
+    internal_in = [None if st is None else dict(st)
+                   for st in internal0] if stateful else None
+    u, internal, its, convs = run(u0, internal_in)
+    if stateful:
+        fn.internal = [None if st is None else dict(st) for st in internal]
+    return u, its, convs

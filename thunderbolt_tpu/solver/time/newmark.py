@@ -140,6 +140,75 @@ class NewmarkSolver:
         if getattr(fn, "internal", None) is not None:
             fn.update_internal_state(state.u, state.t, dt)
 
+    def march(self, fn, state: NewmarkState, dt, nsteps):
+        """Device-resident fixed-dt Newmark march: ``nsteps`` implicit
+        steps — stage-function Newton (one embedded while_loop each),
+        kinematic update, committed internal-state advance — inside ONE
+        jitted ``lax.scan``. The host loop (:meth:`solve`) pays a tunnel
+        round-trip per step; below ~10k dofs that dispatch latency, not
+        compute, bounds steps/s on a remote chip. Adaptive error control
+        (:meth:`solve_adaptive`) remains the host path — rollback is
+        data-dependent control flow the fixed march intentionally omits.
+
+        A step whose Newton fails is recorded (``converged[k] = False``)
+        and the march continues from the unconverged state; callers check
+        ``converged.all()`` and fall back to the host driver.
+
+        Returns ``(state, iterations [nsteps], converged [nsteps])``."""
+        from thunderbolt_tpu.solver.time.homotopy import _flatten_internal
+
+        b, g = self.beta, self.gamma
+        stage = self.__dict__.setdefault("_stages", {}).get(id(fn))
+        if stage is None:
+            stage = _NewmarkStageFunction(fn)
+            self.__dict__["_stages"][id(fn)] = stage
+        core = self.newton.make_device_core(stage)
+        internal0 = getattr(fn, "internal", None)
+        stateful = internal0 is not None
+        dtype = state.u.dtype
+        dt = float(dt)
+        c = jnp.asarray(1.0 / (b * dt * dt), dtype)
+
+        cache_key = ("_newmark_march_jit", self.newton, b, g, dt,
+                     int(nsteps))
+        run = fn.__dict__.get(cache_key)
+        if run is None:
+            @jax.jit
+            def run(u, v, a, t0, internal):
+                def body(carry, k):
+                    u, v, a, t, internal = carry
+                    tn = t + dt
+                    u_pred = u + dt * v + dt * dt * (0.5 - b) * a
+                    v_pred = v + dt * (1.0 - g) * a
+                    inner = _flatten_internal(internal, dt, t, dtype) \
+                        if stateful else ()
+                    extra = (u_pred, c) + inner
+                    u_new, it, rn, conv, status, hist, ihist = core(
+                        u, tn, extra)
+                    if stateful:
+                        internal = fn.internal_after_step(
+                            u_new, tn, dt, internal)
+                    a_new = (u_new - u_pred) / (b * dt * dt)
+                    v_new = v_pred + g * dt * a_new
+                    return (u_new, v_new, a_new, tn, internal), (it, conv)
+
+                (u, v, a, t, internal), (its, convs) = jax.lax.scan(
+                    body, (u, v, a, t0, internal),
+                    jnp.arange(int(nsteps), dtype=jnp.int32))
+                return u, v, a, t, internal, its, convs
+
+            fn.__dict__[cache_key] = run
+
+        internal_in = [None if st is None else dict(st)
+                       for st in internal0] if stateful else None
+        u, v, a, t, internal, its, convs = run(
+            state.u, state.v, state.a,
+            jnp.asarray(state.t, dtype), internal_in)
+        if stateful:
+            fn.internal = [None if st is None else dict(st)
+                           for st in internal]
+        return NewmarkState(u, v, a, float(t)), its, convs
+
     @staticmethod
     def _fit_h(dt, rem):
         """Step length that lands exactly on t_end without ever emitting a
