@@ -178,3 +178,56 @@ def test_spatially_homogeneous_vector_data(line_batch):
     np.testing.assert_allclose(np.asarray(jitted(1.5)), [0.2], atol=1e-12)
     np.testing.assert_allclose(np.asarray(jitted(0.5)), [0.1], atol=1e-12)
     assert jitted._cache_size() == 1
+
+
+# ---------------------------------------------------------------------------
+# evaluate_coefficient_at_dof_locations (coefficients.jl:173-199)
+# ---------------------------------------------------------------------------
+
+def test_dof_location_eval_linear_field_is_nodal():
+    """P1 field on a matching grid: dof locations == mesh nodes, so an
+    analytic coefficient evaluated there equals f(node coords)."""
+    from thunderbolt_tpu.models.coefficients import (
+        evaluate_coefficient_at_dof_locations)
+    mesh = tb.generate_mesh("hex8", (2, 2, 2))
+    dh = DofHandler(mesh).add_field("u").close()
+    coeff = AnalyticalCoefficient(
+        lambda x, t: x[..., 0] + 2.0 * x[..., 1] + t)
+    vals = evaluate_coefficient_at_dof_locations(coeff, dh, "u", t=3.0)
+    coords = dh.field_dof_coords("u")
+    np.testing.assert_allclose(
+        vals, coords[:, 0] + 2.0 * coords[:, 1] + 3.0, atol=1e-12)
+
+
+def test_dof_location_eval_quadratic_field_hits_edge_midpoints():
+    """P2 field on a LINEAR hex mesh evaluates at the ansatz-space nodes
+    (edge midpoints, face/cell centers) — NOT just the mesh nodes; the
+    reference docstring's 'nodes of the ansatz space' semantics."""
+    from thunderbolt_tpu.models.coefficients import (
+        evaluate_coefficient_at_dof_locations)
+    mesh = tb.generate_mesh("hex8", (1, 1, 1))
+    dh = DofHandler(mesh).add_field("u", order=2).close()
+    coeff = AnalyticalCoefficient(lambda x, t: x[..., 0] * x[..., 1])
+    vals = evaluate_coefficient_at_dof_locations(coeff, dh, "u")
+    coords = dh.field_dof_coords("u")
+    assert coords.shape[0] == 27          # hex27 ansatz on one hex8 cell
+    np.testing.assert_allclose(vals, coords[:, 0] * coords[:, 1],
+                               atol=1e-12)
+
+
+def test_dof_location_eval_cellset_restriction():
+    """Entities outside the cellset keep the `out` values (reference:
+    'entries outside the set are left untouched')."""
+    from thunderbolt_tpu.models.coefficients import (
+        evaluate_coefficient_at_dof_locations)
+    mesh = tb.generate_mesh("hex8", (2, 1, 1))
+    dh = DofHandler(mesh).add_field("u").close()
+    coeff = ConstantCoefficient(7.0)
+    seed = np.full(dh.fields["u"].nentities, -1.0)
+    vals = evaluate_coefficient_at_dof_locations(
+        coeff, dh, "u", cellset=[0], out=seed)
+    coords = dh.field_dof_coords("u")
+    touched = coords[:, 0] <= 0.5 + 1e-9   # cell 0 spans x in [0, 0.5]
+    assert (vals[touched] == 7.0).all()
+    assert (vals[~touched] == -1.0).all()
+    assert (seed == -1.0).all()            # out is not mutated in place

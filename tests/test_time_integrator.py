@@ -121,3 +121,72 @@ def test_reinit_adaptive_split_integrator():
     ub = integ.solve()
     np.testing.assert_array_equal(np.asarray(ua), np.asarray(ub))
     assert integ.stats.naccept == na
+
+
+# ---------------------------------------------------------------------------
+# generic accept/reject/adapt controller protocol (type.jl:508-543)
+# ---------------------------------------------------------------------------
+
+def test_step_controlled_accepts_everything_matches_fixed():
+    """A controller that accepts every finite step reproduces the fixed
+    march exactly (same dt grid) — the protocol adds no semantics."""
+    fn, u0 = _heat(8)
+    stepper = tb.BackwardEulerSolver(rtol=1e-12, atol=1e-14)
+    integ = tb.init(fn, stepper, u0, (0.0, 0.012), dt=3e-3)
+    integ.step_controlled(0.012, tb.StepController())
+    ref = tb.init(fn, stepper, u0, (0.0, 0.012), dt=3e-3)
+    ref.advance_to(0.012)
+    assert integ.stats.naccept == 4 and integ.stats.nreject == 0
+    np.testing.assert_allclose(np.asarray(integ.u), np.asarray(ref.u),
+                               atol=1e-13)
+
+
+def test_step_controlled_reject_rolls_back_and_halves():
+    """A controller bounding the per-step increment: oversized steps are
+    rejected, the state rolled back (rollback_state!), and the retry runs
+    at the controller-proposed halved dt (reject_step!/adapt_dt! split)."""
+    fn, u0 = _heat(8)
+    stepper = tb.BackwardEulerSolver(rtol=1e-12, atol=1e-14)
+
+    class IncrementBound(tb.StepController):
+        def __init__(self, bound):
+            self.bound = bound
+            self.seen = []
+
+        def should_accept_step(self, integ, u_new, u_prev, t, dt):
+            inc = float(jnp.abs(u_new - u_prev).max())
+            self.seen.append((t, dt, inc))
+            return bool(jnp.isfinite(u_new).all()) and inc <= self.bound
+
+    # the first 6e-3 step decays the peak by ~11% -> increment ~0.106
+    # > 0.08; at the halved 3e-3 the increment is ~0.056 -> accepted
+    ctrl = IncrementBound(0.08)
+    integ = tb.init(fn, stepper, u0, (0.0, 0.006), dt=6e-3)
+    integ.step_controlled(0.006, ctrl)
+    assert integ.stats.nreject >= 1
+    assert integ.stats.naccept >= 2           # 2+ halved steps to finish
+    assert abs(integ.t - 0.006) < 1e-12
+    # rollback really happened: the first retry re-started from t=0
+    ts = [round(s[0], 9) for s in ctrl.seen]
+    assert ts.count(0.0) >= 2
+    # accepted march agrees with a plain fixed march at the halved dt
+    ref = tb.init(fn, stepper, u0, (0.0, 0.006), dt=3e-3)
+    ref.advance_to(0.006)
+    np.testing.assert_allclose(np.asarray(integ.u), np.asarray(ref.u),
+                               atol=1e-12)
+
+
+def test_step_controlled_dt_underflow_raises():
+    """Persistent rejection aborts with the reference's dtmin semantics
+    instead of spinning."""
+    fn, u0 = _heat(6)
+    stepper = tb.BackwardEulerSolver(rtol=1e-12, atol=1e-14)
+
+    class AlwaysReject(tb.StepController):
+        def should_accept_step(self, integ, u_new, u_prev, t, dt):
+            return False
+
+    integ = tb.init(fn, stepper, u0, (0.0, 1.0), dt=0.1)
+    import pytest
+    with pytest.raises(RuntimeError, match="underflow"):
+        integ.step_controlled(1.0, AlwaysReject(), dt_min_factor=1e-3)

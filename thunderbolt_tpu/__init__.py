@@ -67,6 +67,7 @@ from thunderbolt_tpu.models.coefficients import (
     CoordinateSystemCoefficient,
     SpatiallyHomogeneousDataField,
     evaluate_coefficient,
+    evaluate_coefficient_at_dof_locations,
     setup_coefficient_cache,
 )
 from thunderbolt_tpu.models.ep import (
@@ -140,6 +141,7 @@ from thunderbolt_tpu.solver.time.integrator import (
     init,
     solve,
     Integrator,
+    StepController,
     TimeChoiceIterator,
     ReturnCode,
 )

@@ -185,6 +185,79 @@ class SpectralTensorCoefficient(Coefficient):
         return _EvalCache("const" if D.ndim == 2 else "data", jnp.asarray(D))
 
 
+def evaluate_coefficient_at_dof_locations(coeff, dh, field_name, t=0.0,
+                                          cellset=None, out=None):
+    """Evaluate ``coeff`` at the spatial locations where ``field_name``'s
+    dofs sit, returning an ``[nentities, *value_shape]`` array indexed by
+    dof entity (per-component dofs share the entity location).
+
+    Parity: ``evaluate_coefficient_at_dof_locations`` /
+    ``..._at_dof_locations!`` (``src/modeling/core/coefficients.jl:173-199``).
+    As there, the locations are the nodes of the ANSATZ space, not the mesh:
+    the evaluation runs the ordinary coefficient protocol on a pseudo-batch
+    whose "quadrature" points are the field element's reference node
+    coordinates, so a quadratic field on a linear mesh also evaluates at
+    edge midpoints/cell centers. Only meaningful for delta-property
+    (Lagrange) interpolations — a dof's value IS the function value there.
+
+    ``cellset`` (iterable of global cell ids) restricts the evaluation to
+    entities touched by those cells; other rows are left at ``out``'s
+    values (zeros when ``out`` is None). Last writer wins on shared
+    entities, which is well-defined because delta-property evaluations of
+    the same coefficient at the same location agree.
+    """
+    from thunderbolt_tpu.fem.forms import FormBatch
+    from thunderbolt_tpu.mesh.elements import get_element
+
+    fi = dh.fields[field_name]
+    mesh = dh.mesh
+    cset = None if cellset is None else np.asarray(
+        sorted(set(int(c) for c in np.asarray(cellset).ravel())))
+    vals_rows, ent_rows = [], []
+    for sub in dh.subdata(field_name):
+        sel = slice(None)
+        if cset is not None:
+            mask = np.isin(np.asarray(sub.cells), cset)
+            if not mask.any():
+                continue
+            sel = np.where(mask)[0]
+        block = mesh.blocks[sub.block_index]
+        gel = get_element(sub.celltype)
+        fel = get_element(sub.field_celltype)
+        pts = np.asarray(fel.ref_nodes, dtype=np.float64)   # [nn, rdim]
+        N = fel.shape(pts)                                  # identity-ish
+        dN = fel.grad(pts)
+        Ngeo = gel.shape(pts)
+        dNgeo = gel.grad(pts)
+        conn = block.connectivity[np.asarray(sub.local_cells)[sel]]
+        Xe = mesh.nodes[conn]
+        xq = np.einsum("qb,cbs->cqs", Ngeo, Xe)
+        batch = FormBatch(
+            N=jnp.asarray(N), dN=jnp.asarray(dN),
+            Ngeo=jnp.asarray(Ngeo), dNgeo=jnp.asarray(dNgeo),
+            wq=jnp.ones(pts.shape[0]), Xe=jnp.asarray(Xe),
+            cell_dofs=jnp.asarray(np.asarray(sub.cell_dofs)[sel]),
+            xq=jnp.asarray(xq),
+            cells=jnp.asarray(np.asarray(sub.cells)[sel], jnp.int32),
+            ncomp=fi.ncomponents, celltype=sub.celltype,
+            field_celltype=sub.field_celltype)
+        cache = setup_coefficient_cache(coeff, batch)
+        v = np.asarray(evaluate_coefficient(cache, t))
+        nc, nn = xq.shape[0], pts.shape[0]
+        v = np.broadcast_to(v, (nc, nn) + v.shape[2:])
+        vals_rows.append(v.reshape(nc * nn, *v.shape[2:]))
+        ent_rows.append(
+            np.asarray(sub.cell_entities)[sel].reshape(nc * nn))
+    if out is None:
+        vshape = vals_rows[0].shape[1:] if vals_rows else ()
+        out = np.zeros((fi.nentities,) + vshape)
+    else:
+        out = np.array(out, copy=True)
+    for ents, vals in zip(ent_rows, vals_rows):
+        out[ents] = vals
+    return out
+
+
 @dataclass(frozen=True)
 class SpatiallyHomogeneousDataField(Coefficient):
     """Piecewise-constant-in-time, homogeneous-in-space data

@@ -37,6 +37,32 @@ class ReturnCode:
     MaxIters = "MaxIters"
 
 
+class StepController:
+    """Generic accept/reject/adapt protocol for ANY stepper (parity:
+    ``should_accept_step`` / ``reject_step!`` / ``adapt_dt!`` /
+    ``rollback_state!``, ``type.jl:508-543`` + the step_footer dispatch,
+    ``diffeq-interface.jl:374-399``). Subclass and attach to an
+    :class:`Integrator` via ``controller=``; ``step_controlled`` then
+    drives accept/reject on the generic path instead of fixed-dt chunks.
+
+    The division of labor mirrors the reference exactly: restoring state
+    on rejection is the SCHEME's business (``Integrator.rollback_state``,
+    overridable by schemes with extra state), proposing the retry/next
+    step size is the CONTROLLER's (:meth:`adapt_dt`)."""
+
+    def should_accept_step(self, integ, u_new, u_prev, t, dt) -> bool:
+        """Accept the proposed state? Default: accept anything finite
+        (the reference's fallback accepts unless the step failed)."""
+        return bool(jnp.isfinite(u_new).all())
+
+    def adapt_dt(self, integ, accepted: bool, dt: float) -> float:
+        """Next step size. The reference's generic fallback ERRORS for
+        adaptive algorithms without a controller (``type.jl:538``); here
+        the no-controller path simply never calls this. Default: halve on
+        reject, keep on accept."""
+        return dt if accepted else 0.5 * dt
+
+
 class Integrator:
     """Fixed-dt integrator wrapping a jitted multi-step advance."""
 
@@ -125,6 +151,56 @@ class Integrator:
             self.stats.naccept += 1
         self.t = t_target  # kill fp drift
         return self
+
+    # -- generic controller protocol (type.jl:508-543) -------------------
+
+    def rollback_state(self, u_prev):
+        """Restore the state a rejected step advanced (parity:
+        ``rollback_state!``, ``type.jl:517-533``). The fallback restores
+        the solution vector; a scheme whose state is not fully contained
+        in it (e.g. a cached acceleration) overrides this."""
+        self.u = u_prev
+
+    def step_controlled(self, t_target, controller: "StepController",
+                        dt0=None, dt_min_factor: float = 1e-6,
+                        max_steps: int = 100_000):
+        """Generic controller-driven march to ``t_target``: per step,
+        propose u(t+dt) with one jitted step, ask the controller to
+        accept; on reject roll back and retry at the controller's dt
+        (parity: the step_footer accept/reject dispatch,
+        ``diffeq-interface.jl:374-399``). Returns self; ``self.stats``
+        carries naccept/nreject. Raises on dt underflow — the analog of
+        the reference's dtmin abort."""
+        dt = float(dt0 if dt0 is not None else self.dt)
+        dt_min = dt * dt_min_factor
+        for _ in range(max_steps):
+            if self.t >= t_target - 1e-12 * max(1.0, abs(t_target)):
+                return self
+            h = min(dt, t_target - self.t)
+            key = round(h, 12)
+            pstep = self._partial_steps.get(key)
+            if pstep is None:
+                if len(self._partial_steps) >= 8:
+                    self._partial_steps.pop(next(iter(self._partial_steps)))
+                pstep = jax.jit(self.alg.make_step(self.fn, h))
+                self._partial_steps[key] = pstep
+            u_prev = self.u
+            u_new = pstep(u_prev, jnp.asarray(self.t, u_prev.dtype))
+            if controller.should_accept_step(self, u_new, u_prev,
+                                             self.t, h):
+                self.u = u_new
+                self.t += h
+                self.stats.naccept += 1
+                dt = float(controller.adapt_dt(self, True, h))
+            else:
+                self.rollback_state(u_prev)
+                self.stats.nreject += 1
+                dt = float(controller.adapt_dt(self, False, h))
+                if dt < dt_min:
+                    raise RuntimeError(
+                        f"step controller underflowed dt ({dt:.3e} < "
+                        f"{dt_min:.3e}) at t={self.t}")
+        raise RuntimeError(f"step_controlled exceeded {max_steps} steps")
 
     def reinit(self, u0=None, t0=None, tf=None):
         """Reset for a fresh solve on the same compiled machinery (parity:
