@@ -8,6 +8,7 @@ gradient matches finite differences.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -243,3 +244,181 @@ def test_vmap_ensemble_over_conductivity():
         assert up.size, f"wave never arrived at D={float(d)}"
         arrivals.append(up[0])
     assert arrivals[0] > arrivals[1] > arrivals[2], arrivals
+
+
+# ---------------------------------------------------------------------------
+# differentiable PRODUCTION march (ad/march.py, VERDICT r2 item 6)
+# ---------------------------------------------------------------------------
+
+def _production_ep():
+    """Multi-subdomain + stimulated + Dirichlet-constrained monodomain —
+    the full production feature set the scan-kernel backend lacks."""
+    mesh = tb.generate_mesh("quad4", (16, 4), (0.0, 0.0), (4.0, 1.0))
+    centroids = np.stack([mesh.nodes[b.connectivity].mean(1)
+                          for b in mesh.blocks]).reshape(-1, 2)
+    mesh.cellsets["fast"] = np.nonzero(centroids[:, 0] < 2.0)[0]
+    mesh.cellsets["slow"] = np.nonzero(centroids[:, 0] >= 2.0)[0]
+    stim = tb.AnalyticalTransmembraneStimulationProtocol(
+        lambda x, t: jnp.where(x[..., 0] < 0.5, 0.4, 0.0),
+        intervals=((0.0, 2.0),))
+    fast = tb.MonodomainModel(chi=1.0, Cm=1.0, kappa=2e-3, stim=stim,
+                              ion=tb.FHNModel())
+    slow = tb.MonodomainModel(chi=1.0, Cm=1.0, kappa=5e-4,
+                              stim=tb.NoStimulationProtocol(),
+                              ion=tb.FHNModel(b=0.8))
+    ode = tb.semidiscretize(
+        tb.ReactionDiffusionSplit({"fast": fast, "slow": slow}),
+        tb.FiniteElementDiscretization(
+            {"phi_m": 1}, dbcs=[tb.Dirichlet("phi_m", "right", 0.0)],
+            dtype=DT),
+        mesh)
+    return mesh, ode
+
+
+def test_production_march_grad_matches_fd():
+    """d(mean phi_T)/d(u0) through the PRODUCTION semidiscretized split
+    (2 subdomains, stimulus, Dirichlet) matches finite differences."""
+    from thunderbolt_tpu.ad import make_differentiable_ep_march
+    mesh, ode = _production_ep()
+    alg = tb.LieTrotterGodunov((
+        tb.BackwardEulerSolver(rtol=1e-10, solver="chebyshev"),
+        tb.ForwardEulerCellSolver(substeps=4)))
+    march = make_differentiable_ep_march(ode, alg, dt=0.5, nsteps=12)
+    u0 = tb.create_initial_condition(ode, DT)
+    u0 = tb.setvariable(u0, ode, "phi_m",
+                        lambda x: np.where(x[:, 0] < 1.0, 0.5, 0.0))
+    phi = tb.solution_variable(ode, "phi_m").slice
+
+    @jax.jit
+    def qoi(u0):
+        return jnp.mean(march(u0)[phi])
+
+    val, g = jax.jit(jax.value_and_grad(qoi.__wrapped__))(u0)
+    assert np.isfinite(float(val)) and np.isfinite(np.asarray(g)).all()
+    # FD check on the entries with the largest gradient magnitude (the
+    # jitted qoi is compiled once and reused for all probes)
+    gnp = np.asarray(g)
+    idx = np.argsort(-np.abs(gnp))[:3]
+    eps = 1e-5
+    for i in idx:
+        e = jnp.zeros_like(u0).at[i].set(1.0)
+        fd = (float(qoi(u0 + eps * e)) - float(qoi(u0 - eps * e))) / (2 * eps)
+        assert abs(fd - gnp[i]) < 2e-5 * max(1.0, abs(fd)), \
+            (i, fd, gnp[i])
+
+
+def test_production_march_probe_and_agreement():
+    """The differentiable march reproduces the production Integrator's
+    trajectory (same alg, same dt) and records probes along the way."""
+    from thunderbolt_tpu.ad import make_differentiable_ep_march
+    mesh, ode = _production_ep()
+    alg = tb.LieTrotterGodunov((
+        tb.BackwardEulerSolver(rtol=1e-10, solver="chebyshev"),
+        tb.ForwardEulerCellSolver(substeps=4)))
+    u0 = tb.create_initial_condition(ode, DT)
+    u0 = tb.setvariable(u0, ode, "phi_m",
+                        lambda x: np.where(x[:, 0] < 1.0, 0.5, 0.0))
+    phi = tb.solution_variable(ode, "phi_m").slice
+    march = make_differentiable_ep_march(
+        ode, alg, dt=0.5, nsteps=10,
+        probe=lambda u, t: jnp.max(u[phi]))
+    uT, trace = jax.jit(march)(u0)
+    integ = tb.init(ode, alg, u0, (0.0, 5.0), dt=0.5)
+    u_ref = integ.solve()
+    assert np.allclose(np.asarray(uT), np.asarray(u_ref), atol=1e-10)
+    assert trace.shape == (10,) and np.isfinite(np.asarray(trace)).all()
+
+
+def test_production_march_rejects_adaptive_solvers():
+    from thunderbolt_tpu.ad import make_differentiable_ep_march
+    import pytest
+    mesh, ode = _production_ep()
+    with pytest.raises(ValueError, match="chebyshev"):
+        make_differentiable_ep_march(ode, tb.LieTrotterGodunov((
+            tb.BackwardEulerSolver(),     # cg while_loop
+            tb.ForwardEulerCellSolver(substeps=4))), 0.5, 4)
+    with pytest.raises(ValueError, match="while_loop"):
+        make_differentiable_ep_march(ode, tb.LieTrotterGodunov((
+            tb.BackwardEulerSolver(solver="chebyshev"),
+            tb.AdaptiveForwardEulerSubstepper())), 0.5, 4)
+
+
+# ---------------------------------------------------------------------------
+# electromechanics functional gradient through the 3D-0D blocked step
+# (ad/em.py, VERDICT r2 item 6)
+# ---------------------------------------------------------------------------
+
+def _coupled_lv(theta0):
+    """Small 3D-0D LV whose active-stress scaling and passive modulus are
+    traced parameters."""
+    import dataclasses as dc
+    from thunderbolt_tpu.disc.coupled import (BlockedNewtonSolver,
+                                              Coupled3D0DSolver)
+    from thunderbolt_tpu.ad import parametric_coupled_function
+
+    mesh = tb.generate_ideal_lv_mesh(8, 2, 4)
+    scale = 5.14
+    mesh.nodes[:] = mesh.nodes * scale
+    calcium = tb.AnalyticalCoefficient(
+        lambda x, t: jnp.clip(t / 50.0, 0.0, 1.0))
+    material = tb.ActiveStressModel(
+        material_model=tb.NeoHookeanModel(mu=2.0, lam=10.0),
+        active_stress_model=tb.SimpleActiveStress(Tmax=30.0),
+        contraction_model=tb.CaDrivenInternalSarcomereModel(
+            tb.PelceSunLangeveld1995Model(), calcium))
+    circuit = tb.RSAFDQ2022LumpedCircuitModel(lv_pressure_given=False)
+    coupler = tb.LumpedFluidSolidCoupler(
+        (tb.ChamberVolumeCoupling("Endocardium", "lv"),), "displacement",
+        volume_method=tb.RSAFDQ2022SurrogateVolume(
+            h=(0.0, 0.0, 1.0), b=(0.0, 0.0, 0.2 * scale)))
+    coupled = tb.RSAFDQ2022Model(
+        tb.QuasiStaticModel("displacement", material, ()), circuit, coupler)
+    disc = tb.FiniteElementDiscretization(
+        {"displacement": tb.FieldSpec(order=1, ncomponents=3)},
+        dbcs=[tb.Dirichlet("displacement", "Base", 0.0)], dtype=DT)
+    fn3d, circ = tb.semidiscretize(tb.RSAFDQ2022Split(coupled), disc, mesh)
+
+    def apply_params(m, theta):
+        return dc.replace(
+            m,
+            material_model=dc.replace(m.material_model, mu=theta["mu"]),
+            active_stress_model=dc.replace(m.active_stress_model,
+                                           Tmax=theta["Tmax"]))
+
+    fn3d_p = parametric_coupled_function(fn3d, apply_params, theta0)
+    solver = Coupled3D0DSolver(
+        newton=BlockedNewtonSolver(tol=1e-9, max_iter=30))
+    return fn3d_p, circ, solver
+
+
+@pytest.mark.slow
+def test_em_functional_gradient_matches_fd():
+    """d(ejected volume)/d(Tmax, mu) through THREE coupled 3D-0D steps
+    (blocked-Newton equilibria via the IFT custom_vjp + circuit RK2 by
+    plain reverse mode) matches finite differences — the composition the
+    reference's mutating solvers cannot express."""
+    from thunderbolt_tpu.ad import make_differentiable_coupled_march
+
+    theta0 = {"Tmax": jnp.asarray(30.0, DT), "mu": jnp.asarray(2.0, DT)}
+    fn3d, circ, solver = _coupled_lv(theta0)
+    march = make_differentiable_coupled_march(fn3d, circ, solver,
+                                              dt=5.0, nsteps=3)
+    w0, c0 = solver.init(fn3d, circ, DT)
+    V0 = fn3d.volumes(w0[: fn3d.nmech])[0]
+    c0 = c0.at[circ.volume_index("lv")].set(V0)
+
+    @jax.jit
+    def qoi(theta):
+        w, c, vols, ps = march(w0, c0, theta)
+        # "ejected volume" over the activation window
+        return V0 - vols[-1, 0]
+
+    val, g = jax.jit(jax.value_and_grad(qoi.__wrapped__))(theta0)
+    assert np.isfinite(float(val))
+    gT, gmu = float(g["Tmax"]), float(g["mu"])
+    for key, gval in (("Tmax", gT), ("mu", gmu)):
+        eps = 1e-3 * max(1.0, abs(float(theta0[key])))
+        tp = dict(theta0); tp[key] = theta0[key] + eps
+        tm = dict(theta0); tm[key] = theta0[key] - eps
+        fd = (float(qoi(tp)) - float(qoi(tm))) / (2 * eps)
+        assert abs(fd - gval) < 5e-4 * max(1.0, abs(fd)), (key, fd, gval)

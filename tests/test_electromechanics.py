@@ -201,3 +201,53 @@ def test_heartbeat_3d0d_contraction_raises_pressure():
     assert abs(ps[5.0]) < 1e-3, ps
     assert ps[20.0] > ps[5.0] + 0.1, ps
     assert ps[60.0] > ps[20.0] + 0.1, ps
+
+
+@pytest.mark.slow
+def test_full_beat_physiological_pv_loop():
+    """One COMPLETE 800 ms EP-driven heartbeat (VERDICT r2 item 3): the
+    excitation->contraction->circulation chain produces a physiological
+    PV loop — EDV/ESV/stroke volume/EF/peak pressure inside textbook
+    human bands, all four phases present (including an exactly
+    volume-pinned isovolumetric relaxation: closed valves), plus a
+    stored-artifact drift check (tools/run_full_beat.py regenerates)."""
+    import os
+    from thunderbolt_tpu.benchmarks import full_beat
+
+    mesh, ode, fn3d, circ, em = full_beat.build()
+    u_ep, w, c, rep = em.march(0.0, 5.0, 160)
+    assert rep.all_converged()
+    s = full_beat.pv_stats(rep)
+    # textbook bands (Guyton/Klabunde): EDV 100-180 mL, ESV 40-110 mL,
+    # SV >= 40 mL, EF 30-65 %, peak LV systolic 10-20 kPa
+    assert 100.0 < s["EDV"] < 180.0, s
+    assert 40.0 < s["ESV"] < 110.0, s
+    assert s["SV"] > 40.0, s
+    assert 30.0 < s["EF"] < 65.0, s
+    assert 10.0 < s["peak_p"] < 20.0, s
+
+    ts = np.asarray(rep.ts)
+    V = np.asarray(rep.volumes)[:, 0]
+    p = np.asarray(rep.pressures)[:, 0]
+    phi = np.asarray(rep.phi_max)
+    # the EP wave fired and repolarized
+    assert phi[:20].max() > 0.0 and phi[-1] < -80.0
+    # isovolumetric relaxation: after peak pressure the closed valves pin
+    # the volume EXACTLY while pressure falls by kPa-scale
+    k_pk = int(np.argmax(p))
+    iso = slice(k_pk + 16, k_pk + 36)      # ~80-180 ms past peak
+    assert np.ptp(V[iso]) < 1e-6 * V.max(), np.ptp(V[iso])
+    assert p[k_pk] - p[iso.stop] > 5.0
+    # late diastole refills toward EDV
+    assert V[-1] > s["ESV"] + 0.7 * s["SV"]
+
+    # stored-artifact drift check (f64 CPU trace; regenerate with
+    # tools/run_full_beat.py --save when the model is retuned)
+    art = os.path.join(os.path.dirname(__file__), "data", "trajectories",
+                       "full_beat_lv.csv")
+    ref = np.genfromtxt(art, delimiter=",", names=True)
+    assert np.allclose(ts, ref["t"], atol=1e-9)
+    assert np.allclose(V, ref["V_lv"], rtol=2e-3, atol=1e-2), \
+        np.abs(V - ref["V_lv"]).max()
+    assert np.allclose(p, ref["p_lv"], rtol=5e-3, atol=3e-2), \
+        np.abs(p - ref["p_lv"]).max()

@@ -26,3 +26,14 @@ from thunderbolt_tpu.ad.ep import DifferentiableMonodomain
 
 __all__ = ["make_equilibrium_solve", "make_parametric_equilibrium_solve",
            "ParametricQuasiStaticFunction", "DifferentiableMonodomain"]
+
+from thunderbolt_tpu.ad.march import make_differentiable_ep_march
+
+__all__.append("make_differentiable_ep_march")
+
+from thunderbolt_tpu.ad.em import (
+    parametric_coupled_function, make_coupled_step_adjoint,
+    make_differentiable_coupled_march)
+
+__all__ += ["parametric_coupled_function", "make_coupled_step_adjoint",
+            "make_differentiable_coupled_march"]

@@ -91,9 +91,11 @@ class ParametricQuasiStaticFunction:
             # splice in a FieldParametrizedMaterial whose parameter fields
             # ride new aux entries the setup-time kernels never saw
             if st is not None:
+                # key-generic: besides Qprev/lam_prev the state may carry
+                # per-step driving fields (e.g. "Ca" from a coupled EP
+                # solve) whose aux threading the kernels must see
                 aux0 = nm.aux(cache, 0.0, {
-                    "Qprev": st["Qprev"], "lam_prev": st["lam_prev"],
-                    "dt": jnp.asarray(1.0), "t": jnp.asarray(0.0)})
+                    **st, "dt": jnp.asarray(1.0), "t": jnp.asarray(0.0)})
             else:
                 aux0 = nm.aux(cache, 0.0)
             c["aux_keys"] = tuple(aux0.keys())

@@ -73,39 +73,44 @@ def main():
 
     variants = {
         "bj-bicgstab": tb.NewtonRaphsonSolver(
-            tol=5e-4, inner="bicgstab", inner_rtol=1e-5,
+            tol=1e-5, inner="bicgstab", inner_rtol=1e-6,
             inner_maxiter=2000, max_iter=30),
         "mg-cg": tb.NewtonRaphsonSolver(
-            tol=5e-4, inner="cg", inner_rtol=1e-5,
+            tol=1e-5, inner="cg", inner_rtol=1e-6,
             inner_maxiter=2000, max_iter=30, precon=mg),
         "dense-lu": tb.NewtonRaphsonSolver(
-            tol=5e-4, inner="dense", max_iter=30),
+            tol=1e-5, inner="dense", max_iter=30),
     }
 
+    # measure the jitted device solve itself (one dispatch, from u0 = 0 at
+    # full load, tight tol so every variant does real iterations) — a
+    # host-driven homotopy ramp would time tunnel dispatches, not solvers
     u0 = jnp.zeros(fn.solution_size, jnp.float32)
     out = {}
     for name, newton in variants.items():
-        hom = tb.HomotopyPathSolver(newton)
         try:
-            u, rep = hom.solve(fn, u0, (0.0, 1.0), 0.25)   # warm/compile
+            u, stats = newton.solve(fn, u0, 1.0)   # warm/compile
         except Exception as e:
             print(f"{name}: FAILED ({type(e).__name__}: {e})", flush=True)
             continue
-        times, iters = [], []
+        if not stats.converged:
+            print(f"{name}: DID NOT CONVERGE ({stats})", flush=True)
+            continue
+        times = []
         for _ in range(args.repeats):
             t0 = time.perf_counter()
-            u, rep = hom.solve(fn, u0, (0.0, 1.0), 0.25)
+            u, stats = newton.solve(fn, u0, 1.0)
+            jax.block_until_ready(u)
             times.append(time.perf_counter() - t0)
-            iters.append(rep.newton_iterations)
         times = np.array(times)
         res = {
             "ndofs": int(fn.dh.ndofs),
-            "newton_iters": int(np.median(iters)),
-            "ramp_s_med": round(float(np.median(times)), 3),
-            "ramp_s_min": round(float(times.min()), 3),
-            "ramp_s_max": round(float(times.max()), 3),
+            "newton_iters": int(stats.iterations),
+            "solve_s_med": round(float(np.median(times)), 4),
+            "solve_s_min": round(float(times.min()), 4),
+            "solve_s_max": round(float(times.max()), 4),
             "iters_per_s_med": round(
-                float(np.median(iters) / np.median(times)), 1),
+                float(stats.iterations / np.median(times)), 1),
         }
         out[name] = res
         print(json.dumps({"variant": name, **res}), flush=True)
