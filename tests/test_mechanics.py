@@ -397,3 +397,67 @@ def test_failed_homotopy_shrinks_dt_once_per_reject():
     assert rep.rejects > 1
     ratio = 0.2 / rep.dt_final
     assert 2.0 ** (rep.rejects - 1) <= ratio <= 2.0 ** rep.rejects
+
+
+def test_reference_normal_precompute_matches_traced():
+    """The setup-time host-f64 reference normals (reference_normal_da)
+    agree with the traced per-facet normal_da on a curved surface, and the
+    spring/Robin kernels built from them produce the same residual as the
+    direct formula k (u.n) da wq (u.n delta) — regression for the XLA:TPU
+    fused-normalize NaN on refined-LV facet batches (round 3)."""
+    from thunderbolt_tpu.fem.facets import make_facet_batch
+    from thunderbolt_tpu.models.solid.boundary import reference_normal_da
+
+    mesh = tb.generate_ideal_lv_mesh(4, 2, 2)
+    disc = tb.FiniteElementDiscretization(
+        {"d": tb.FieldSpec(order=1, ncomponents=3)}, dtype=DT)
+    fn = tb.semidiscretize(
+        tb.QuasiStaticModel("d", tb.PK1Model(tb.NeoHookeanModel()),
+                            (tb.NormalSpringBC(0.7, "Epicardium"),)),
+        disc, mesh)
+    batch = make_facet_batch(fn.dh, "d", "Epicardium", dtype=DT)
+    n, da = reference_normal_da(batch)
+    # traced reference
+    nda = jax.vmap(batch.normal_da)(batch.Xf)
+    da_t = jnp.linalg.norm(nda, axis=-1)
+    np.testing.assert_allclose(np.asarray(da), np.asarray(da_t), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(n), np.asarray(nda / da_t[..., None]),
+                               rtol=1e-12, atol=1e-14)
+    # kernel vs direct formula at a random displacement
+    res_fn, tan_fn, dofs, _ = fn.wbc_kernels[0]
+    rng = np.random.default_rng(3)
+    nf, nd = dofs.shape
+    U = jnp.asarray(rng.standard_normal((nf, nd // 3, 3)) * 1e-2, DT)
+    rf = np.asarray(res_fn(U, 0.0))
+    uq = jnp.einsum("qb,fbi->fqi", batch.N, U)
+    un = jnp.einsum("fqi,fqi->fq", uq, n)
+    ref = 0.7 * jnp.einsum("fq,q,fq,fqi,qa->fai", da, batch.wq, un, n, batch.N)
+    np.testing.assert_allclose(rf, np.asarray(ref), rtol=1e-12, atol=1e-14)
+    # tangent is exactly U-independent and symmetric (quadratic energy)
+    K = np.asarray(tan_fn(U, 0.0))
+    K0 = np.asarray(tan_fn(jnp.zeros_like(U), 0.0))
+    np.testing.assert_allclose(K, K0, rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(K, np.swapaxes(K, 1, 2), rtol=1e-12, atol=1e-13)
+
+
+def test_refined_lv_spring_residual_finite_at_zero():
+    """Refined ideal-LV epicardial facet batch: the spring residual at
+    u = 0 is exactly zero (the TPU fusion pathology this guards against
+    produced NaNs here; the precomputed-normal kernel cannot)."""
+    from thunderbolt_tpu.mesh.tools import uniform_refinement
+    mesh = uniform_refinement(tb.generate_ideal_lv_mesh(6, 2, 3), 1)
+    disc = tb.FiniteElementDiscretization(
+        {"d": tb.FieldSpec(order=1, ncomponents=3)},
+        dbcs=[tb.Dirichlet("d", "Base", 0.0)], dtype=jnp.float32)
+    fn = tb.semidiscretize(
+        tb.QuasiStaticModel("d", tb.PK1Model(tb.NeoHookeanModel()),
+                            (tb.ConstantPressureBC(0.12, "Endocardium"),
+                             tb.NormalSpringBC(0.5, "Epicardium"))),
+        disc, mesh)
+    u0 = jnp.zeros(fn.dh.ndofs, jnp.float32)
+    r = np.asarray(jax.jit(lambda u: fn.residual(u, 1.0))(u0))
+    assert np.isfinite(r).all()
+    rs = np.asarray(jax.jit(lambda u: fn.residual(u, 1.0))(
+        u0 + 1e-4 * jnp.asarray(np.random.default_rng(0).standard_normal(
+            fn.dh.ndofs), jnp.float32)))
+    assert np.isfinite(rs).all()

@@ -24,9 +24,39 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from thunderbolt_tpu.fem.facets import FacetBatch, make_facet_batch
 from thunderbolt_tpu.models.coefficients import (
     setup_coefficient_cache, evaluate_coefficient)
+
+
+def reference_normal_da(batch):
+    """Unit outward normal and area element of the REFERENCE surface,
+    per (facet, qp), computed on the host in f64.
+
+    The reference configuration is constant, so BCs built on the
+    reference normal (RobinBC, NormalSpringBC, BendingSpringBC's n0 —
+    weak_boundary_conditions.jl:23-53) take it as a precomputed table
+    instead of re-deriving tangents/cross/norm/divide inside every traced
+    residual and jacfwd tangent evaluation. Besides being cheaper, this
+    keeps the division out of the jitted graph: XLA:TPU mis-fuses the
+    normalize-inside-vmap pattern on some refined-LV facet batches into a
+    graph that emits NaNs from finite inputs (measured on the v5e; eager
+    and every materialized intermediate are finite).
+
+    Returns (n [nf, nqp, sdim], da [nf, nqp]) as batch-dtype arrays."""
+    Xf = np.asarray(batch.Xf, np.float64)        # [nf, nbg, sdim]
+    dNgeo = np.asarray(batch.dNgeo, np.float64)  # [nqp, nbg, fdim]
+    T = np.einsum("qbr,fbs->fqsr", dNgeo, Xf)    # [nf, nqp, sdim, fdim]
+    if batch.sdim == 3:
+        nda = np.cross(T[..., 0], T[..., 1])
+    else:
+        t = T[..., 0]
+        nda = np.stack([t[..., 1], -t[..., 0]], axis=-1)
+    da = np.linalg.norm(nda, axis=-1)
+    dt = batch.Xf.dtype
+    return (jnp.asarray(nda / da[..., None], dt), jnp.asarray(da, dt))
 
 
 class WeakBoundaryCondition:
@@ -82,12 +112,16 @@ class RobinBC(WeakBoundaryCondition):
     alpha: float
     boundary: str
 
+    def _extra_setup(self, batch):
+        _, da = reference_normal_da(batch)
+        return {"w_q": self.alpha * da * batch.wq}
+
+    def _extra_keys(self):
+        return ("w_q",)
+
     def residual_single(self, uf, Xf, cache_q, batch, t):
-        nda = batch.normal_da(Xf)                       # [nqp, sdim]
-        da = jnp.linalg.norm(nda, axis=-1)
         uq = jnp.einsum("qb,bi->qi", batch.N, uf)       # [nqp, ncomp]
-        w = self.alpha * da * batch.wq
-        return jnp.einsum("q,qi,qa->ai", w, uq, batch.N)
+        return jnp.einsum("q,qi,qa->ai", cache_q["w_q"], uq, batch.N)
 
 
 @dataclass(frozen=True)
@@ -96,13 +130,17 @@ class NormalSpringBC(WeakBoundaryCondition):
     stiffness: float
     boundary: str
 
+    def _extra_setup(self, batch):
+        n, da = reference_normal_da(batch)
+        return {"n_q": n, "w_q": self.stiffness * da * batch.wq}
+
+    def _extra_keys(self):
+        return ("n_q", "w_q")
+
     def residual_single(self, uf, Xf, cache_q, batch, t):
-        nda = batch.normal_da(Xf)
-        da = jnp.linalg.norm(nda, axis=-1)
-        n = nda / da[:, None]
+        n, w = cache_q["n_q"], cache_q["w_q"]
         uq = jnp.einsum("qb,bi->qi", batch.N, uf)
         un = jnp.einsum("qi,qi->q", uq, n)
-        w = self.stiffness * da * batch.wq
         return jnp.einsum("q,q,qi,qa->ai", w, un, n, batch.N)
 
 
@@ -114,16 +152,21 @@ class BendingSpringBC(WeakBoundaryCondition):
     stiffness: float
     boundary: str
 
+    def _extra_setup(self, batch):
+        n0, da0 = reference_normal_da(batch)
+        return {"n0_q": n0, "da0w_q": da0 * batch.wq}
+
+    def _extra_keys(self):
+        return ("n0_q", "da0w_q")
+
     def residual_single(self, uf, Xf, cache_q, batch, t):
-        nda0 = batch.normal_da(Xf)
-        da0 = jnp.linalg.norm(nda0, axis=-1)
-        n0 = nda0 / da0[:, None]
+        n0, da0w = cache_q["n0_q"], cache_q["da0w_q"]
 
         def energy(uf_):
-            nda = batch.normal_da(Xf, uf_)
+            nda = batch.normal_da(Xf, uf_)  # deformed: must stay traced
             n = nda / jnp.linalg.norm(nda, axis=-1, keepdims=True)
             return jnp.sum(0.5 * self.stiffness
-                           * jnp.sum((n - n0) ** 2, axis=-1) * da0 * batch.wq)
+                           * jnp.sum((n - n0) ** 2, axis=-1) * da0w)
 
         return jax.grad(energy)(uf)
 
