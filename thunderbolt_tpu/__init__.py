@@ -275,4 +275,4 @@ from thunderbolt_tpu.disc.electromechanics import (
     CalciumTransfer, CoupledElectromechanics, CoupledElectromechanics3D0D)
 from thunderbolt_tpu.io.vtk import ParaViewWriter, write_vtu, read_vtu
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
