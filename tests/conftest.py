@@ -26,9 +26,18 @@ jax.config.update("jax_enable_x64", True)
 # Suite wall-clock is dominated by XLA compile time of the many jitted
 # solver configurations; a persistent compilation cache makes re-runs (and
 # xdist workers hitting identical programs) skip those compiles entirely.
-_cache = os.environ.get("TB_JIT_CACHE", "/tmp/tb_jit_cache")
+# A pre-seeded cache ships in the repo (tests/.jit_cache, entries are
+# content-addressed by HLO hash) so even the FIRST run on a fresh host is
+# mostly compile-free; it is used by default and new entries land next to
+# the seeds (gitignored). Override with TB_JIT_CACHE=/path or disable with
+# TB_JIT_CACHE="".
+_seed = os.path.join(os.path.dirname(__file__), ".jit_cache")
+_cache = os.environ.get(
+    "TB_JIT_CACHE", _seed if os.path.isdir(_seed) else "/tmp/tb_jit_cache")
 if _cache:
     os.makedirs(_cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    # cache EVERYTHING: hundreds of sub-0.3s compiles add minutes on a
+    # cold host even though no single one clears the default threshold
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -107,6 +107,7 @@ def test_equilibrium_adjoint_gradient_matches_fd():
     np.testing.assert_allclose(float(g), float(fd), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_equilibrium_adjoint_u0_cotangent_is_zero():
     """The equilibrium forgets its initial guess: d QoI / d u0 == 0."""
     mesh = tb.generate_mesh("hex8", (1, 1, 1))

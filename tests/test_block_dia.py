@@ -103,6 +103,7 @@ def test_rcm_reorder_preserves_everything():
     assert bandwidth(out) < bandwidth(mesh)
 
 
+@pytest.mark.slow
 def test_block_dia_spill_on_lv():
     """The ideal LV's apex plug couples pole nodes to whole rings — those
     irregular diagonals spill to COO while the lattice shell stays

@@ -70,6 +70,7 @@ def test_cv_sqrt_kappa_scaling():
     assert 1.8 < ratio < 2.2, (cv1, cv4, ratio)
 
 
+@pytest.mark.slow
 def test_cv_resolution_converged():
     """Doubling spatial resolution moves CV by < 10% (the Niederer-style
     h-convergence discipline on the strip)."""

@@ -6,6 +6,7 @@ never a semantics change. Host counterparts: ``HomotopyPathSolver.solve``
 (ref ``src/solver/time/homotopy.jl``) and ``NewmarkSolver.step`` (ref
 ``src/solver/time/time_integrator.jl`` Newmark path)."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -93,6 +94,7 @@ def test_newmark_march_matches_step_loop():
             np.abs(np.asarray(a) - np.asarray(b)).max()
 
 
+@pytest.mark.slow
 def test_newmark_march_condensed_internal_state():
     """March with condensed sarcomere state: committed internal state is
     threaded through the scan and matches the host loop's committed state

@@ -117,6 +117,7 @@ def test_poisson_torso_mesh(heart):
     assert abs(V[0] - V[1]) > 1e-8  # the dipole is visible on the torso
 
 
+@pytest.mark.slow
 def test_geselowitz_torso_embedded():
     """Heart embedded in a larger torso: lead fields solved on the torso,
     transferred to the heart once (ep04 tutorial setup). A dipole-like

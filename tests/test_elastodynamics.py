@@ -67,6 +67,7 @@ def test_free_vibration_energy_conservation():
     assert np.isfinite(np.asarray(st.u)).all()
 
 
+@pytest.mark.slow
 def test_newmark_second_order_convergence():
     """Displacement error vs a fine-dt reference scales ~dt^2."""
     mesh, fn = _block(n=(2, 1, 1))
@@ -219,6 +220,7 @@ def test_rejected_step_rolls_back_velocity_and_acceleration():
     assert new_st.t == st.t
 
 
+@pytest.mark.slow
 def test_step_count_follows_tolerance():
     """Adaptive step count scales ~ tol^(-1/3) for the order-2 embedded
     error (ref :212): an 8x tighter tolerance costs ~2x the steps."""

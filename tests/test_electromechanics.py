@@ -50,6 +50,7 @@ def _ep_parts(mesh, stim=None):
     return ode, alg
 
 
+@pytest.mark.slow
 def test_constant_transform_matches_prescribed_coefficient():
     """ca_transform == const must reproduce the prescribed
     ConstantCoefficient march exactly: same Newton iterates, same

@@ -1,6 +1,7 @@
 """Checkpoint/resume + time series + monitors/timers.
 Parity with ``test_io.jl`` (JLD2 round trip) and the benchmarking how-to."""
 
+import pytest
 import logging
 import numpy as np
 import jax.numpy as jnp
@@ -79,6 +80,7 @@ def test_timers_and_monitor(capsys):
     mon(0, 1.0)  # does not raise
 
 
+@pytest.mark.slow
 def test_mechanics_resume_with_internal_state(tmp_path):
     """Crash-resume of a condensed-sarcomere mechanics march: checkpoint
     (u, fn.internal, t), reload into a FRESH semidiscretization, continue —

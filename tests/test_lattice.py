@@ -56,6 +56,7 @@ def test_lattice_box_hex():
         fn._lattice_plan.spill["nslots"] == 0
 
 
+@pytest.mark.slow
 def test_lattice_box_with_pressure_bc():
     _compare(tb.generate_mesh("hex8", (4, 3, 3)),
              bcs=(tb.ConstantPressureBC(0.1, "top"),))

@@ -100,6 +100,7 @@ def test_soft_stiff_halves():
     assert ux_mid < 0.25 * pull, ux_mid  # homogeneous bar would give 0.5*pull
 
 
+@pytest.mark.slow
 def test_mixed_stateful_passive():
     """Active stateful material (condensed RDQ20 state) on one subdomain,
     plain passive on the other: internal-state threading carries None for

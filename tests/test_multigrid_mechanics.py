@@ -229,6 +229,7 @@ def test_mg_with_condensed_internal_variables():
     assert np.abs(np.asarray(u_lu)).max() > 1e-4   # activation did bite
 
 
+@pytest.mark.slow
 def test_mg_ell_slot_cache_survives_tracing():
     """The ELL-path block-diagonal slot cache must be host data: when the
     preconditioner's first call happens INSIDE a jit trace (homotopy /

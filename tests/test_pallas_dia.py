@@ -60,6 +60,7 @@ def test_fused_single_segment_matches_xla(heat):
     assert err < 1e-5 * float(jnp.abs(x_ref).max()) + 1e-6, err
 
 
+@pytest.mark.slow
 def test_fused_multi_segment_matches_xla():
     """A tile too small for the full iteration count forces the segmented
     path: the recurrence state (x, r, d, rho) must round-trip HBM between

@@ -11,6 +11,7 @@ from thunderbolt_tpu.models.solid.prestress import (
     recover_unloaded_configuration)
 
 
+@pytest.mark.slow
 def test_identity_prestress_matches_inner():
     mesh = tb.generate_mesh("hex8", (4, 2, 2), (0, 0, 0), (2.0, 0.5, 0.5))
     inner = tb.PK1Model(tb.NeoHookeanModel(mu=2.0, lam=4.0))

@@ -99,6 +99,7 @@ def test_pyramid_box_generation_and_mass():
     assert np.linalg.det(J).min() > 0.0
 
 
+@pytest.mark.slow
 def test_pyramid_poisson_matches_hex():
     """-lap u = f manufactured solution: pyramid solution converges to the
     same field as hex8 on the same box."""

@@ -179,6 +179,7 @@ def test_hexahedralize_tets():
     assert hexed.nnodes == p2_nodes + ntet_faces + mesh.ncells
 
 
+@pytest.mark.slow
 def test_hexahedralized_tet_poisson():
     """End-to-end: solve Poisson on a hexahedralized tet mesh."""
     import jax.numpy as jnp

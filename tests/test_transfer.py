@@ -64,7 +64,10 @@ def test_nonmatching_grid_nan_outside():
     NaN, points inside transfer (reference's non-matching testset)."""
     mesh, dh, coords = _disc_source(1)
     u = jnp.asarray(np.linalg.norm(coords, axis=1))
-    tgt = tb.generate_mesh("tri3", (40, 44), (-2.0, -2.0), (2.0, 2.0))
+    # (20, 22): enough target points on both sides of the disc boundary to
+    # prove the NaN-outside/finite-inside split; 4x fewer point locations
+    # than the original (40, 44) keeps this in the fast gate
+    tgt = tb.generate_mesh("tri3", (20, 22), (-2.0, -2.0), (2.0, 2.0))
     tdh = DofHandler(tgt).add_field("w", order=1).close()
     tcoords = tdh.field_dof_coords("w")
     op = NodalIntergridTransfer(mesh, dh, "v", tcoords)

@@ -69,6 +69,7 @@ def test_wedge_mass_total():
     assert abs(total - 1.0) < 1e-10
 
 
+@pytest.mark.slow
 def test_wedge_poisson_matches_hex():
     """-lap u = f manufactured solution: wedge solution converges to the
     same field as hex8 on the same box (the VERDICT 'done' criterion)."""
