@@ -419,6 +419,113 @@ def shard_mechanics_dofs(fn, mesh: Mesh, axis: str = "shard",
     return ShardedMechanicsFunction(base, mesh, axis)
 
 
+class ShardedCoupled3D0DFunction:
+    """Dof-distributed RSAFDQ2022 blocked function (3D-0D coupling).
+
+    The structural block's assembly, operator rows, residuals and every
+    Newton/Krylov iterate inside ``BlockedNewtonSolver``'s device core are
+    partitioned over the device mesh (via :class:`ShardedMechanicsFunction`);
+    the m chamber multipliers, the m×m Schur block and the 0D circuit stay
+    replicated — they are O(m) / O(m²) with m ≲ 4, so sharding them would
+    only add collective latency. State layout ``[u_padded; p]`` (the
+    multiplier tail rides replicated on every chip; only the mechanics
+    block carries per-chip partitions).
+
+    Drop-in for ``BlockedNewtonSolver`` and ``Coupled3D0DSolver`` (both the
+    host ``step`` loop and the one-dispatch ``march``): the same blocked
+    Schur-CG while_loop runs with sharded carries, CG dots psum over ICI
+    and the BlockDIA SpMV all-gathers remote columns exactly like the
+    dof-distributed mechanics Newton (``ShardedMechanicsFunction``).
+    Multi-chip counterpart of ``rsafdq2022.jl:94`` + ``schur.jl:26-80``
+    (the reference is single-process shared-memory)."""
+
+    def __init__(self, fn3d, mesh: Mesh, axis: str = "shard",
+                 shard_elements: bool = True):
+        self.base = fn3d
+        self.smech = shard_mechanics_dofs(fn3d.mech, mesh, axis,
+                                          shard_elements)
+        # BlockedNewtonSolver reads fn.mech.{constraints,jacobian_matrix}
+        self.mech = self.smech
+        self.chambers = fn3d.chambers
+
+    @property
+    def nmech(self):
+        return self.smech.solution_size          # padded
+
+    @property
+    def solution_size(self):
+        return self.nmech + len(self.chambers)
+
+    def newton_extra(self):
+        return self.smech.newton_extra()
+
+    def variables(self):
+        from thunderbolt_tpu.disc.functions import VariableInfo
+        out = dict(self.base.mech.variables())   # offsets precede the pad
+        for i, ch in enumerate(self.chambers):
+            out[f"p_{ch.lumped_symbol}"] = VariableInfo(self.nmech + i, 1)
+        return out
+
+    def volumes(self, u):
+        return self.base.volumes(u[: self.base.nmech])
+
+    def place(self, w):
+        """Distribute a base-layout state ``[u; p]`` over the mesh
+        (mechanics block padded to the device stride + partitioned)."""
+        nb = self.base.nmech
+        u = self.smech.place(jnp.asarray(w)[:nb])
+        return jnp.concatenate([u, jnp.asarray(w)[nb:].astype(u.dtype)])
+
+    def unpad(self, w):
+        """Back to the base (unpadded) ``[u; p]`` layout."""
+        return jnp.concatenate([w[: self.base.nmech], w[self.nmech:]])
+
+    def _chamber_terms(self, u_pad, p, V_targets, with_hess, kvals=None):
+        from thunderbolt_tpu.fem.forms import scatter_vector, scatter_matrix
+        u0 = u_pad[: self.base.nmech]
+        Bs, rps, r_extra = [], [], 0.0
+        for i, ch in enumerate(self.chambers):
+            U = u0[ch.batch.facet_dofs].reshape(ch.batch.nfacets,
+                                                ch.batch.nbf, 3)
+            V = ch.volume_fn(U)
+            G = ch.grad_fn(U)
+            g = scatter_vector(G.reshape(ch.batch.nfacets, -1),
+                               ch.batch.facet_dofs, self.base.nmech)
+            g = self.smech._vec(self.smech._pad_vec(g))
+            if with_hess:
+                H = ch.hess_fn(U)
+                kvals = kvals - p[i] * scatter_matrix(
+                    H, ch.elem_map, self.smech.pattern.nnz)
+            r_extra = r_extra + p[i] * g
+            Bs.append(g)
+            rps.append(V - V_targets[i])
+        return kvals, jnp.stack(Bs), r_extra, jnp.stack(rps)
+
+    def assemble(self, w, t, V_targets, *extra):
+        u = w[: self.nmech]
+        p = w[self.nmech:]
+        kvals, r = self.smech.assemble(u, t, *extra)
+        kvals, B, r_extra, r_p = self._chamber_terms(
+            u, p, V_targets, with_hess=True, kvals=kvals)
+        return kvals, B, r - r_extra, r_p
+
+    def residual(self, w, t, V_targets, *extra):
+        u = w[: self.nmech]
+        p = w[self.nmech:]
+        r = self.smech.residual(u, t, *extra)
+        _, B, r_extra, r_p = self._chamber_terms(
+            u, p, V_targets, with_hess=False)
+        return B, r - r_extra, r_p
+
+
+def shard_coupled_3d0d(fn3d, mesh: Mesh, axis: str = "shard",
+                       shard_elements: bool = True):
+    """Multi-chip 3D-0D coupling: dof-distribute the structural block of an
+    ``RSAFDQ20223DFunction`` over the device mesh; multipliers + circuit
+    stay replicated. Returns a drop-in for ``Coupled3D0DSolver``."""
+    return ShardedCoupled3D0DFunction(fn3d, mesh, axis, shard_elements)
+
+
 def shard_quasistatic_function(fn, mesh: Mesh, axis: str = "shard"):
     """Shard a QuasiStaticFunction's element batches over the device mesh:
     cells are the parallel axis; per-element kernels are embarrassingly
