@@ -592,7 +592,7 @@ def block_dia_builder(pattern: SparsityPattern, ncomp: int, max_diags=96,
     return build
 
 
-def operator_to_dense(A):
+def operator_to_dense(A, probe_block=128):
     """Materialize any of our operator types to a dense [n, n] device
     array by batching ``A.mv`` over the identity — n vectorized SpMVs,
     O(n * nnz_row * n) work, intended for SMALL systems (n <~ 15k) where
@@ -600,9 +600,31 @@ def operator_to_dense(A):
     Krylov step is a sequential ~us-scale op chain on TPU; a one-shot
     [n, n] LU is a single dense kernel). Covers MaskedOperator semantics
     (identity rows/cols on constrained dofs) for free since it probes
-    the masked ``mv``."""
+    the masked ``mv``.
+
+    Probes run in ``probe_block``-sized chunks under ``lax.map``: a
+    single vmap over all n basis vectors materializes the per-probe
+    gather intermediates for EVERY probe at once (O(n^2 * stencil)
+    bytes — measured 106 GB at 10k dofs on a BlockDIA tangent), while
+    chunking bounds live intermediates to O(probe_block * n * stencil)
+    with the same output. Small systems (n <= probe_block) keep the
+    original single-vmap schedule."""
     n = A.shape[0]
     dtype = A.diagonal().dtype
-    eye = jnp.eye(n, dtype=dtype)
-    # rows of vmap(mv)(I) are A @ e_j, i.e. columns of A -> transpose
-    return jax.vmap(A.mv)(eye).T
+    if n <= probe_block:
+        eye = jnp.eye(n, dtype=dtype)
+        # rows of vmap(mv)(I) are A @ e_j, i.e. columns of A -> transpose
+        return jax.vmap(A.mv)(eye).T
+    nblocks = -(-n // probe_block)
+
+    def probe_chunk(s):
+        j = s * probe_block + jnp.arange(probe_block)
+        # padded probes (j >= n) clip onto column n-1; their duplicate
+        # rows are sliced off below, so the clip never aliases output
+        basis = jnp.zeros((probe_block, n), dtype)
+        basis = basis.at[jnp.arange(probe_block),
+                         jnp.clip(j, 0, n - 1)].set(1)
+        return jax.vmap(A.mv)(basis)
+
+    cols = jax.lax.map(probe_chunk, jnp.arange(nblocks))
+    return cols.reshape(nblocks * probe_block, n)[:n].T

@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--nlev", type=int, default=2)
+    ap.add_argument("--variants", type=str, default="",
+                    help="comma-separated subset, e.g. dense-lu,mg-cg")
     args = ap.parse_args()
     import jax
     if args.cpu:
@@ -41,6 +43,18 @@ def main():
     import thunderbolt_tpu as tb
     from thunderbolt_tpu.solver.multigrid import (
         build_mechanics_hierarchy, MechanicsGMGPreconditioner)
+
+    # Setup (coordinate-system Laplace solves, fiber generation, transfer
+    # operators) jits small one-shot programs per level; on the remote
+    # axon backend each costs a 20-90 s tunnel compile (>10 min at
+    # nlev=3). Run setup on the host CPU backend — its arrays are
+    # uncommitted, so the benchmark jits still place everything on the
+    # chip. Requires JAX_PLATFORMS=axon,cpu; falls back to the default
+    # device when no cpu backend is registered.
+    try:
+        setup_dev = jax.devices("cpu")[0] if not args.cpu else None
+    except RuntimeError:
+        setup_dev = None
 
     coarse = tb.generate_ideal_lv_mesh(6, 2, 3)
     micro_mesh = None  # per-level microstructure handled below
@@ -64,23 +78,30 @@ def main():
 
     # hierarchy whose fine level is the shared benchmark problem;
     # rule-based fibers are mesh-bound, so the model is built per level
-    hier = build_mechanics_hierarchy(make_model, disc, coarse, args.nlev,
-                                     renumber="rcm")
+    import contextlib
+    setup_ctx = (jax.default_device(setup_dev) if setup_dev is not None
+                 else contextlib.nullcontext())
+    with setup_ctx:
+        hier = build_mechanics_hierarchy(make_model, disc, coarse,
+                                         args.nlev, renumber="rcm")
     fn = hier.fine_function
     print(f"# fine ndofs = {fn.dh.ndofs}", flush=True)
 
     mg = MechanicsGMGPreconditioner(hier)
 
     variants = {
-        "bj-bicgstab": tb.NewtonRaphsonSolver(
-            tol=1e-5, inner="bicgstab", inner_rtol=1e-6,
-            inner_maxiter=2000, max_iter=30),
+        "dense-lu": tb.NewtonRaphsonSolver(
+            tol=1e-5, inner="dense", max_iter=30),
         "mg-cg": tb.NewtonRaphsonSolver(
             tol=1e-5, inner="cg", inner_rtol=1e-6,
             inner_maxiter=2000, max_iter=30, precon=mg),
-        "dense-lu": tb.NewtonRaphsonSolver(
-            tol=1e-5, inner="dense", max_iter=30),
+        "bj-bicgstab": tb.NewtonRaphsonSolver(
+            tol=1e-5, inner="bicgstab", inner_rtol=1e-6,
+            inner_maxiter=2000, max_iter=30),
     }
+    if args.variants:
+        keep = set(args.variants.split(","))
+        variants = {k: v for k, v in variants.items() if k in keep}
 
     # measure the jitted device solve itself (one dispatch, from u0 = 0 at
     # full load, tight tol so every variant does real iterations) — a
