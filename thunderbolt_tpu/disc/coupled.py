@@ -559,7 +559,11 @@ class Coupled3D0DSolver:
                         for ch in fn3d.chambers])
         nsub = self.circuit_substeps
 
-        cache_key = ("_coupled_march_jit", self.newton, nsub, int(nsteps))
+        # circuit is in the key (frozen dataclass, value-hashable): the
+        # compiled closure bakes in its rhs/indices, so a different
+        # circuit sharing this fn3d must not reuse the entry.
+        cache_key = ("_coupled_march_jit", self.newton, nsub, int(nsteps),
+                     circuit)
         run = fn3d.__dict__.get(cache_key)
         if run is None:
             core = self.newton.make_device_core(fn3d)

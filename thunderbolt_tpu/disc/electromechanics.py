@@ -396,9 +396,14 @@ class CoupledElectromechanics3D0D:
             flat.append(jnp.asarray(t, dtype))
             return tuple(flat)
 
+        # Cache the compiled march on the DRIVER (self), not the shared
+        # fn3d: the closure captures dt_mech, ep_dt, ep_step and the
+        # circuit, so two drivers sharing one fn3d must not share entries.
+        # Everything the closure reads that is not in the key is an
+        # attribute of self, so keying on self's dict is sound.
         cache_key = ("_em_march_jit", self.solver.newton, nsub_ep, nsub_c,
-                     int(nsteps))
-        run = self.fn3d.__dict__.get(cache_key)
+                     int(nsteps), dtm, ep_dt)
+        run = self.__dict__.get(cache_key)
         if run is None:
             @jax.jit
             def run(u_ep, w, c, internal, t0):
@@ -443,12 +448,15 @@ class CoupledElectromechanics3D0D:
                     step, carry0, jnp.arange(nsteps))
                 return u_ep, w, c, internal, recs
 
-            self.fn3d.__dict__[cache_key] = run
+            self.__dict__[cache_key] = run
 
         u_ep, w, c, internal, (ts, vols, ps, phis, iters, conv) = run(
             jnp.asarray(u_ep0), w, c, internal0, t0)
-        mech.internal = [None if st is None else dict(st)
-                         for st in internal]
+        if bool(conv.all()):
+            # commit only on a fully converged march so the documented
+            # host-driver fallback starts from the intact pre-march state
+            mech.internal = [None if st is None else dict(st)
+                             for st in internal]
         return u_ep, w, c, EMMarchReport(ts, vols, ps, iters, conv, phis)
 
     def _coupled_advance(self, w, c, t_prev, t, ca_old, ca_new,

@@ -176,6 +176,10 @@ class IterationCountContinuationController:
         return dt * float(np.clip(f, self.shrink_min, self.max_growth))
 
     def on_reject(self, dt: float, maxiter: int) -> float:
+        # NOTE: HomotopyPathSolver.solve never calls this — an
+        # iteration-count controller can only reject by Newton FAILURE,
+        # and failure shrink is always dt/failfactor there. Kept for
+        # callers driving the controller protocol directly.
         f = self.gamma * np.sqrt(self.target_iterations / max(maxiter, 1))
         return dt * float(np.clip(f, self.shrink_min, 0.5))
 
@@ -248,19 +252,19 @@ class HomotopyPathSolver:
                 if not self.adaptive:
                     rep.dt_final = dt_cur
                     return u, rep
-                if not stats.converged:
+                if stats.converged:
+                    # only a Theta-rate controller can reject a CONVERGED
+                    # solve (``should_accept`` above) — for every other
+                    # configuration accepted == stats.converged, so this
+                    # branch is Theta-mode by construction
+                    dt_cur = ctrl.on_reject(dt_cur, stats.thetas)
+                else:
                     # solve failure: the step-footer's shrink
                     # (``post_newton_controller!``), one division per
-                    # attempt — the controller's rate formula does NOT
-                    # stack on top (``homotopy.jl:251`` force_stepfail
-                    # guard)
+                    # attempt — no controller rate formula stacks on top
+                    # (``homotopy.jl:251`` force_stepfail guard), i.e.
+                    # failure shrink is ALWAYS dt/failfactor
                     dt_cur = dt_cur / self.failfactor
-                elif theta_mode:
-                    dt_cur = ctrl.on_reject(dt_cur, stats.thetas)
-                elif ctrl is not None:
-                    dt_cur = ctrl.on_reject(dt_cur, self.newton.max_iter)
-                else:
-                    dt_cur *= 0.5
                 if dt_cur < dt_min:
                     rep.dt_final = dt_cur
                     return u, rep
@@ -331,6 +335,9 @@ def march_fixed_ladder(newton, fn, u0, tspan, nsteps):
     internal_in = [None if st is None else dict(st)
                    for st in internal0] if stateful else None
     u, internal, its, convs = run(u0, internal_in)
-    if stateful:
+    if stateful and bool(convs.all()):
+        # commit ONLY on a fully converged march: the documented fallback
+        # ("check converged.all() and retry with the host driver") must
+        # start from the intact pre-march state, not a corrupted one
         fn.internal = [None if st is None else dict(st) for st in internal]
     return u, its, convs

@@ -112,16 +112,24 @@ class NewmarkSolver:
         a0 = self.consistent_initial_acceleration(fn, u0, v0, t0)
         return NewmarkState(u0, v0, a0, float(t0))
 
+    def _stage_for(self, fn):
+        """Stage-function cache keyed on the *live* fn object (stored in
+        ``fn.__dict__`` like the jit caches), never on ``id(fn)`` — a
+        garbage-collected fn's address can be reused by a new function,
+        which would silently resurrect a stale stage wrapping the old fn."""
+        stage = fn.__dict__.get("_tb_newmark_stage")
+        if stage is None:
+            stage = _NewmarkStageFunction(fn)
+            fn.__dict__["_tb_newmark_stage"] = stage
+        return stage
+
     def step(self, fn, state: NewmarkState, dt, commit_internal=True):
         """One Newmark step; returns (new_state, NewtonStats)."""
         b, g = self.beta, self.gamma
         u, v, a, t = state.u, state.v, state.a, state.t
         u_pred = u + dt * v + dt * dt * (0.5 - b) * a
         v_pred = v + dt * (1.0 - g) * a
-        stage = self.__dict__.setdefault("_stages", {}).get(id(fn))
-        if stage is None:
-            stage = _NewmarkStageFunction(fn)
-            self.__dict__["_stages"][id(fn)] = stage
+        stage = self._stage_for(fn)
         stage.u_pred = u_pred
         stage.c = jnp.asarray(1.0 / (b * dt * dt), u.dtype)
         if getattr(fn, "internal", None) is not None:
@@ -158,10 +166,7 @@ class NewmarkSolver:
         from thunderbolt_tpu.solver.time.homotopy import _flatten_internal
 
         b, g = self.beta, self.gamma
-        stage = self.__dict__.setdefault("_stages", {}).get(id(fn))
-        if stage is None:
-            stage = _NewmarkStageFunction(fn)
-            self.__dict__["_stages"][id(fn)] = stage
+        stage = self._stage_for(fn)
         core = self.newton.make_device_core(stage)
         internal0 = getattr(fn, "internal", None)
         stateful = internal0 is not None
@@ -204,7 +209,9 @@ class NewmarkSolver:
         u, v, a, t, internal, its, convs = run(
             state.u, state.v, state.a,
             jnp.asarray(state.t, dtype), internal_in)
-        if stateful:
+        if stateful and bool(convs.all()):
+            # commit only on a fully converged march so the documented
+            # host-driver fallback starts from the intact pre-march state
             fn.internal = [None if st is None else dict(st)
                            for st in internal]
         return NewmarkState(u, v, a, float(t)), its, convs
