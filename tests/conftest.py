@@ -32,8 +32,45 @@ jax.config.update("jax_enable_x64", True)
 # the seeds (gitignored). Override with TB_JIT_CACHE=/path or disable with
 # TB_JIT_CACHE="".
 _seed = os.path.join(os.path.dirname(__file__), ".jit_cache")
-_cache = os.environ.get(
-    "TB_JIT_CACHE", _seed if os.path.isdir(_seed) else "/tmp/tb_jit_cache")
+
+
+def _seed_is_fresh(seed_dir):
+    """Cache entries are content-addressed by (HLO, jax/XLA build): on a
+    jax bump every committed seed silently misses and the 5-minute gate
+    regresses to a 15+ minute cold run with no hint why. The manifest
+    written by ``tools/reseed_cache.py`` records the seeding build; on
+    mismatch we warn LOUDLY and redirect new entries to /tmp so a stale
+    seed neither hides the regression nor bloats the repo."""
+    import json
+    import sys
+    manifest = os.path.join(seed_dir, "SEED_MANIFEST.json")
+    if not os.path.isfile(manifest):
+        print("\n[thunderbolt_tpu] tests/.jit_cache has no "
+              "SEED_MANIFEST.json; treating the seed as unverified but "
+              "using it (regenerate with tools/reseed_cache.py).\n",
+              file=sys.stderr)
+        return True
+    try:
+        with open(manifest) as f:
+            meta = json.load(f)
+    except (OSError, ValueError):
+        return True
+    if meta.get("jax") != jax.__version__:
+        print(f"\n[thunderbolt_tpu] STALE COMPILE-CACHE SEED: "
+              f"tests/.jit_cache was seeded with jax {meta.get('jax')} "
+              f"but this environment runs jax {jax.__version__}. Every "
+              f"entry will miss — expect a cold 15+ minute suite run. "
+              f"Regenerate the seed with: python tools/reseed_cache.py\n",
+              file=sys.stderr)
+        return False
+    return True
+
+
+if os.path.isdir(_seed) and not _seed_is_fresh(_seed):
+    _default_cache = "/tmp/tb_jit_cache"
+else:
+    _default_cache = _seed if os.path.isdir(_seed) else "/tmp/tb_jit_cache"
+_cache = os.environ.get("TB_JIT_CACHE", _default_cache)
 if _cache:
     os.makedirs(_cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache)

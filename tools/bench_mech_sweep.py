@@ -1,0 +1,331 @@
+"""Patient-scale mechanics/coupled dof sweep (VERDICT r3 items 1, 3, 8).
+
+Runs BASELINE.md configs 3-5 at a ladder of displacement-dof counts —
+nested uniform refinements of ``generate_ideal_lv_mesh(12, 3, 6)``:
+
+    level 0: 1,020 dofs      level 2: 52,533 dofs
+    level 1: 7,098 dofs      level 3: 403,575 dofs
+
+and prints ONE JSON line per (config, size) with the measured wall-clock
+and the per-config metric (Newton iters/s for config 3, Newmark steps/s
+for config 4, seconds per N coupled steps for config 5). The SAME script
+measures the chip (default) and the host CPU (``--cpu``), so the
+BASELINE.md ratios are measured/measured — the VERDICT r3 complaint about
+protocol-estimate denominators.
+
+Inner solver per size (the size-aware policy the round-3 variants
+shootout established, ``tools/bench_config3_variants.py``):
+
+  * below ``--dense-max`` (default 12k) dofs: on-device dense LU — one
+    MXU factorization beats hundreds of latency-bound Krylov iterations;
+  * above: MG-preconditioned CG for the quasi-static tangents (config 3,
+    ``MechanicsGMGPreconditioner`` on the nested hierarchy) and
+    block-Jacobi CG for the Newmark stage / blocked coupled tangents
+    (configs 4-5; the stage operator K + c M is better conditioned than
+    K, and the coupled march needs a while_loop-carryable preconditioner).
+
+Reference anchor: the reference serves large meshes through the
+FerriteMultigrid extension + Schur solver
+(``ext/ThunderboltFerriteMultigridExt.jl:1-413``,
+``src/solver/linear/schur.jl:26-80``); this sweep is the TPU-native
+equivalent measured at the sizes those exist for.
+
+Usage:
+  python tools/bench_mech_sweep.py                 # chip, all configs,
+                                                   # levels 0-2
+  python tools/bench_mech_sweep.py --levels 0,1,2,3 --configs 3
+  python tools/bench_mech_sweep.py --cpu           # host denominators
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+COARSE = (12, 3, 6)
+LV_SCALE = 5.14          # config-5 geometry scale (physiological cavity)
+
+
+def _host_info():
+    return {"host_cores": os.cpu_count()}
+
+
+def build_hierarchy(nlev, setup_dev, dtype, scale=None, microstructure=True):
+    """Nested LV hierarchy with per-level rule-based fibers.
+
+    Setup runs on the host CPU backend when available (uncommitted arrays;
+    the benchmark jits still place operands on the default device) — on
+    the remote axon backend each per-level Laplace solve would pay a
+    20-90 s tunnel compile.
+    """
+    import contextlib
+    import jax
+    import jax.numpy as jnp
+    import thunderbolt_tpu as tb
+    from thunderbolt_tpu.solver.multigrid import build_mechanics_hierarchy
+
+    coarse = tb.generate_ideal_lv_mesh(*COARSE)
+    if scale is not None:
+        coarse.nodes[:] = coarse.nodes * scale
+
+    def make_model(mesh):
+        if microstructure:
+            cs = tb.compute_lv_coordinate_system(mesh)
+            micro = tb.create_microstructure_model(
+                cs, endo_helix_angle=np.deg2rad(60.0),
+                epi_helix_angle=np.deg2rad(-60.0))
+            material = tb.PK1Model(tb.HolzapfelOgden2009Model(),
+                                   microstructure_model=micro)
+        else:
+            material = tb.PK1Model(tb.NeoHookeanModel(mu=2.0, lam=10.0))
+        return material
+
+    ctx = (jax.default_device(setup_dev) if setup_dev is not None
+           else contextlib.nullcontext())
+    disc = None  # placeholder; per-config discs are built by callers
+    with ctx:
+        hier_models = {}
+
+        def make_config3(mesh):
+            import thunderbolt_tpu as tb
+            return tb.QuasiStaticModel(
+                "displacement", make_model(mesh),
+                (tb.ConstantPressureBC(0.12, "Endocardium"),
+                 tb.NormalSpringBC(0.5, "Epicardium")))
+
+        disc = tb.FiniteElementDiscretization(
+            {"displacement": tb.FieldSpec(order=1, ncomponents=3)},
+            dbcs=[tb.Dirichlet("displacement", "Base", 0.0)],
+            dtype=jnp.float32)
+        hier = build_mechanics_hierarchy(make_config3, disc, coarse, nlev,
+                                         renumber="rcm")
+    return hier, disc, make_model
+
+
+def sub_hierarchy(hier, level):
+    """Hierarchy truncated at ``level`` (inclusive) for MG on that size."""
+    from thunderbolt_tpu.solver.multigrid import MechanicsHierarchy
+    return MechanicsHierarchy(
+        hier.meshes[: level + 1], hier.functions[: level + 1],
+        hier.prolongations[:level], hier.injections[:level], hier.ncomp)
+
+
+def _emit(rec):
+    print(json.dumps(rec), flush=True)
+
+
+def run_config3(hier, levels, dense_max, repeats, platform):
+    import jax
+    import jax.numpy as jnp
+    import thunderbolt_tpu as tb
+    from thunderbolt_tpu.solver.multigrid import MechanicsGMGPreconditioner
+    from thunderbolt_tpu.solver.time.homotopy import march_fixed_ladder
+
+    for lv in levels:
+        fn = hier.functions[lv]
+        n = fn.dh.ndofs
+        if n <= dense_max:
+            newton = tb.NewtonRaphsonSolver(tol=5e-4, inner="dense",
+                                            max_iter=30)
+            variant = "dense-lu"
+        else:
+            mg = MechanicsGMGPreconditioner(sub_hierarchy(hier, lv))
+            newton = tb.NewtonRaphsonSolver(
+                tol=5e-4, inner="cg", inner_rtol=1e-5, inner_maxiter=400,
+                max_iter=30, precon=mg)
+            variant = "mg-cg"
+        u0 = jnp.zeros(fn.solution_size, jnp.float32)
+        u, its, convs = march_fixed_ladder(newton, fn, u0, (0.0, 1.0), 4)
+        if not bool(jnp.all(convs)):
+            _emit({"config": 3, "ndofs": n, "variant": variant,
+                   "platform": platform, "error": "ladder diverged",
+                   "converged": np.asarray(convs).tolist()})
+            continue
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            u, its, convs = march_fixed_ladder(newton, fn, u0, (0.0, 1.0), 4)
+            jax.block_until_ready(u)
+            times.append(time.perf_counter() - t0)
+        el = float(np.median(times))
+        iters = int(np.asarray(its).sum())
+        _emit({"config": 3, "ndofs": n, "variant": variant,
+               "platform": platform, "newton_iters": iters,
+               "ladder_s": round(el, 3),
+               "iters_per_s": round(iters / el, 2),
+               "max_u": round(float(jnp.abs(u).max()), 6),
+               **_host_info()})
+
+
+def run_config4(hier, disc, make_material, levels, dense_max, repeats,
+                platform, setup_dev):
+    import contextlib
+    import jax
+    import jax.numpy as jnp
+    import thunderbolt_tpu as tb
+
+    ctx = (jax.default_device(setup_dev) if setup_dev is not None
+           else contextlib.nullcontext())
+    for lv in levels:
+        mesh = hier.meshes[lv]
+        with ctx:
+            calcium = tb.AnalyticalCoefficient(
+                lambda x, t: jnp.clip(t / 50.0, 0.0, 1.0))
+            material = make_material(mesh)
+            model = tb.ElastodynamicsModel(
+                "displacement", "velocity",
+                tb.ActiveStressModel(
+                    material_model=tb.HolzapfelOgden2009Model(),
+                    active_stress_model=tb.SimpleActiveStress(Tmax=10.0),
+                    contraction_model=tb.CaDrivenInternalSarcomereModel(
+                        tb.PelceSunLangeveld1995Model(), calcium),
+                    microstructure_model=material.microstructure_model),
+                rho=1.1e-3,
+                face_models=(tb.NormalSpringBC(1.0, "Epicardium"),))
+            fn = tb.semidiscretize(model, disc, mesh)
+        n = fn.dh.ndofs
+        if n <= dense_max:
+            inner = dict(inner="dense")
+            variant = "dense-lu"
+        else:
+            inner = dict(inner="cg", inner_rtol=1e-5, inner_maxiter=2000)
+            variant = "bj-cg"
+        solver = tb.NewmarkSolver(newton=tb.NewtonRaphsonSolver(
+            tol=5e-4, max_iter=30, **inner))
+        state = solver.init(fn)
+        dt, nsteps = 1.0, 10
+        state_w, its, convs = solver.march(fn, state, dt, nsteps)
+        if not bool(jnp.all(convs)):
+            _emit({"config": 4, "ndofs": n, "variant": variant,
+                   "platform": platform, "error": "march diverged",
+                   "converged": np.asarray(convs).tolist()})
+            continue
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            state_w, its, convs = solver.march(fn, state_w, dt, nsteps)
+            jax.block_until_ready(state_w.u)
+            times.append(time.perf_counter() - t0)
+        el = float(np.median(times))
+        _emit({"config": 4, "ndofs": n, "variant": variant,
+               "platform": platform, "steps": nsteps,
+               "march_s": round(el, 3),
+               "steps_per_s": round(nsteps / el, 2),
+               "converged": bool(jnp.all(convs)), **_host_info()})
+
+
+def run_config5(levels, dense_unused, repeats, platform, setup_dev,
+                nsteps=50):
+    import contextlib
+    import jax
+    import jax.numpy as jnp
+    import thunderbolt_tpu as tb
+    from thunderbolt_tpu.solver.multigrid import build_mechanics_hierarchy
+
+    ctx = (jax.default_device(setup_dev) if setup_dev is not None
+           else contextlib.nullcontext())
+    nlev = max(levels) + 1
+    with ctx:
+        coarse = tb.generate_ideal_lv_mesh(*COARSE)
+        coarse.nodes[:] = coarse.nodes * LV_SCALE
+        disc = tb.FiniteElementDiscretization(
+            {"displacement": tb.FieldSpec(order=1, ncomponents=3)},
+            dbcs=[tb.Dirichlet("displacement", "Base", 0.0)],
+            dtype=jnp.float32)
+        model = tb.QuasiStaticModel(
+            "displacement",
+            tb.PK1Model(tb.NeoHookeanModel(mu=2.0, lam=10.0)), ())
+        hier = build_mechanics_hierarchy(model, disc, coarse, nlev,
+                                         renumber="rcm")
+
+    for lv in levels:
+        mesh = hier.meshes[lv]
+        with ctx:
+            coupler = tb.LumpedFluidSolidCoupler(
+                (tb.ChamberVolumeCoupling("Endocardium", "lv"),),
+                "displacement",
+                volume_method=tb.RSAFDQ2022SurrogateVolume(
+                    h=(0.0, 0.0, 1.0), b=(0.0, 0.0, 0.2 * LV_SCALE)))
+            circuit = tb.RSAFDQ2022LumpedCircuitModel(
+                lv_pressure_given=False)
+            coupled = tb.RSAFDQ2022Model(model, circuit, coupler)
+            fn3d, circ = tb.semidiscretize(tb.RSAFDQ2022Split(coupled),
+                                           disc, mesh)
+        n = fn3d.nmech
+        solver = tb.Coupled3D0DSolver(
+            newton=tb.BlockedNewtonSolver(tol=5e-4, rtol=1e-3, max_iter=25,
+                                          inner="schur_cg",
+                                          simplified_newton=True))
+        w0, c0 = solver.init(fn3d, circ, jnp.float32)
+        V0 = float(fn3d.volumes(w0[: fn3d.nmech])[0])
+        c0 = c0.at[circ.volume_index("lv")].set(V0)
+        dt = 2.0
+        w, c, rep = solver.march(fn3d, circ, w0, c0, 0.0, dt, nsteps)
+        if not rep.all_converged():
+            bad = np.where(~np.asarray(rep.converged))[0]
+            _emit({"config": 5, "ndofs": n, "platform": platform,
+                   "error": f"march diverged at steps {bad[:5].tolist()}"})
+            continue
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            w, c, rep = solver.march(fn3d, circ, w0, c0, 0.0, dt, nsteps)
+            jax.block_until_ready(w)
+            times.append(time.perf_counter() - t0)
+        el = float(np.median(times))
+        _emit({"config": 5, "ndofs": n, "variant": "schur-cg-chord",
+               "platform": platform, "steps": nsteps,
+               "march_s": round(el, 3),
+               "ms_per_coupled_step": round(1e3 * el / nsteps, 2),
+               "beat_equivalent_s": round(el * 400.0 / nsteps, 2),
+               **_host_info()})
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true",
+                    help="measure the host CPU (denominator run)")
+    ap.add_argument("--configs", type=str, default="3,4,5")
+    ap.add_argument("--levels", type=str, default="0,1,2")
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--dense-max", type=int, default=12000)
+    ap.add_argument("--c5-steps", type=int, default=50)
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    try:
+        setup_dev = jax.devices("cpu")[0] if not args.cpu else None
+    except RuntimeError:
+        setup_dev = None
+    platform = "cpu" if args.cpu else jax.devices()[0].platform
+
+    levels = sorted(int(s) for s in args.levels.split(","))
+    configs = {int(s) for s in args.configs.split(",")}
+    nlev = max(levels) + 1
+
+    _emit({"sweep": "mech", "platform": platform, **_host_info(),
+           "levels": levels, "configs": sorted(configs)})
+
+    hier = disc = make_material = None
+    if configs & {3, 4}:
+        hier, disc, make_material = build_hierarchy(
+            nlev, setup_dev, None)
+    if 3 in configs:
+        run_config3(hier, levels, args.dense_max, args.repeats, platform)
+    if 4 in configs:
+        run_config4(hier, disc, make_material, levels, args.dense_max,
+                    args.repeats, platform, setup_dev)
+    if 5 in configs:
+        run_config5(levels, args.dense_max, args.repeats, platform,
+                    setup_dev, nsteps=args.c5_steps)
+
+
+if __name__ == "__main__":
+    main()
