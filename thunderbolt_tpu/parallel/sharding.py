@@ -194,13 +194,22 @@ def shard_state(u, odeform: GenericSplitFunction, mesh: Mesh,
 
 
 def make_sharded_step(odeform: GenericSplitFunction, alg, dt, mesh: Mesh,
-                      axis: str = "shard"):
+                      axis: str = "shard", spmv: str = "gspmd"):
     """jit the reaction-diffusion split step on the device mesh.
 
     Supports the 2-child EP split (heat, pointwise cells). The state is the
     SoA block [nstates, nd] sharded P(None, axis); the heat sub-step slices
-    the phi row (P(axis)), its SpMV all-gathers remote columns over ICI and
-    the CG dots psum; the reaction sub-step is communication-free.
+    the phi row (P(axis)); the reaction sub-step is communication-free.
+
+    ``spmv`` selects the partitioned-SpMV communication pattern:
+
+    * ``"gspmd"`` (default): GSPMD inserts an all-gather of the full
+      operand vector per matvec — O(ndofs) bytes/device/iteration.
+    * ``"halo"``: shard_map + lax.ppermute neighbour exchange of the
+      O(bandwidth) halo only (``parallel/halo.py``; the SURVEY §2.9
+      contract — TPU-native form of the reference's partitioned SpMV
+      layer, ``src/utils.jl:167-246``). Requires band-ordered dofs and a
+      Jacobi-preconditioned BackwardEulerSolver heat child.
 
     Returns (step, place): ``place(u_flat_or_2d)`` shards a state,
     ``step(U, t) -> U`` advances one dt.
@@ -211,7 +220,15 @@ def make_sharded_step(odeform: GenericSplitFunction, alg, dt, mesh: Mesh,
     heat_s, cells_s = fn.functions
     ion = cells_s.ion
     p = ion.phi_index
-    heat_step = alg.algorithms[0].make_step(heat_s, dt)
+    if spmv == "halo":
+        from thunderbolt_tpu.parallel.halo import make_halo_heat_step
+        heat_step = make_halo_heat_step(heat_s, alg.algorithms[0], dt,
+                                        mesh, axis)
+    elif spmv == "gspmd":
+        heat_step = alg.algorithms[0].make_step(heat_s, dt)
+    else:
+        raise ValueError(f"unknown spmv mode {spmv!r}; "
+                         "expected 'gspmd' or 'halo'")
     cell_step = alg.algorithms[1].make_step(cells_s, dt)
 
     def step(U, t):
