@@ -464,6 +464,59 @@ class BlockedNewtonSolver:
                               tuple(history))
 
 
+def make_coupled_step(newton, fn3d, circuit, dt, nsub, stateful, dtype):
+    """ONE Lie-Trotter coupled step — blocked 3D Newton at prescribed
+    chamber volumes, committed internal-state advance
+    (``internal_after_step``), 0D circuit RK2 substeps — as a pure
+    traceable function:
+
+        step(w, c, internal, t, static_extra=()) ->
+            (w, c, internal, (tn, volumes[m], pressures[m], iters, conv))
+
+    This is the SINGLE step body shared by :meth:`Coupled3D0DSolver.march`
+    and :meth:`CoupledElectromechanics3D0D.march` (round 4: the EM march
+    previously re-implemented this logic inside its own scan — two copies
+    to keep in sync). ``stateful`` threads the condensed internal state
+    through ``newton_extra``-layout traced operands; stateless callers
+    pass their fixed ``static_extra`` tuple instead.
+    """
+    from thunderbolt_tpu.solver.time.homotopy import _flatten_internal
+
+    core = newton.make_device_core(fn3d)
+    mech = fn3d.mech
+    vol_ix = np.array([circuit.volume_index(ch.lumped_symbol)
+                       for ch in fn3d.chambers])
+    pix = np.array([circuit.pressure_input_index(ch.lumped_symbol)
+                    for ch in fn3d.chambers])
+    dt = float(dt)
+    h = dt / nsub
+
+    def step(w, c, internal, t, static_extra=()):
+        tn = t + dt
+        V_targets = c[vol_ix].astype(w.dtype)
+        extra = _flatten_internal(internal, dt, tn, dtype) if stateful \
+            else static_extra
+        w, iters, rnorm, conv = core(w, tn, V_targets, extra)
+        if stateful:
+            internal = mech.internal_after_step(w[: fn3d.nmech], tn, dt,
+                                                internal)
+        p = w[fn3d.nmech:]
+        ext = jnp.zeros(circuit.num_unknown_pressures(),
+                        c.dtype).at[pix].set(p.astype(c.dtype))
+
+        def sub(cc, i):
+            ti = t + i * h
+            k1 = circuit.rhs(cc, ti, ext)
+            k2 = circuit.rhs(cc + 0.5 * h * k1, ti + 0.5 * h, ext)
+            return cc + h * k2, None
+
+        c, _ = jax.lax.scan(sub, c, jnp.arange(nsub))
+        rec = (tn, c[vol_ix], p, iters, conv)
+        return w, c, internal, rec
+
+    return step
+
+
 @dataclass
 class CoupledMarchReport:
     """Per-step device records of a :meth:`Coupled3D0DSolver.march` —
@@ -536,69 +589,59 @@ class Coupled3D0DSolver:
         readback instead of 800 (the round-2 host loop paid a tunnel
         round-trip per blocked solve AND per circuit advance).
 
+        Stateful structural models (condensed sarcomere state) are
+        threaded through the scan via ``internal_after_step``; the
+        committed state is written back to ``fn3d.mech.internal`` only
+        when every step converged, so the host-driver fallback starts
+        from the intact pre-march state.
+
         Returns ``(w, c, CoupledMarchReport)``; the report's per-step
         volumes/pressures are the PV-loop trace. A non-converged step is
         recorded (``report.converged[k] = False``) and the march carries
         on with the unconverged state — callers check ``all_converged()``.
-
-        Stateful structural models (condensed sarcomere state in
-        ``newton_extra``) are not supported here yet — their per-step
-        state update lives in ``disc/electromechanics.py``; this march
-        targets the passive/quasi-static 3D-0D configuration
-        (``cm03_3d0d-coupling.jl``)."""
-        extra0 = fn3d.newton_extra() \
-            if hasattr(fn3d, "newton_extra") else ()
-        if extra0 and getattr(fn3d.mech, "internal", None) is not None:
-            raise NotImplementedError(
-                "march() does not thread per-step internal-state updates; "
-                "use CoupledElectromechanics drivers for stateful models")
-        m = len(fn3d.chambers)
-        vol_ix = np.array([circuit.volume_index(ch.lumped_symbol)
-                           for ch in fn3d.chambers])
-        pix = np.array([circuit.pressure_input_index(ch.lumped_symbol)
-                        for ch in fn3d.chambers])
-        nsub = self.circuit_substeps
+        """
+        internal0 = getattr(fn3d.mech, "internal", None)
+        stateful = internal0 is not None
+        static_extra = () if stateful else (
+            fn3d.newton_extra() if hasattr(fn3d, "newton_extra") else ())
+        dt = float(dt)
 
         # circuit is in the key (frozen dataclass, value-hashable): the
         # compiled closure bakes in its rhs/indices, so a different
-        # circuit sharing this fn3d must not reuse the entry.
-        cache_key = ("_coupled_march_jit", self.newton, nsub, int(nsteps),
-                     circuit)
+        # circuit sharing this fn3d must not reuse the entry. dt is baked
+        # into the shared step body, so it is in the key too.
+        cache_key = ("_coupled_march_jit", self.newton,
+                     self.circuit_substeps, int(nsteps), circuit, dt,
+                     stateful)
         run = fn3d.__dict__.get(cache_key)
         if run is None:
-            core = self.newton.make_device_core(fn3d)
+            step1 = make_coupled_step(self.newton, fn3d, circuit, dt,
+                                      self.circuit_substeps, stateful,
+                                      w.dtype)
 
             @jax.jit
-            def run(w, c, t0, dt, extra):
-                def step(carry, k):
-                    w, c, t = carry
-                    V_targets = c[vol_ix].astype(w.dtype)
-                    w, iters, rnorm, conv = core(w, t + dt, V_targets,
-                                                 extra)
-                    p = w[fn3d.nmech:]
-                    ext = jnp.zeros(circuit.num_unknown_pressures(),
-                                    c.dtype).at[pix].set(p.astype(c.dtype))
-                    h = dt / nsub
+            def run(w, c, t0, internal, extra):
+                def body(carry, k):
+                    w, c, internal, t = carry
+                    w, c, internal, rec = step1(w, c, internal, t, extra)
+                    return (w, c, internal, t + dt), rec
 
-                    def sub(cc, i):
-                        ti = t + i * h
-                        k1 = circuit.rhs(cc, ti, ext)
-                        k2 = circuit.rhs(cc + 0.5 * h * k1, ti + 0.5 * h,
-                                         ext)
-                        return cc + h * k2, None
-
-                    c, _ = jax.lax.scan(sub, c, jnp.arange(nsub))
-                    t = t + dt
-                    rec = (t, c[vol_ix], p, iters, conv)
-                    return (w, c, t), rec
-
-                (w, c, t), recs = jax.lax.scan(
-                    step, (w, c, jnp.asarray(t0, c.dtype)),
+                (w, c, internal, t), recs = jax.lax.scan(
+                    body, (w, c, internal, jnp.asarray(t0, c.dtype)),
                     jnp.arange(nsteps))
-                return w, c, recs
+                return w, c, internal, recs
 
             fn3d.__dict__[cache_key] = run
 
-        w, c, (ts, vols, ps, iters, conv) = run(
-            w, c, t0, dt, extra0)
+        internal_in = [None if st is None else dict(st)
+                       for st in internal0] if stateful else None
+        w, c, internal, (ts, vols, ps, iters, conv) = run(
+            w, c, t0, internal_in, static_extra)
+        if stateful and bool(conv.all()):
+            committed = [None if st is None else dict(st)
+                         for st in internal]
+            if hasattr(fn3d.mech, "set_internal"):
+                fn3d.mech.set_internal(committed)   # sharded wrapper
+            else:
+                fn3d.mech.internal = committed
         return w, c, CoupledMarchReport(ts, vols, ps, iters, conv)

@@ -376,25 +376,12 @@ class CoupledElectromechanics3D0D:
         internal0 = [None if st is None else dict(st)
                      for st in mech.internal]
 
-        core = self.solver.newton.make_device_core(self.fn3d)
+        from thunderbolt_tpu.disc.coupled import make_coupled_step
+
         fn3d, circuit, ca = self.fn3d, self.circuit, self._ca
-        vol_ix = np.array([circuit.volume_index(ch.lumped_symbol)
-                           for ch in fn3d.chambers])
-        pix = np.array([circuit.pressure_input_index(ch.lumped_symbol)
-                        for ch in fn3d.chambers])
         nsub_c = self.solver.circuit_substeps
         phi_slice = solution_variable(self.ep_ode, "phi_m").slice
         dtm, ep_dt = float(dt_mech), self.ep_dt
-
-        def flat_extra(internal, t):
-            flat = []
-            for st in internal:
-                if st is not None:
-                    for key in sorted(st):
-                        flat.append(st[key])
-            flat.append(jnp.asarray(dtm, dtype))
-            flat.append(jnp.asarray(t, dtype))
-            return tuple(flat)
 
         # Cache the compiled march on the DRIVER (self), not the shared
         # fn3d: the closure captures dt_mech, ep_dt, ep_step and the
@@ -405,6 +392,14 @@ class CoupledElectromechanics3D0D:
                      int(nsteps), dtm, ep_dt)
         run = self.__dict__.get(cache_key)
         if run is None:
+            # the 3D-0D half of the step is the SAME body the plain
+            # coupled march scans (make_coupled_step) — one copy to keep
+            # in sync; this march only prepends excitation (EP substeps)
+            # and the Ca transfer into the condensed state
+            coupled_step = make_coupled_step(
+                self.solver.newton, fn3d, circuit, dtm, nsub_c,
+                stateful=True, dtype=dtype)
+
             @jax.jit
             def run(u_ep, w, c, internal, t0):
                 def step(carry, k):
@@ -415,32 +410,15 @@ class CoupledElectromechanics3D0D:
 
                     u_ep, _ = jax.lax.scan(ep_body, u_ep,
                                            jnp.arange(nsub_ep))
-                    tn = t + dtm
                     ca_qps = ca.to_qps(u_ep)
                     internal = [
                         st if st is None else {**st, "Ca": cq}
                         for st, cq in zip(internal, ca_qps)]
-                    V_targets = c[vol_ix].astype(w.dtype)
-                    w, iters, rnorm, conv = core(
-                        w, tn, V_targets, flat_extra(internal, tn))
-                    internal = mech.internal_after_step(
-                        w[: fn3d.nmech], tn, dtm, internal)
-                    p = w[fn3d.nmech:]
-                    ext = jnp.zeros(circuit.num_unknown_pressures(),
-                                    c.dtype).at[pix].set(p.astype(c.dtype))
-                    h = dtm / nsub_c
-
-                    def sub(cc, i):
-                        ti = t + i * h
-                        k1 = circuit.rhs(cc, ti, ext)
-                        k2 = circuit.rhs(cc + 0.5 * h * k1,
-                                         ti + 0.5 * h, ext)
-                        return cc + h * k2, None
-
-                    c_new, _ = jax.lax.scan(sub, c, jnp.arange(nsub_c))
-                    rec = (tn, c_new[vol_ix], p,
-                           jnp.max(u_ep[phi_slice]), iters, conv)
-                    return (u_ep, w, c_new, internal, tn), rec
+                    w, c, internal, (tn, vols, p, iters, conv) = \
+                        coupled_step(w, c, internal, t)
+                    rec = (tn, vols, p, jnp.max(u_ep[phi_slice]), iters,
+                           conv)
+                    return (u_ep, w, c, internal, tn), rec
 
                 carry0 = (u_ep, w, c, internal,
                           jnp.asarray(t0, c.dtype))

@@ -328,6 +328,18 @@ class ShardedMechanicsFunction:
         if hasattr(self.fn, "update_internal_state"):
             self.fn.update_internal_state(self.unpad(u), t, dt)
 
+    def internal_after_step(self, u, t, dt, internal):
+        """Pure committed-state advance with the device-count padding
+        stripped (the base function's qp tables only know unpadded u)."""
+        return self.fn.internal_after_step(self.unpad(u), t, dt, internal)
+
+    def set_internal(self, internal):
+        """Write-through commit: __getattr__ delegates reads of
+        ``.internal`` to the base function, so the committed state must
+        land THERE — a plain attribute assignment on this wrapper would
+        shadow the delegation and fork the state."""
+        self.fn.internal = internal
+
     # -- sharding pins -----------------------------------------------------
 
     def _vec(self, v):

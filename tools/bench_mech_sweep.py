@@ -1,10 +1,13 @@
 """Patient-scale mechanics/coupled dof sweep (VERDICT r3 items 1, 3, 8).
 
 Runs BASELINE.md configs 3-5 at a ladder of displacement-dof counts —
-nested uniform refinements of ``generate_ideal_lv_mesh(12, 3, 6)``:
+the nested-lattice generator hierarchy ``build_lv_mg_hierarchy`` over
+``generate_ideal_lv_mesh(12*2^l, 3*2^l, 6*2^l)`` (lattice node order at
+every level, so the tangent stays BlockDIA — see the hierarchy builder's
+docstring for why RCM refinement is the wrong layout on TPU):
 
-    level 0: 1,020 dofs      level 2: 52,533 dofs
-    level 1: 7,098 dofs      level 3: 403,575 dofs
+    level 0: 1,020 dofs      level 2: 46,839 dofs
+    level 1: 6,573 dofs      level 3: 353,000 dofs (approx)
 
 and prints ONE JSON line per (config, size) with the measured wall-clock
 and the per-config metric (Newton iters/s for config 3, Newmark steps/s
@@ -16,8 +19,10 @@ protocol-estimate denominators.
 Inner solver per size (the size-aware policy the round-3 variants
 shootout established, ``tools/bench_config3_variants.py``):
 
-  * below ``--dense-max`` (default 12k) dofs: on-device dense LU — one
-    MXU factorization beats hundreds of latency-bound Krylov iterations;
+  * below ``--dense-max`` (default 3k) dofs: on-device dense LU — one
+    MXU factorization beats hundreds of latency-bound Krylov iterations
+    (measured round 4: dense LOSES above ~3k — 5 iters/s at 6.5k vs 12
+    for block-Jacobi CG on the BlockDIA tangent);
   * above: MG-preconditioned CG for the quasi-static tangents (config 3,
     ``MechanicsGMGPreconditioner`` on the nested hierarchy) and
     block-Jacobi CG for the Newmark stage / blocked coupled tangents
@@ -67,11 +72,7 @@ def build_hierarchy(nlev, setup_dev, dtype, scale=None, microstructure=True):
     import jax
     import jax.numpy as jnp
     import thunderbolt_tpu as tb
-    from thunderbolt_tpu.solver.multigrid import build_mechanics_hierarchy
-
-    coarse = tb.generate_ideal_lv_mesh(*COARSE)
-    if scale is not None:
-        coarse.nodes[:] = coarse.nodes * scale
+    from thunderbolt_tpu.solver.multigrid import build_lv_mg_hierarchy
 
     def make_model(mesh):
         if microstructure:
@@ -102,8 +103,13 @@ def build_hierarchy(nlev, setup_dev, dtype, scale=None, microstructure=True):
             {"displacement": tb.FieldSpec(order=1, ncomponents=3)},
             dbcs=[tb.Dirichlet("displacement", "Base", 0.0)],
             dtype=jnp.float32)
-        hier = build_mechanics_hierarchy(make_config3, disc, coarse, nlev,
-                                         renumber="rcm")
+        # nested-LATTICE generator hierarchy: every level keeps the LV
+        # generator's lattice node order, so the tangent stays BlockDIA
+        # (27 diagonal slices) instead of gather-ELL — on this TPU the
+        # decisive difference (gathers ~100x slower than slices; the
+        # round-4 RCM hierarchy measured 12 ms per CG iteration at 7k)
+        hier = build_lv_mg_hierarchy(make_config3, disc, COARSE, nlev,
+                                     scale=scale)
     return hier, disc, make_model
 
 
@@ -129,37 +135,46 @@ def run_config3(hier, levels, dense_max, repeats, platform):
     for lv in levels:
         fn = hier.functions[lv]
         n = fn.dh.ndofs
+        variants = {}
         if n <= dense_max:
-            newton = tb.NewtonRaphsonSolver(tol=5e-4, inner="dense",
-                                            max_iter=30)
-            variant = "dense-lu"
+            variants["dense-lu"] = tb.NewtonRaphsonSolver(
+                tol=5e-4, inner="dense", max_iter=30)
         else:
-            mg = MechanicsGMGPreconditioner(sub_hierarchy(hier, lv))
-            newton = tb.NewtonRaphsonSolver(
-                tol=5e-4, inner="cg", inner_rtol=1e-5, inner_maxiter=400,
-                max_iter=30, precon=mg)
-            variant = "mg-cg"
+            # above the dense cutoff measure BOTH Krylov variants — the
+            # bj/mg crossover is size-dependent (profiled round 4:
+            # bj 0.4 ms/CG-iter vs mg 2.5 ms but 4.4x fewer iters at 6.5k)
+            variants["bj-cg"] = tb.NewtonRaphsonSolver(
+                tol=5e-4, inner="cg", inner_rtol=1e-5,
+                inner_maxiter=4000, max_iter=30)
+            if lv >= 1:
+                mg = MechanicsGMGPreconditioner(sub_hierarchy(hier, lv))
+                variants["mg-cg"] = tb.NewtonRaphsonSolver(
+                    tol=5e-4, inner="cg", inner_rtol=1e-5,
+                    inner_maxiter=400, max_iter=30, precon=mg)
         u0 = jnp.zeros(fn.solution_size, jnp.float32)
-        u, its, convs = march_fixed_ladder(newton, fn, u0, (0.0, 1.0), 4)
-        if not bool(jnp.all(convs)):
+        for variant, newton in variants.items():
+            u, its, convs = march_fixed_ladder(newton, fn, u0,
+                                               (0.0, 1.0), 4)
+            if not bool(jnp.all(convs)):
+                _emit({"config": 3, "ndofs": n, "variant": variant,
+                       "platform": platform, "error": "ladder diverged",
+                       "converged": np.asarray(convs).tolist()})
+                continue
+            times = []
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                u, its, convs = march_fixed_ladder(newton, fn, u0,
+                                                   (0.0, 1.0), 4)
+                jax.block_until_ready(u)
+                times.append(time.perf_counter() - t0)
+            el = float(np.median(times))
+            iters = int(np.asarray(its).sum())
             _emit({"config": 3, "ndofs": n, "variant": variant,
-                   "platform": platform, "error": "ladder diverged",
-                   "converged": np.asarray(convs).tolist()})
-            continue
-        times = []
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            u, its, convs = march_fixed_ladder(newton, fn, u0, (0.0, 1.0), 4)
-            jax.block_until_ready(u)
-            times.append(time.perf_counter() - t0)
-        el = float(np.median(times))
-        iters = int(np.asarray(its).sum())
-        _emit({"config": 3, "ndofs": n, "variant": variant,
-               "platform": platform, "newton_iters": iters,
-               "ladder_s": round(el, 3),
-               "iters_per_s": round(iters / el, 2),
-               "max_u": round(float(jnp.abs(u).max()), 6),
-               **_host_info()})
+                   "platform": platform, "newton_iters": iters,
+                   "ladder_s": round(el, 3),
+                   "iters_per_s": round(iters / el, 2),
+                   "max_u": round(float(jnp.abs(u).max()), 6),
+                   **_host_info()})
 
 
 def run_config4(hier, disc, make_material, levels, dense_max, repeats,
@@ -225,14 +240,12 @@ def run_config5(levels, dense_unused, repeats, platform, setup_dev,
     import jax
     import jax.numpy as jnp
     import thunderbolt_tpu as tb
-    from thunderbolt_tpu.solver.multigrid import build_mechanics_hierarchy
 
     ctx = (jax.default_device(setup_dev) if setup_dev is not None
            else contextlib.nullcontext())
     nlev = max(levels) + 1
     with ctx:
-        coarse = tb.generate_ideal_lv_mesh(*COARSE)
-        coarse.nodes[:] = coarse.nodes * LV_SCALE
+        from thunderbolt_tpu.solver.multigrid import build_lv_mg_hierarchy
         disc = tb.FiniteElementDiscretization(
             {"displacement": tb.FieldSpec(order=1, ncomponents=3)},
             dbcs=[tb.Dirichlet("displacement", "Base", 0.0)],
@@ -240,8 +253,8 @@ def run_config5(levels, dense_unused, repeats, platform, setup_dev,
         model = tb.QuasiStaticModel(
             "displacement",
             tb.PK1Model(tb.NeoHookeanModel(mu=2.0, lam=10.0)), ())
-        hier = build_mechanics_hierarchy(model, disc, coarse, nlev,
-                                         renumber="rcm")
+        hier = build_lv_mg_hierarchy(model, disc, COARSE, nlev,
+                                     scale=LV_SCALE)
 
     for lv in levels:
         mesh = hier.meshes[lv]
@@ -293,7 +306,7 @@ def main():
     ap.add_argument("--configs", type=str, default="3,4,5")
     ap.add_argument("--levels", type=str, default="0,1,2")
     ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--dense-max", type=int, default=12000)
+    ap.add_argument("--dense-max", type=int, default=3000)
     ap.add_argument("--c5-steps", type=int, default=50)
     args = ap.parse_args()
 
