@@ -423,3 +423,160 @@ def test_em_functional_gradient_matches_fd():
         tm = dict(theta0); tm[key] = theta0[key] - eps
         fd = (float(qoi(tp)) - float(qoi(tm))) / (2 * eps)
         assert abs(fd - gval) < 5e-4 * max(1.0, abs(fd)), (key, fd, gval)
+
+
+# ---------------------------------------------------------------------------
+# fiber-angle gradients: traced frames + condensed-state channel
+# (VERDICT r3 item 9 — the case em.py's docstring previously excluded)
+# ---------------------------------------------------------------------------
+
+def _lv_micro(mesh, helix=60.0):
+    cs = tb.compute_lv_coordinate_system(mesh)
+    return tb.create_microstructure_model(
+        cs, endo_helix_angle=np.deg2rad(helix),
+        epi_helix_angle=np.deg2rad(-helix))
+
+
+def test_traced_frames_match_setup_frames():
+    """traced_rule_frames on the extracted frame_geometry at the BASE
+    angles reproduces the setup-time numpy frames exactly (both the
+    gradient-axes and radial-proxy branches share the rotation recipe)."""
+    from thunderbolt_tpu.models.microstructure import (
+        ANGLE_PARAM_NAMES, frame_geometry, traced_rule_frames)
+    mesh = tb.generate_ideal_lv_mesh(6, 2, 3)
+    cs = tb.compute_lv_coordinate_system(mesh)
+    micro = tb.create_microstructure_model(
+        cs, endo_helix_angle=np.deg2rad(60.0),
+        epi_helix_angle=np.deg2rad(-60.0),
+        endo_transversal_angle=np.deg2rad(5.0),
+        epi_transversal_angle=np.deg2rad(-5.0),
+        endo_sheetlet_angle=np.deg2rad(10.0),
+        epi_sheetlet_angle=np.deg2rad(-10.0))
+    mat = tb.PK1Model(tb.HolzapfelOgden2009Model(),
+                      microstructure_model=micro)
+    disc = tb.FiniteElementDiscretization(
+        {"displacement": tb.FieldSpec(order=1, ncomponents=3)},
+        dbcs=[tb.Dirichlet("displacement", "Base", 0.0)], dtype=DT)
+    fn = tb.semidiscretize(
+        tb.QuasiStaticModel("displacement", mat, ()), disc, mesh)
+    params = {k: getattr(micro.params, k) for k in ANGLE_PARAM_NAMES}
+    for batch, cache in zip(fn.batches, fn.mat_caches):
+        geom = frame_geometry(micro, batch)
+        tf = traced_rule_frames(geom, params, cache["frames"].dtype)
+        np.testing.assert_allclose(np.asarray(tf),
+                                   np.asarray(cache["frames"]),
+                                   atol=1e-13)
+
+
+def test_fiber_angle_equilibrium_gradient_matches_fd():
+    """d(QoI)/d(helix angle) through a Newton equilibrium of an
+    ANISOTROPIC (Holzapfel-Ogden) LV under endocardial pressure: the
+    frames are re-evaluated tracably from the traced angle, so the
+    adjoint's reverse residual pass carries the angle cotangent."""
+    mesh = tb.generate_ideal_lv_mesh(6, 2, 3)
+    micro = _lv_micro(mesh)
+    mat = tb.PK1Model(tb.HolzapfelOgden2009Model(),
+                      microstructure_model=micro)
+    disc = tb.FiniteElementDiscretization(
+        {"displacement": tb.FieldSpec(order=1, ncomponents=3)},
+        dbcs=[tb.Dirichlet("displacement", "Base", 0.0)], dtype=DT)
+    fn = tb.semidiscretize(
+        tb.QuasiStaticModel(
+            "displacement", mat,
+            (tb.ConstantPressureBC(0.1, "Endocardium"),)), disc, mesh)
+    newton = tb.NewtonRaphsonSolver(tol=1e-11, inner="dense", max_iter=40)
+    solve = make_parametric_equilibrium_solve(
+        fn, newton, lambda m, th: m,
+        frame_angles=lambda th: {"endo_helix_angle": th["helix"],
+                                 "epi_helix_angle": -th["helix"]},
+        adjoint_rtol=1e-12)
+    u0 = jnp.zeros(fn.solution_size, DT)
+    w = jnp.asarray(np.random.default_rng(7).standard_normal(
+        fn.solution_size))
+    t = jnp.asarray(1.0, DT)
+
+    def qoi(th):
+        return jnp.vdot(w, solve(u0, t, th))
+
+    th0 = {"helix": jnp.asarray(np.deg2rad(60.0), DT)}
+    g = float(jax.grad(qoi)(th0)["helix"])
+    h = 1e-5
+    fd = float((qoi({"helix": th0["helix"] + h})
+                - qoi({"helix": th0["helix"] - h})) / (2 * h))
+    assert abs(fd) > 1e-7
+    np.testing.assert_allclose(g, fd, rtol=2e-5)
+
+
+@pytest.mark.slow
+def test_fiber_angle_em_gradient_matches_fd():
+    """d(ejected volume)/d(helix angle) through THREE coupled 3D-0D steps
+    with a fiber-directed active stress and condensed sarcomere state:
+    the angle flows through the equilibrium residual (traced frames), the
+    tying block, AND the committed fiber-stretch history
+    (internal_after_step_theta) — the channel em.py previously froze."""
+    import dataclasses as dc
+    from thunderbolt_tpu.disc.coupled import (BlockedNewtonSolver,
+                                              Coupled3D0DSolver)
+    from thunderbolt_tpu.ad import (make_differentiable_coupled_march,
+                                    parametric_coupled_function)
+
+    mesh = tb.generate_ideal_lv_mesh(8, 2, 4)
+    scale = 5.14
+    mesh.nodes[:] = mesh.nodes * scale
+    micro = _lv_micro(mesh)
+    calcium = tb.AnalyticalCoefficient(
+        lambda x, t: jnp.clip(t / 50.0, 0.0, 1.0))
+    material = tb.ActiveStressModel(
+        material_model=tb.NeoHookeanModel(mu=2.0, lam=10.0),
+        active_stress_model=tb.SimpleActiveStress(Tmax=30.0),
+        contraction_model=tb.CaDrivenInternalSarcomereModel(
+            tb.PelceSunLangeveld1995Model(), calcium),
+        microstructure_model=micro)
+    circuit = tb.RSAFDQ2022LumpedCircuitModel(lv_pressure_given=False)
+    coupler = tb.LumpedFluidSolidCoupler(
+        (tb.ChamberVolumeCoupling("Endocardium", "lv"),), "displacement",
+        volume_method=tb.RSAFDQ2022SurrogateVolume(
+            h=(0.0, 0.0, 1.0), b=(0.0, 0.0, 0.2 * scale)))
+    coupled = tb.RSAFDQ2022Model(
+        tb.QuasiStaticModel("displacement", material, ()), circuit,
+        coupler)
+    disc = tb.FiniteElementDiscretization(
+        {"displacement": tb.FieldSpec(order=1, ncomponents=3)},
+        dbcs=[tb.Dirichlet("displacement", "Base", 0.0)], dtype=DT)
+    fn3d, circ = tb.semidiscretize(tb.RSAFDQ2022Split(coupled), disc, mesh)
+
+    theta0 = {"Tmax": jnp.asarray(30.0, DT),
+              "helix": jnp.asarray(np.deg2rad(60.0), DT)}
+
+    def apply_params(m, theta):
+        return dc.replace(
+            m, active_stress_model=dc.replace(m.active_stress_model,
+                                              Tmax=theta["Tmax"]))
+
+    fn3d_p = parametric_coupled_function(
+        fn3d, apply_params, theta0,
+        frame_angles=lambda th: {"endo_helix_angle": th["helix"],
+                                 "epi_helix_angle": -th["helix"]})
+    solver = Coupled3D0DSolver(
+        newton=BlockedNewtonSolver(tol=1e-9, max_iter=30))
+    march = make_differentiable_coupled_march(fn3d_p, circ, solver,
+                                              dt=5.0, nsteps=3)
+    w0, c0 = solver.init(fn3d_p, circ, DT)
+    V0 = fn3d_p.volumes(w0[: fn3d_p.nmech])[0]
+    c0 = c0.at[circ.volume_index("lv")].set(V0)
+
+    @jax.jit
+    def qoi(theta):
+        w, c, vols, ps = march(w0, c0, theta)
+        return V0 - vols[-1, 0]
+
+    val, g = jax.jit(jax.value_and_grad(qoi.__wrapped__))(theta0)
+    assert np.isfinite(float(val))
+    for key, rtol in (("helix", 1e-3), ("Tmax", 1e-3)):
+        gval = float(g[key])
+        eps = 1e-4 * max(1.0, abs(float(theta0[key])))
+        tp = dict(theta0); tp[key] = theta0[key] + eps
+        tm = dict(theta0); tm[key] = theta0[key] - eps
+        fd = (float(qoi(tp)) - float(qoi(tm))) / (2 * eps)
+        assert abs(fd) > 1e-9, key
+        assert abs(fd - gval) < rtol * max(1e-3, abs(fd)), (key, fd, gval)

@@ -17,12 +17,15 @@ theta rides Newton's traced ``extra`` channel exactly as in
 march takes theta as a runtime operand, so optimizer loops never
 recompile.
 
-Scope: theta must enter through the MECHANICS materials (active-stress
-scalings, passive moduli); the condensed internal-state evolution law and
-the microstructure frames are differentiated at their base-function
-values (adequate for constitutive scalars; fiber-angle gradients would
-additionally need the rebound caches threaded through
-``internal_after_step``). Dirichlet values are (t, theta)-independent.
+Scope: theta enters through the MECHANICS materials (active-stress
+scalings, passive moduli, activation-law parameters) and — when
+``frame_angles`` is given to :func:`parametric_coupled_function` — the
+microstructure frames themselves (helix/transversal/sheetlet angles,
+re-evaluated tracably via ``traced_rule_frames``). The condensed
+internal-state evolution is differentiated exactly: each scan step
+rebinds theta into ``internal_after_step`` (``internal_after_step_theta``),
+so fiber-stretch histories carry theta sensitivity across steps.
+Dirichlet values are (t, theta)-independent.
 
 The reference has no gradient story for ANY of its solvers; the parity
 anchor for the objects differentiated is ``src/modeling/rsafdq2022.jl``
@@ -40,11 +43,15 @@ import jax.numpy as jnp
 from thunderbolt_tpu.ad.parametric import ParametricQuasiStaticFunction
 
 
-def parametric_coupled_function(fn3d, apply_params, theta0):
+def parametric_coupled_function(fn3d, apply_params, theta0,
+                                frame_angles=None):
     """An ``RSAFDQ20223DFunction`` view whose mechanics block takes a
     traced material-parameter pytree (shallow copy; geometry/pattern/
-    tying caches shared)."""
-    pm = ParametricQuasiStaticFunction(fn3d.mech, apply_params, theta0)
+    tying caches shared). Pass ``frame_angles(theta) -> {angle-name:
+    value}`` to also re-evaluate the microstructure frames from traced
+    helix/transversal/sheetlet angles (fiber-angle gradients)."""
+    pm = ParametricQuasiStaticFunction(fn3d.mech, apply_params, theta0,
+                                       frame_angles=frame_angles)
     return dataclasses.replace(fn3d, mech=pm)
 
 
@@ -160,7 +167,15 @@ def make_differentiable_coupled_march(fn3d, circuit, solver, dt, nsteps, *,
             V_targets = c[vol_ix].astype(w.dtype)
             w = step_solve(w, t, V_targets, extra)
             if stateful:
-                internal = mech.internal_after_step(w[:n], t, dt, internal)
+                # rebind theta into the state advance: activation-law
+                # parameters and (with frame_angles) fiber angles get
+                # exact gradients through the condensed-state channel
+                if isinstance(mech, ParametricQuasiStaticFunction):
+                    internal = mech.internal_after_step_theta(
+                        w[:n], t, dt, internal, theta)
+                else:
+                    internal = mech.internal_after_step(w[:n], t, dt,
+                                                        internal)
             p = w[n:]
             ext = jnp.zeros(circuit.num_unknown_pressures(),
                             c.dtype).at[pix].set(p.astype(c.dtype))

@@ -23,10 +23,15 @@ Newton's traced ``extra`` channel:
   (stress-only) residual gives every component of d(QoI)/d(theta)
   simultaneously — cost independent of the number of parameters.
 
-Scope: theta must enter through the material composites (volume terms).
-Weak-BC parameters (pressure magnitudes etc.) are driven by ``t``;
-Dirichlet values are assumed (t, theta)-independent. Condensed internal
-sarcomere state is frozen at its pre-step value, as in ``implicit.py``.
+Scope: theta must enter through the material composites (volume terms),
+or — with ``frame_angles`` — through the microstructure frames (helix/
+transversal/sheetlet angles, re-evaluated tracably from the setup-time
+geometry via ``traced_rule_frames``). Weak-BC parameters (pressure
+magnitudes etc.) are driven by ``t``; Dirichlet values are assumed
+(t, theta)-independent. Within one equilibrium solve the condensed
+internal sarcomere state is frozen at its pre-step value (as in
+``implicit.py``); across a MARCH its advance is theta-differentiated via
+``internal_after_step_theta`` (see ``ad/em.py``).
 """
 
 from __future__ import annotations
@@ -50,10 +55,22 @@ class ParametricQuasiStaticFunction:
     coefficient caches are reused from the base function (theta must not
     change them)."""
 
-    def __init__(self, fn, apply_params, theta=None):
+    def __init__(self, fn, apply_params, theta=None, frame_angles=None):
         self._fn = fn
         self._apply = apply_params
         self.theta = theta
+        # optional fiber-angle channel: frame_angles(theta) -> dict of
+        # ODB25LT angle overrides (traced values ok); rebound() then
+        # re-evaluates the microstructure frames with TRACED angles via
+        # traced_rule_frames, so d(QoI)/d(helix angle) is exact instead of
+        # frozen at the setup-time frames (VERDICT r3 item 9)
+        self._frame_angles = frame_angles
+        self._frame_geoms_cache = None
+        if frame_angles is not None:
+            # eager: geometry extraction is numpy on concrete setup data
+            # and must not run inside a jit trace (first rebound happens
+            # while tracing the Newton core)
+            self._frame_geoms()
 
     def __getattr__(self, name):
         # delegate everything not overridden (dh, pattern, constraints,
@@ -75,18 +92,42 @@ class ParametricQuasiStaticFunction:
         theta = jax.tree_util.tree_unflatten(treedef, extra[len(extra) - n:])
         return extra[: len(extra) - n], theta
 
+    def _frame_geoms(self):
+        """Per-batch angle-independent frame geometry, computed once."""
+        if self._frame_geoms_cache is None:
+            from thunderbolt_tpu.models.microstructure import frame_geometry
+            fn = self._fn
+            mats = fn.materials if fn.materials is not None \
+                else [fn.material] * len(fn.batches)
+            self._frame_geoms_cache = [
+                frame_geometry(m.microstructure_model, b)
+                for m, b in zip(mats, fn.batches)]
+        return self._frame_geoms_cache
+
     def rebound(self, theta):
         """The base function with ``theta`` bound into its materials —
         a shallow dataclass copy sharing geometry/pattern/plan caches."""
+        from thunderbolt_tpu.models.microstructure import (
+            ANGLE_PARAM_NAMES, traced_rule_frames)
         fn = self._fn
         mats = fn.materials if fn.materials is not None \
             else [fn.material] * len(fn.batches)
         new_mats = [self._apply(m, theta) for m in mats]
         internal = fn.internal if fn.internal is not None \
             else [None] * len(fn.batches)
+        frame_over = (dict(self._frame_angles(theta))
+                      if self._frame_angles is not None else None)
+        geoms = self._frame_geoms() if frame_over is not None else None
         new_caches = []
-        for cache, nm, st in zip(fn.mat_caches, new_mats, internal):
+        for bi, (cache, nm, st, m_old) in enumerate(
+                zip(fn.mat_caches, new_mats, internal, mats)):
             c = dict(cache)
+            if frame_over is not None:
+                base_p = m_old.microstructure_model.params
+                angles = {k: frame_over.get(k, getattr(base_p, k))
+                          for k in ANGLE_PARAM_NAMES}
+                c["frames"] = traced_rule_frames(
+                    geoms[bi], angles, cache["frames"].dtype)
             # recompute the aux-key set from the REBOUND material: theta may
             # splice in a FieldParametrizedMaterial whose parameter fields
             # ride new aux entries the setup-time kernels never saw
@@ -99,7 +140,7 @@ class ParametricQuasiStaticFunction:
             else:
                 aux0 = nm.aux(cache, 0.0)
             c["aux_keys"] = tuple(aux0.keys())
-            c["kernels"] = make_material_kernels(nm, cache["frames"],
+            c["kernels"] = make_material_kernels(nm, c["frames"],
                                                  c["aux_keys"])
             new_caches.append(c)
         fn2 = dataclasses.replace(
@@ -137,8 +178,17 @@ class ParametricQuasiStaticFunction:
         new.update_internal_state(u, t, dt)
         self._fn.internal = new.internal
 
+    def internal_after_step_theta(self, u, t, dt, internal, theta):
+        """PURE committed-state advance with ``theta`` bound in: theta
+        flows into the evolution law (activation-law parameters) AND —
+        with ``frame_angles`` set — the frames (fiber angles), so reverse
+        mode through a marched QoI gets exact gradients through the
+        condensed-state channel instead of base-function values."""
+        return self.rebound(theta).internal_after_step(u, t, dt, internal)
+
 
 def make_parametric_equilibrium_solve(fn, solver, apply_params, *,
+                                      frame_angles=None,
                                       adjoint_rtol=1e-10, adjoint_atol=0.0,
                                       adjoint_maxiter=4000,
                                       adjoint_precon=None):
@@ -154,7 +204,8 @@ def make_parametric_equilibrium_solve(fn, solver, apply_params, *,
     from thunderbolt_tpu.solver.linear import gmres, jacobi_preconditioner
 
     ch = getattr(fn, "constraints", None)
-    pfn = ParametricQuasiStaticFunction(fn, apply_params)
+    pfn = ParametricQuasiStaticFunction(fn, apply_params,
+                                        frame_angles=frame_angles)
 
     def _apply_zero(v):
         return ch.apply_zero(v) if ch is not None else v

@@ -238,3 +238,93 @@ def create_microstructure_model(coordinate_system,
     if params is None:
         params = ODB25LTMicrostructureParameters(**kw)
     return RuleBasedMicrostructure(coordinate_system, params)
+
+
+# ---------------------------------------------------------------------------
+# traced-angle frame recomputation (fiber-angle gradients; ad/parametric.py)
+# ---------------------------------------------------------------------------
+
+ANGLE_PARAM_NAMES = (
+    "endo_helix_angle", "epi_helix_angle",
+    "endo_transversal_angle", "epi_transversal_angle",
+    "endo_sheetlet_angle", "epi_sheetlet_angle")
+
+
+def frame_geometry(microstructure, batch):
+    """Angle-INDEPENDENT geometric inputs of the helix rule at a batch's
+    quadrature points: transmural coordinate, circumferential and
+    apicobasal unit fields, flattened over (cell, qp).
+
+    Both :class:`RuleBasedMicrostructure` evaluation branches (gradient
+    axes and idealized radial proxy) reduce to the same rotation recipe
+    once ``(tcoord, c_hat, ab_hat)`` are fixed; this extracts exactly the
+    inputs ``setup`` would feed it, so :func:`traced_rule_frames` on this
+    geometry at the base angles reproduces the setup-time frames. Used by
+    ``ParametricQuasiStaticFunction`` to re-evaluate the frames with
+    TRACED angles — the fiber-angle gradient channel."""
+    if not isinstance(microstructure, RuleBasedMicrostructure):
+        raise TypeError(
+            "frame_geometry needs a RuleBasedMicrostructure; got "
+            f"{type(microstructure).__name__}")
+    cs = microstructure.coordinate_system
+    gc = np.asarray(cs.at_qps(batch))
+    nc, nqp = gc.shape[:2]
+    names = getattr(cs, "component_names", ())
+    if "transmural" in names and "apicobasal" in names \
+            and hasattr(cs, "axes_at_qps"):
+        t_hat, ab_hat, _ = cs.axes_at_qps(batch)
+        t_hat = np.asarray(t_hat).reshape(-1, 3)
+        ab_hat = np.asarray(ab_hat).reshape(-1, 3)
+        tcoord = gc[..., names.index("transmural")].reshape(-1)
+        c_hat = np.cross(ab_hat, t_hat)
+    else:
+        xq = np.asarray(batch.xq).reshape(-1, 3)
+        axis = getattr(cs, "axis", None)
+        if axis is None:
+            axis, _, _ = compute_long_axis(cs.mesh)
+        axis = np.asarray(axis, np.float64)
+        rel = xq - (xq @ axis)[:, None] * axis[None]
+        r = _normalize(rel)
+        c_hat = _normalize(np.cross(axis[None], r))
+        ab_hat = np.broadcast_to(axis, c_hat.shape).copy()
+        tcoord = gc[..., 0].reshape(-1)
+    return {"tcoord": np.clip(tcoord, 0.0, 1.0),
+            "c_hat": c_hat, "ab_hat": ab_hat, "shape": (nc, nqp)}
+
+
+def traced_rule_frames(geom, params, dtype):
+    """jnp (traceable, reverse-differentiable) re-evaluation of the helix
+    rule on a :func:`frame_geometry` with possibly-TRACED angle values.
+
+    ``params`` maps each of :data:`ANGLE_PARAM_NAMES` to a scalar (python
+    float or traced jnp scalar). Matches ``_rule_based_frame_from_axes``
+    exactly — the zero-angle branches there are algebraic no-ops of the
+    unconditional rotations applied here, so equality holds for every
+    angle set, not just nonzero ones."""
+    t = jnp.asarray(geom["tcoord"], dtype)
+    c = jnp.asarray(geom["c_hat"], dtype)
+    ab = jnp.asarray(geom["ab_hat"], dtype)
+
+    def lerp(endo, epi):
+        e0 = jnp.asarray(params[endo], dtype)
+        e1 = jnp.asarray(params[epi], dtype)
+        return e0 + (e1 - e0) * t
+
+    alpha = lerp("endo_helix_angle", "epi_helix_angle")
+    beta = lerp("endo_transversal_angle", "epi_transversal_angle")
+    gamma = lerp("endo_sheetlet_angle", "epi_sheetlet_angle")
+    f = jnp.cos(alpha)[:, None] * c + jnp.sin(alpha)[:, None] * ab
+    # transversal rotation: Rodrigues about the apicobasal axis by -beta
+    # (identity at beta = 0, so safe to apply unconditionally)
+    ct, st = jnp.cos(-beta)[:, None], jnp.sin(-beta)[:, None]
+    f = (f * ct + jnp.cross(ab, f) * st
+         + ab * jnp.sum(ab * f, axis=-1, keepdims=True) * (1.0 - ct))
+    f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+    s = -jnp.sin(alpha)[:, None] * c + jnp.cos(alpha)[:, None] * ab
+    s = s - jnp.sum(s * f, axis=-1, keepdims=True) * f
+    s = s / jnp.linalg.norm(s, axis=-1, keepdims=True)
+    n = jnp.cross(f, s)
+    cg, sg = jnp.cos(gamma)[:, None], jnp.sin(gamma)[:, None]
+    s, n = cg * s - sg * n, cg * n + sg * s
+    nc, nqp = geom["shape"]
+    return jnp.stack([f, s, n], axis=-2).reshape(nc, nqp, 3, 3)
