@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 import thunderbolt_tpu as tb
 from thunderbolt_tpu.ad import make_parametric_equilibrium_solve
+from thunderbolt_tpu.utils.smoke import smoke
 
 DT = jnp.float64
 
@@ -77,7 +78,8 @@ th = {"log_mu": jnp.log(jnp.asarray(3 * mu_true, DT)),
 m = {k: 0.0 for k in th}
 v = {k: 0.0 for k in th}
 b1, b2 = 0.9, 0.999
-for it in range(60):
+NITER = smoke(10, 60)
+for it in range(NITER):
     lr = 0.2 * 0.95 ** it
     L, g = grad_fn(th)
     for k in th:
@@ -85,7 +87,7 @@ for it in range(60):
         v[k] = b2 * v[k] + (1 - b2) * g[k] * g[k]
         mh, vh = m[k] / (1 - b1 ** (it + 1)), v[k] / (1 - b2 ** (it + 1))
         th[k] = th[k] - lr * mh / (jnp.sqrt(vh) + 1e-12)
-    if it % 10 == 0 or it == 59:
+    if it % 10 == 0 or it == NITER - 1:
         print(f"iter {it:3d}   loss = {float(L):.3e}   "
               f"mu = {float(jnp.exp(th['log_mu'])):.4f}   "
               f"lam = {float(jnp.exp(th['log_lam'])):.4f}")
@@ -94,5 +96,5 @@ mu_fit = float(jnp.exp(th["log_mu"]))
 err = abs(mu_fit - mu_true) / mu_true
 print(f"true mu = {mu_true:.4f}   fitted mu = {mu_fit:.4f}   "
       f"relative error = {100 * err:.2f}%")
-assert err < 0.01, "identification failed"
+assert err < smoke(0.5, 0.01), "identification failed"
 print("OK: stiffness recovered by gradient descent through Newton.")

@@ -22,9 +22,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 
 import thunderbolt_tpu as tb
+from thunderbolt_tpu.utils.smoke import smoke
 
 # 1. idealized LV + ventricular coordinate system + fibers
-mesh = tb.generate_ideal_lv_mesh(12, 3, 6)
+mesh = tb.generate_ideal_lv_mesh(*smoke((6, 2, 3), (12, 3, 6)))
 cs = tb.compute_lv_coordinate_system(mesh)
 micro = tb.create_microstructure_model(
     cs, endo_helix_angle=np.deg2rad(60.0), epi_helix_angle=np.deg2rad(-60.0))
@@ -69,6 +70,6 @@ def store(t, u):
 
 
 u, rep = solver.solve(fn, jnp.zeros(fn.solution_size, jnp.float32),
-                      (0.0, 100.0), dt=20.0, store=store)
+                      (0.0, smoke(40.0, 100.0)), dt=20.0, store=store)
 io.finalize()
 print(f"done: {rep}")

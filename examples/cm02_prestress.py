@@ -27,6 +27,9 @@ import jax.numpy as jnp
 import thunderbolt_tpu as tb
 from thunderbolt_tpu.models.solid.prestress import (
     recover_unloaded_configuration, _nodal_displacement)
+from thunderbolt_tpu.utils.smoke import smoke
+
+LV_DIMS = smoke((6, 2, 3), (10, 2, 5))
 
 P_ED = 0.25   # end-diastolic pressure [kPa-ish units of the material]
 
@@ -47,17 +50,18 @@ def solve(fn):
     return u, st.converged
 
 # "imaged" geometry: inflate a known LV so we can check the recovery
-truth = tb.generate_ideal_lv_mesh(10, 2, 5)
+truth = tb.generate_ideal_lv_mesh(*LV_DIMS)
 fn_t = make_function(truth)
 u_t, ok = solve(fn_t)
 assert ok
-imaged = tb.generate_ideal_lv_mesh(10, 2, 5)
+imaged = tb.generate_ideal_lv_mesh(*LV_DIMS)
 imaged.nodes[:] = truth.nodes + _nodal_displacement(fn_t, u_t, truth)
 print(f"imaged cavity volume:   "
       f"{float(tb.compute_chamber_volume(fn_t.dh, u_t, 'Endocardium')):.4f}")
 
 unloaded, hist = recover_unloaded_configuration(
-    imaged, make_function, solve, max_iter=10, tol=1e-7, verbose=True)
+    imaged, make_function, solve, max_iter=smoke(4, 10), tol=1e-7,
+    verbose=True)
 err = np.max(np.linalg.norm(unloaded.nodes - truth.nodes, axis=1))
 print(f"recovered vs true unloaded geometry: max node error {err:.2e}")
 

@@ -24,9 +24,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 
 import thunderbolt_tpu as tb
+from thunderbolt_tpu.utils.smoke import smoke
 
 # physiologic scale: cm units -> cavity ~120 mL
-mesh = tb.generate_ideal_lv_mesh(12, 3, 6)
+mesh = tb.generate_ideal_lv_mesh(*smoke((8, 2, 4), (12, 3, 6)))
 mesh.nodes[:] = mesh.nodes * 5.14
 
 material = tb.PK1Model(tb.NeoHookeanModel(mu=2.0, lam=10.0))  # kPa
@@ -53,9 +54,10 @@ c = c.at[circ.volume_index("lv")].set(V0)
 print(f"initial LV cavity volume: {V0:.1f} mL")
 
 t, dt = 0.0, 2.0
+NSTEPS = smoke(6, 50)
 t_wall = time.perf_counter()
 print(f"{'t [ms]':>8} {'V_3D [mL]':>10} {'p_LV [kPa]':>11} {'V_circ':>8}")
-for k in range(50):
+for k in range(NSTEPS):
     w, c, stats = solver.step(fn3d, circ, w, c, t, dt)
     if not stats.converged:
         print("step failed:", stats)
@@ -66,4 +68,5 @@ for k in range(50):
         print(f"{t:8.1f} {V3d:10.2f} {float(w[fn3d.nmech]):11.3f} "
               f"{float(c[circ.volume_index('lv')]):8.2f}")
 el = time.perf_counter() - t_wall
-print(f"done: 50 coupled steps in {el:.1f} s ({50/el:.2f} steps/s)")
+print(f"done: {NSTEPS} coupled steps in {el:.1f} s "
+      f"({NSTEPS/el:.2f} steps/s)")

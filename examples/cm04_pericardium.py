@@ -25,8 +25,9 @@ import numpy as np
 import jax.numpy as jnp
 
 import thunderbolt_tpu as tb
+from thunderbolt_tpu.utils.smoke import smoke
 
-mesh = tb.generate_ideal_lv_mesh(12, 3, 6)
+mesh = tb.generate_ideal_lv_mesh(*smoke((6, 2, 3), (12, 3, 6)))
 cs = tb.compute_lv_coordinate_system(mesh)
 micro = tb.create_microstructure_model(
     cs, endo_helix_angle=np.deg2rad(60.0), epi_helix_angle=np.deg2rad(-60.0))
@@ -49,7 +50,7 @@ def run(bcs, dbcs, label):
     solver = tb.HomotopyPathSolver(
         tb.NewtonRaphsonSolver(tol=1e-6, inner="lu", max_iter=15))
     u, rep = solver.solve(fn, jnp.zeros(fn.solution_size, jnp.float64),
-                          (0.0, 100.0), dt=20.0)
+                          (0.0, smoke(40.0, 100.0)), dt=20.0)
     X = fn.dh.field_dof_coords("displacement")
     apex = np.asarray(u).reshape(-1, 3)[np.argmin(X[:, 2])]
     print(f"{label:28s} apex dz = {apex[2]:+.4f}  "

@@ -26,11 +26,12 @@ import numpy as np
 import jax.numpy as jnp
 
 import thunderbolt_tpu as tb
+from thunderbolt_tpu.utils.smoke import smoke
 
 circ = tb.RSAFDQ2022LumpedCircuitModel()
 u = jnp.asarray(circ.default_initial_state(), jnp.float64)
 THB, dt = 800.0, 0.1   # ms
-nsteps = int(5 * THB / dt)          # 5 beats; report the last
+nsteps = int(smoke(2, 5) * THB / dt)   # beats; report the last
 
 
 @jax.jit

@@ -24,12 +24,13 @@ import numpy as np
 import jax.numpy as jnp
 
 import thunderbolt_tpu as tb
+from thunderbolt_tpu.utils.smoke import smoke
 
 
 def trace(circ, label):
     u = jnp.asarray(circ.default_initial_state(), jnp.float64)
     THB, dt = 800.0, 0.1   # ms
-    nsteps = int(4 * THB / dt)
+    nsteps = int(smoke(2, 4) * THB / dt)
 
     @jax.jit
     def march(u):

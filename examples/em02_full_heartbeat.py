@@ -36,10 +36,14 @@ jax.config.update("jax_enable_x64", True)
 import numpy as np
 
 from thunderbolt_tpu.benchmarks import full_beat
+from thunderbolt_tpu.utils.smoke import smoke
 
-mesh, ode, fn3d, circ, em = full_beat.build()
-print("marching one full 800 ms beat (160 coupled steps, one dispatch)...")
-u_ep, w, c, rep = em.march(0.0, 5.0, 160)
+mesh, ode, fn3d, circ, em = full_beat.build(
+    dims=smoke((6, 2, 3), (10, 2, 5)))
+NSTEPS = smoke(10, 160)
+print(f"marching {'a partial' if NSTEPS < 160 else 'one full 800 ms'} "
+      f"beat ({NSTEPS} coupled steps, one dispatch)...")
+u_ep, w, c, rep = em.march(0.0, 5.0, NSTEPS)
 
 ts = np.asarray(rep.ts)
 V = np.asarray(rep.volumes)[:, 0]

@@ -15,9 +15,11 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import thunderbolt_tpu as tb
+from thunderbolt_tpu.utils.smoke import smoke
 
 # 1. geometry: a 2.5 x 2.5 sheet of tissue
-mesh = tb.generate_mesh("quad4", (64, 64), (0.0, 0.0), (2.5, 2.5))
+mesh = tb.generate_mesh("quad4", smoke((32, 32), (64, 64)),
+                        (0.0, 0.0), (2.5, 2.5))
 
 # 2. the monodomain model: chi Cm d(phi)/dt = div(kappa grad phi) + chi I
 kappa = np.array([[4.5e-5, 0.0], [0.0, 2.0e-5]])  # anisotropic conductivity
@@ -48,7 +50,7 @@ alg = tb.LieTrotterGodunov((
 ))
 
 # 6. march and write ParaView output
-dt, dtvis, T = 1.0, 25.0, 1000.0
+dt, dtvis, T = 1.0, 25.0, smoke(100.0, 1000.0)
 integ = tb.init(odeform, alg, u0, (0.0, T), dt)
 io = tb.ParaViewWriter("EP01_spiral_wave")
 for t, u in tb.TimeChoiceIterator(integ, np.arange(0.0, T + 1, dtvis)):

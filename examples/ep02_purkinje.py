@@ -19,9 +19,11 @@ import jax.numpy as jnp
 
 import thunderbolt_tpu as tb
 from thunderbolt_tpu.mesh.mesh import Mesh, ElementBlock
+from thunderbolt_tpu.utils.smoke import smoke
 
 L, W = 8.0, 1.5
-nx, ny, nz = 32, 6, 6
+nx, ny, nz = smoke((16, 4, 4), (32, 6, 6))
+T_END = smoke(80.0, 200.0)
 mesh3 = tb.generate_mesh("hex8", (nx, ny, nz), (0, 0, 0), (L, W, W))
 
 # cable along the y=0, z=0 edge, sharing the slab's nodes
@@ -50,12 +52,12 @@ u0 = tb.setvariable(u0, ode, "phi_m",
 
 alg = tb.LieTrotterGodunov((tb.BackwardEulerSolver(rtol=1e-6, atol=1e-8),
                             tb.ForwardEulerCellSolver(substeps=8)))
-integ = tb.init(ode, alg, u0, (0.0, 200.0), 0.5)
+integ = tb.init(ode, alg, u0, (0.0, T_END), 0.5)
 
 io = tb.ParaViewWriter("out/EP02_purkinje")
 p_cable = int(np.argmin(np.linalg.norm(mesh.nodes - [L, 0, 0], axis=1)))
 p_far = int(np.argmin(np.linalg.norm(mesh.nodes - [L, W, W], axis=1)))
-for t, u in tb.TimeChoiceIterator(integ, np.arange(0.0, 201.0, 10.0)):
+for t, u in tb.TimeChoiceIterator(integ, np.arange(0.0, T_END + 1, 10.0)):
     phi = tb.nodal_values(u, ode, "phi_m", mesh)
     io.store_timestep(t, mesh3, {"phi_m": phi})
     print(f"t = {t:6.1f} ms   phi(cable end) = {float(phi[p_cable]):+.3f}"

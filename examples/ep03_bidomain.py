@@ -19,9 +19,10 @@ jax.config.update("jax_platforms", "cpu")  # small demo; remove on TPU
 
 import jax.numpy as jnp  # noqa: E402
 import thunderbolt_tpu as tb  # noqa: E402
+from thunderbolt_tpu.utils.smoke import smoke  # noqa: E402
 
 
-def main(N=48, T=60.0):
+def main(N=smoke(16, 48), T=smoke(20.0, 60.0)):
     mesh = tb.generate_mesh("quad4", (N, N), (0.0, 0.0), (2.5, 2.5))
     # unequal anisotropy ratios (classic bidomain-only regime):
     # intracellular strongly fiber-biased, extracellular nearly isotropic

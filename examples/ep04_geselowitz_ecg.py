@@ -19,9 +19,11 @@ jax.config.update("jax_platforms", "cpu")  # small demo; remove on TPU
 
 import jax.numpy as jnp  # noqa: E402
 import thunderbolt_tpu as tb  # noqa: E402
+from thunderbolt_tpu.utils.smoke import smoke  # noqa: E402
 
 
-def main(nel_heart=(8, 4, 4), nel_torso=(14, 10, 7), T=50.0):
+def main(nel_heart=smoke((4, 2, 2), (8, 4, 4)),
+         nel_torso=smoke((7, 5, 4), (14, 10, 7)), T=smoke(10.0, 50.0)):
     heart_mesh = tb.generate_mesh("tet4", nel_heart,
                                   (1.5, 1.5, 0.0), (5.5, 3.5, 2.0))
     torso_mesh = tb.generate_mesh("hex8", nel_torso,

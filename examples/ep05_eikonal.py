@@ -23,9 +23,10 @@ import jax.numpy as jnp
 
 import thunderbolt_tpu as tb
 from thunderbolt_tpu.models.eikonal import solve_eikonal
+from thunderbolt_tpu.utils.smoke import smoke
 
 LX, LY, LZ = 20.0, 7.0, 3.0     # mm
-h = 0.25
+h = smoke(1.0, 0.25)
 mesh = tb.generate_mesh(
     "hex8", (int(LX / h), int(LY / h), int(LZ / h)), (0, 0, 0),
     (LX, LY, LZ))

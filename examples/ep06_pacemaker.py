@@ -23,7 +23,9 @@ import numpy as np
 import jax.numpy as jnp
 
 import thunderbolt_tpu as tb
+from thunderbolt_tpu.utils.smoke import smoke
 
+T_END = smoke(400.0, 1500.0)
 mesh = tb.generate_mesh("quad4", (48, 8), (0.0, 0.0), (6.0, 1.0))
 cent = np.stack([mesh.nodes[b.connectivity].mean(1)
                  for b in mesh.blocks]).reshape(-1, 2)
@@ -49,12 +51,12 @@ u0 = u0.at[cells.parts[0].phi_dofs].set(0.4)       # kick the node once
 
 alg = tb.LieTrotterGodunov((tb.BackwardEulerSolver(rtol=1e-6, atol=1e-8),
                             tb.ForwardEulerCellSolver(substeps=8)))
-integ = tb.init(ode, alg, u0, (0.0, 1500.0), 1.0)
+integ = tb.init(ode, alg, u0, (0.0, T_END), 1.0)
 vi = tb.solution_variable(ode, "phi_m")
 far = int(np.argmin(np.linalg.norm(vi.coords - [6.0, 0.5], axis=1)))
 
 beats, above = 0, False
-for t, u in tb.TimeChoiceIterator(integ, np.arange(0.0, 1501.0, 10.0)):
+for t, u in tb.TimeChoiceIterator(integ, np.arange(0.0, T_END + 1, 10.0)):
     phi = float(np.asarray(u[vi.slice])[far])
     if phi > 0.5 and not above:
         beats += 1
@@ -62,5 +64,5 @@ for t, u in tb.TimeChoiceIterator(integ, np.arange(0.0, 1501.0, 10.0)):
         print(f"t = {t:7.1f} ms  beat #{beats} reaches the far end")
     elif phi < 0.0:
         above = False
-print(f"{beats} spontaneous beats propagated in 1.5 s "
+print(f"{beats} spontaneous beats propagated in {T_END / 1e3:.1f} s "
       f"(pacemaker period ~ FHN recovery time)")

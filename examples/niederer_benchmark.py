@@ -17,8 +17,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import thunderbolt_tpu as tb
 from thunderbolt_tpu.benchmarks import niederer
+from thunderbolt_tpu.utils.smoke import smoke
 
-h = float(sys.argv[1]) if len(sys.argv) > 1 else 0.5
+h = float(sys.argv[1]) if len(sys.argv) > 1 else smoke(1.0, 0.5)
 t0 = time.time()
 mesh, ode, u0 = niederer.build(h=h, dtype=jnp.float32)
 print(f"slab h={h} mm: {ode.functions[0].dh.ndofs} dofs "
@@ -28,8 +29,8 @@ alg = tb.LieTrotterGodunov((
     tb.BackwardEulerSolver(rtol=1e-5, atol=1e-6),
     tb.RushLarsenCellSolver(substeps=2),
 ))
-act, sps = niederer.activation_times(ode, u0, alg, T=80.0, dt=0.05,
-                                     sample_dt=0.5)
+act, sps = niederer.activation_times(ode, u0, alg, T=smoke(20.0, 80.0),
+                                     dt=0.05, sample_dt=0.5)
 print(f"march to 80 ms at dt=0.05: {sps:.0f} steps/s "
       f"(steady-state, compile excluded)")
 
