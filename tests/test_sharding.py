@@ -256,3 +256,37 @@ def test_ensemble_population_sharded_over_devices():
         solo = np.asarray(jax.jit(
             lambda d: dm.march(d, s0, 20)[0])(Ds[i]))
         np.testing.assert_array_equal(np.asarray(out)[i], solo)
+
+
+@pytest.mark.slow
+def test_sharded_em_march_matches_single_chip():
+    """The fully distributed excitation→contraction→circulation march
+    (``ShardedEM3D0D``: EP rows partitioned, Ca gathered across the
+    partition, structural block dof-distributed, circuit replicated)
+    reproduces the single-chip ``CoupledElectromechanics3D0D.march``
+    trajectory on the virtual 8-device mesh."""
+    from thunderbolt_tpu.benchmarks import full_beat
+    from thunderbolt_tpu.parallel.em import ShardedEM3D0D
+
+    _, _, _, _, em = full_beat.build(dims=(6, 2, 3))
+    u_ep_r, w_r, c_r, rep_r = em.march(0.0, 5.0, 3)
+    assert rep_r.all_converged()
+
+    # fresh stack: the single-chip march committed its internal state
+    _, odeb, fn3db, circb, emb = full_beat.build(dims=(6, 2, 3))
+    sem = ShardedEM3D0D(odeb, emb.ep_alg, emb.ep_dt, fn3db, circb,
+                        make_device_mesh(8), solver=emb.solver,
+                        ca_transform=emb._ca.ca_transform)
+    U_s, w_s, c_s, rep_s = sem.march(0.0, 5.0, 3)
+    assert rep_s.all_converged()
+
+    np.testing.assert_allclose(np.asarray(rep_s.volumes),
+                               np.asarray(rep_r.volumes), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(rep_s.pressures),
+                               np.asarray(rep_r.pressures), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(sem.unpad_ep(U_s)),
+                               np.asarray(u_ep_r), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(sem.fn3ds.unpad(w_s)),
+                               np.asarray(w_r), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(c_s), np.asarray(c_r),
+                               atol=1e-10)
