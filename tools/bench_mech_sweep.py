@@ -270,9 +270,12 @@ def run_config5(levels, dense_unused, repeats, platform, setup_dev,
             fn3d, circ = tb.semidiscretize(tb.RSAFDQ2022Split(coupled),
                                            disc, mesh)
         n = fn3d.nmech
+        # inner_rtol=1e-5 measured equivalent to 1e-8 here (identical
+        # Newton counts/volume trace, p_err 4e-7) and 1.62x faster —
+        # see bench_configs.py config 5
         solver = tb.Coupled3D0DSolver(
             newton=tb.BlockedNewtonSolver(tol=5e-4, rtol=1e-3, max_iter=25,
-                                          inner="schur_cg",
+                                          inner="schur_cg", inner_rtol=1e-5,
                                           simplified_newton=True))
         w0, c0 = solver.init(fn3d, circ, jnp.float32)
         V0 = float(fn3d.volumes(w0[: fn3d.nmech])[0])
