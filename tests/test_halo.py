@@ -117,3 +117,75 @@ def test_halo_rejects_wide_band():
     cols = np.stack([rows, (rows + n // 2) % n], axis=1)
     with pytest.raises(ValueError, match="bandwidth"):
         ell_halo_tables(cols, ndev)
+
+
+@needs8
+def test_auto_resolves_to_halo_on_band_ordered():
+    """spmv="auto" (the round-5 default) must pick the halo path for the
+    lattice-ordered monodomain operator — and record the choice."""
+    heat = tb.BackwardEulerSolver(rtol=1e-8, solver="chebyshev")
+    odeform, u0, alg = _setup(heat=heat)
+    dmesh = make_device_mesh(8)
+    step_a, place_a = make_sharded_step(odeform, alg, 1.0, dmesh)
+    assert place_a.spmv_mode == "halo"
+    # and the auto-selected step matches the explicit gspmd path
+    step_g, place_g = make_sharded_step(odeform, alg, 1.0, dmesh,
+                                        spmv="gspmd")
+    t = jnp.asarray(0.0, u0.dtype)
+    Ua = step_a(place_a(u0), t)
+    Ug = step_g(place_g(u0), t)
+    err = np.abs(np.asarray(Ua) - np.asarray(Ug)).max()
+    assert err < 1e-12, err
+
+
+@needs8
+def test_auto_falls_back_on_unsupported_solver():
+    """An inner solver the halo path cannot serve (non-Jacobi
+    preconditioner) must fall back to gspmd, not crash."""
+    from thunderbolt_tpu.parallel.halo import halo_eligibility, resolve_spmv
+
+    class FakeSolver:
+        preconditioner = "ilu"
+        solver = "cg"
+
+    heat = tb.BackwardEulerSolver(rtol=1e-8, solver="chebyshev")
+    odeform, u0, alg = _setup(heat=heat)
+    from thunderbolt_tpu.parallel.sharding import (
+        pad_split_function, shard_split_function)
+    dmesh = make_device_mesh(8)
+    fn_p, _, _ = pad_split_function(odeform, 8)
+    heat_s = shard_split_function(fn_p, dmesh, "shard").functions[0]
+    ok, why = halo_eligibility(heat_s, FakeSolver(), 8)
+    assert not ok and "Jacobi" in why
+    assert resolve_spmv("auto", heat_s, FakeSolver(), 8) == "gspmd"
+    # eligible solver resolves to halo
+    assert resolve_spmv("auto", heat_s, heat, 8) == "halo"
+
+
+@needs8
+def test_auto_falls_back_on_wide_band():
+    """A dof ordering whose bandwidth exceeds the per-device block must
+    fall back to gspmd (the halo window cannot cover the columns)."""
+    from thunderbolt_tpu.parallel.halo import halo_eligibility
+    heat = tb.BackwardEulerSolver(rtol=1e-8, solver="chebyshev")
+    # a LARGE quad grid on 8 devices keeps bandwidth ~N below n/8; use a
+    # tiny one where N^2/8 < N+2 to force the wide-band rejection
+    odeform, u0, alg = _setup(N=4, heat=heat)
+    from thunderbolt_tpu.parallel.sharding import (
+        pad_split_function, shard_split_function)
+    dmesh = make_device_mesh(8)
+    fn_p, _, _ = pad_split_function(odeform, 8)
+    heat_s = shard_split_function(fn_p, dmesh, "shard").functions[0]
+    ok, why = halo_eligibility(heat_s, heat, 8)
+    assert not ok and "bandwidth" in why
+    step, place = make_sharded_step(odeform, alg, 1.0, dmesh)
+    assert place.spmv_mode == "gspmd"
+    # the fallback still marches correctly vs the unsharded step
+    step1 = alg.make_step(odeform, 1.0)
+    t = jnp.asarray(0.0, u0.dtype)
+    u_ref = np.asarray(step1(u0, t))
+    U = np.asarray(step(place(u0), t))
+    ncells = odeform.functions[1].npoints
+    nst = odeform.functions[1].ion.nstates
+    n = u_ref.size // nst
+    assert np.abs(U[:, :n] - u_ref.reshape(nst, n)).max() < 1e-12

@@ -231,7 +231,7 @@ def chebyshev_dia_fused(A: DIAMatrix, b, x0, *, lam_min, lam_max, iters,
             kern,
             grid=(ntiles,),
             out_shape=tuple(out3),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 6,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6,
             out_specs=tuple(
                 pl.BlockSpec((T // 128, 128), lambda t: (t, 0),
                              memory_space=pltpu.VMEM) for _ in range(3)),

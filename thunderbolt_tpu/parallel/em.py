@@ -47,7 +47,7 @@ class ShardedEM3D0D:
     def __init__(self, ep_ode, ep_alg, ep_dt, fn3d, circuit, mesh,
                  solver=None, *, ca_symbol: str = "Ca_i",
                  ca_transform: Optional[Callable] = None,
-                 axis: str = "shard", spmv: str = "gspmd"):
+                 axis: str = "shard", spmv: str = "auto"):
         from thunderbolt_tpu.disc.coupled import Coupled3D0DSolver
         from thunderbolt_tpu.disc.electromechanics import (
             refresh_material_kernels)
@@ -66,15 +66,16 @@ class ShardedEM3D0D:
             ep_ode, n_devices)
         fn_s = shard_split_function(fn_p, mesh, axis)
         heat_s, cells_s = fn_s.functions
-        if spmv == "halo":
+        from thunderbolt_tpu.parallel.halo import resolve_spmv
+        self.spmv_mode = resolve_spmv(spmv, heat_s, ep_alg.algorithms[0],
+                                      n_devices)
+        if self.spmv_mode == "halo":
             from thunderbolt_tpu.parallel.halo import make_halo_heat_step
             self._heat_step = make_halo_heat_step(
                 heat_s, ep_alg.algorithms[0], self.ep_dt, mesh, axis)
-        elif spmv == "gspmd":
+        else:
             self._heat_step = ep_alg.algorithms[0].make_step(heat_s,
                                                              self.ep_dt)
-        else:
-            raise ValueError(f"unknown spmv mode {spmv!r}")
         self._cell_step = ep_alg.algorithms[1].make_step(cells_s,
                                                          self.ep_dt)
         ion = cells_s.ion

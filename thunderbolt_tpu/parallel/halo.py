@@ -113,6 +113,69 @@ def _cg_psum(mv, b, x0, dinv, *, rtol, atol, maxiter, axis):
     return x
 
 
+def halo_eligibility(fn, solver, ndev: int):
+    """(ok, reason) — can the halo-exchange path serve this heat solve?
+
+    Conditions (each maps to a structural requirement of
+    :func:`make_halo_heat_step`): unconstrained operator (monodomain heat
+    has no Dirichlet rows), a Jacobi-preconditioned Chebyshev/CG
+    BackwardEulerSolver, a shared ELL sparsity between M and K, rows
+    divisible by the device count (``pad_split_function`` guarantees
+    this), and matrix bandwidth below the per-device block size so the
+    off-device columns fit in one left + one right neighbour halo.
+    """
+    if fn.constraints is not None:
+        return False, ("Dirichlet-constrained operator (constraint "
+                       "support lives on the GSPMD path)")
+    if getattr(solver, "preconditioner", "jacobi") != "jacobi":
+        return False, "halo heat step is Jacobi-preconditioned"
+    if getattr(solver, "solver", None) not in ("chebyshev", "cg"):
+        return False, (f"inner solver {getattr(solver, 'solver', None)!r} "
+                       "unsupported (chebyshev/cg only)")
+    M, K = fn.M, fn.K
+    cols_m = getattr(M, "cols", None)
+    cols_k = getattr(K, "cols", None)
+    if cols_m is None or cols_k is None:
+        return False, "operators are not ELL (no column table)"
+    cols = np.asarray(jax.device_get(cols_k))
+    if not np.array_equal(cols, np.asarray(jax.device_get(cols_m))):
+        return False, "M and K sparsity patterns differ"
+    n = cols.shape[0]
+    if n % ndev:
+        return False, f"rows ({n}) not divisible by mesh size {ndev}"
+    L = n // ndev
+    rows = np.arange(n, dtype=np.int64)[:, None]
+    B = int(np.max(np.abs(cols.astype(np.int64) - rows)))
+    if B > L:
+        return False, (f"matrix bandwidth {B} exceeds the local block "
+                       f"size {L} (dofs not band-ordered; renumber or "
+                       "use fewer devices)")
+    return True, f"bandwidth {B} <= block {L}"
+
+
+def resolve_spmv(spmv: str, fn, solver, ndev: int, *, logger=None):
+    """Resolve an ``spmv`` mode string to ``"halo"`` or ``"gspmd"``.
+
+    ``"auto"`` (the default across the sharded EP/EM entry points since
+    round 5) picks halo whenever :func:`halo_eligibility` passes —
+    O(bandwidth) neighbour exchange instead of an O(ndofs) all-gather
+    per matvec — and falls back to GSPMD with the reason logged.
+    """
+    import logging
+    logger = logger or logging.getLogger("thunderbolt_tpu.parallel")
+    if spmv in ("halo", "gspmd"):
+        return spmv
+    if spmv != "auto":
+        raise ValueError(f"unknown spmv mode {spmv!r}; "
+                         "expected 'auto', 'halo' or 'gspmd'")
+    ok, why = halo_eligibility(fn, solver, ndev)
+    if ok:
+        logger.info("spmv=auto -> halo (%s)", why)
+        return "halo"
+    logger.info("spmv=auto -> gspmd fallback: %s", why)
+    return "gspmd"
+
+
 def make_halo_heat_step(fn, solver, dt, mesh: Mesh, axis: str = "shard"):
     """Backward-Euler heat step with the halo-exchange partitioned SpMV.
 
@@ -128,13 +191,12 @@ def make_halo_heat_step(fn, solver, dt, mesh: Mesh, axis: str = "shard"):
     from thunderbolt_tpu.solver.linear import (
         lanczos_bounds, chebyshev, chebyshev_iterations)
 
-    if fn.constraints is not None:
-        raise NotImplementedError(
-            "halo heat step supports unconstrained heat operators "
-            "(monodomain); use spmv='gspmd' for Dirichlet-constrained "
-            "systems")
-    if solver.preconditioner != "jacobi":
-        raise ValueError("halo heat step is Jacobi-preconditioned")
+    ok, why = halo_eligibility(
+        fn, solver,
+        int(np.prod([mesh.shape[a] for a in mesh.axis_names])))
+    if not ok:
+        raise ValueError(f"halo heat step not applicable: {why}; "
+                         "use spmv='gspmd'")
 
     ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     M, K = fn.M, fn.K

@@ -194,7 +194,7 @@ def shard_state(u, odeform: GenericSplitFunction, mesh: Mesh,
 
 
 def make_sharded_step(odeform: GenericSplitFunction, alg, dt, mesh: Mesh,
-                      axis: str = "shard", spmv: str = "gspmd"):
+                      axis: str = "shard", spmv: str = "auto"):
     """jit the reaction-diffusion split step on the device mesh.
 
     Supports the 2-child EP split (heat, pointwise cells). The state is the
@@ -203,7 +203,10 @@ def make_sharded_step(odeform: GenericSplitFunction, alg, dt, mesh: Mesh,
 
     ``spmv`` selects the partitioned-SpMV communication pattern:
 
-    * ``"gspmd"`` (default): GSPMD inserts an all-gather of the full
+    * ``"auto"`` (default): halo when the operator qualifies
+      (band-ordered, unconstrained, Jacobi-preconditioned — see
+      ``halo.halo_eligibility``), gspmd otherwise (reason logged).
+    * ``"gspmd"``: GSPMD inserts an all-gather of the full
       operand vector per matvec — O(ndofs) bytes/device/iteration.
     * ``"halo"``: shard_map + lax.ppermute neighbour exchange of the
       O(bandwidth) halo only (``parallel/halo.py``; the SURVEY §2.9
@@ -212,23 +215,23 @@ def make_sharded_step(odeform: GenericSplitFunction, alg, dt, mesh: Mesh,
       Jacobi-preconditioned BackwardEulerSolver heat child.
 
     Returns (step, place): ``place(u_flat_or_2d)`` shards a state,
-    ``step(U, t) -> U`` advances one dt.
+    ``step(U, t) -> U`` advances one dt. The resolved SpMV mode is
+    recorded on ``place.spmv_mode``.
     """
+    from thunderbolt_tpu.parallel.halo import resolve_spmv
     n_devices = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     fn_p, pad_state, unpad_state = pad_split_function(odeform, n_devices)
     fn = shard_split_function(fn_p, mesh, axis)
     heat_s, cells_s = fn.functions
     ion = cells_s.ion
     p = ion.phi_index
+    spmv = resolve_spmv(spmv, heat_s, alg.algorithms[0], n_devices)
     if spmv == "halo":
         from thunderbolt_tpu.parallel.halo import make_halo_heat_step
         heat_step = make_halo_heat_step(heat_s, alg.algorithms[0], dt,
                                         mesh, axis)
-    elif spmv == "gspmd":
-        heat_step = alg.algorithms[0].make_step(heat_s, dt)
     else:
-        raise ValueError(f"unknown spmv mode {spmv!r}; "
-                         "expected 'gspmd' or 'halo'")
+        heat_step = alg.algorithms[0].make_step(heat_s, dt)
     cell_step = alg.algorithms[1].make_step(cells_s, dt)
 
     def step(U, t):
@@ -244,6 +247,7 @@ def make_sharded_step(odeform: GenericSplitFunction, alg, dt, mesh: Mesh,
     def place(u):
         return shard_state(pad_state(u), fn_p, mesh, axis)
 
+    place.spmv_mode = spmv
     return jstep, place
 
 

@@ -235,7 +235,7 @@ def run_config4(hier, disc, make_material, levels, dense_max, repeats,
 
 
 def run_config5(levels, dense_unused, repeats, platform, setup_dev,
-                nsteps=50):
+                nsteps=50, verify_inner=False):
     import contextlib
     import jax
     import jax.numpy as jnp
@@ -294,12 +294,40 @@ def run_config5(levels, dense_unused, repeats, platform, setup_dev,
             jax.block_until_ready(w)
             times.append(time.perf_counter() - t0)
         el = float(np.median(times))
-        _emit({"config": 5, "ndofs": n, "variant": "schur-cg-chord",
+        rec = {"config": 5, "ndofs": n, "variant": "schur-cg-chord",
                "platform": platform, "steps": nsteps,
                "march_s": round(el, 3),
                "ms_per_coupled_step": round(1e3 * el / nsteps, 2),
                "beat_equivalent_s": round(el * 400.0 / nsteps, 2),
-               **_host_info()})
+               # ADVICE r4: emit the Newton-iteration count so per-level
+               # equivalence of the loose inner rtol is visible, not
+               # extrapolated from the 6.5k measurement
+               "newton_iters": int(np.asarray(rep.iterations).sum()),
+               **_host_info()}
+        if verify_inner:
+            # one-off tight-inner march at THIS level: the loose
+            # inner_rtol=1e-5 is admissible iff Newton counts match and
+            # the PV trace agrees (ADVICE r4)
+            tight = tb.Coupled3D0DSolver(
+                newton=tb.BlockedNewtonSolver(
+                    tol=5e-4, rtol=1e-3, max_iter=25, inner="schur_cg",
+                    inner_rtol=1e-8, simplified_newton=True))
+            wt, ct, rept = tight.march(fn3d, circ, w0, c0, 0.0, dt,
+                                       nsteps)
+            v = np.asarray(rep.volumes, np.float64)
+            vt = np.asarray(rept.volumes, np.float64)
+            p = np.asarray(rep.pressures, np.float64)
+            pt = np.asarray(rept.pressures, np.float64)
+            rec["inner_check"] = {
+                "tight_newton_iters": int(
+                    np.asarray(rept.iterations).sum()),
+                "vol_rel_err": float(
+                    (np.abs(v - vt) / np.maximum(np.abs(vt), 1e-30))
+                    .max()),
+                "p_err": float(np.abs(p - pt).max()),
+                "tight_converged": rept.all_converged(),
+            }
+        _emit(rec)
 
 
 def main():
@@ -311,6 +339,9 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--dense-max", type=int, default=3000)
     ap.add_argument("--c5-steps", type=int, default=50)
+    ap.add_argument("--verify-inner", action="store_true",
+                    help="config 5: one-off inner_rtol=1e-8 march per "
+                    "level, compare Newton counts + PV trace (ADVICE r4)")
     args = ap.parse_args()
 
     import jax
@@ -340,7 +371,8 @@ def main():
                     args.repeats, platform, setup_dev)
     if 5 in configs:
         run_config5(levels, args.dense_max, args.repeats, platform,
-                    setup_dev, nsteps=args.c5_steps)
+                    setup_dev, nsteps=args.c5_steps,
+                    verify_inner=args.verify_inner)
 
 
 if __name__ == "__main__":

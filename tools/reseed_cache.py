@@ -39,14 +39,25 @@ SEED = os.path.join(REPO, "tests", ".jit_cache")
 MANIFEST = os.path.join(SEED, "SEED_MANIFEST.json")
 
 
-def jax_version():
+def build_ids():
+    """(jax, jaxlib, cpu-backend platform_version) of the environment.
+
+    Cache entries are keyed by the XLA build, not just jax.__version__ —
+    an XLA/jaxlib bump with an unchanged jax version would still void
+    every entry, so the manifest records all three (VERDICT r4 weak 6).
+    """
     out = subprocess.run(
         [sys.executable, "-c",
          "import os; os.environ['JAX_PLATFORMS']='cpu'; "
-         "import jax; print(jax.__version__)"],
+         "import jax, jaxlib, json; import jax.extend as jex; "
+         "jax.config.update('jax_platforms', 'cpu'); "
+         "print(json.dumps({'jax': jax.__version__, "
+         "'jaxlib': jaxlib.__version__, "
+         "'cpu_backend': jex.backend.get_backend('cpu')"
+         ".platform_version}))"],
         capture_output=True, text=True, check=True,
         env=dict(os.environ, JAX_PLATFORMS="cpu"))
-    return out.stdout.strip().splitlines()[-1]
+    return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def seed_stats(path):
@@ -64,26 +75,31 @@ def seed_stats(path):
 
 
 def check():
-    ver = jax_version()
+    ids = build_ids()
     n, b = seed_stats(SEED)
-    print(f"environment jax: {ver}")
+    print(f"environment: jax {ids['jax']}, jaxlib {ids['jaxlib']}")
     print(f"seed entries: {n} ({b / 1e6:.1f} MB)")
     if not os.path.isfile(MANIFEST):
         print("manifest: MISSING (seed unverified; reseed to stamp it)")
         return 1
     with open(MANIFEST) as f:
         meta = json.load(f)
-    print(f"manifest: jax {meta.get('jax')}, {meta.get('entries')} "
+    print(f"manifest: jax {meta.get('jax')}, jaxlib "
+          f"{meta.get('jaxlib')}, {meta.get('entries')} "
           f"entries, created {meta.get('created')}")
-    if meta.get("jax") != ver:
-        print("STATUS: STALE — every entry will miss; rerun this script.")
+    stale = [k for k in ("jax", "jaxlib", "cpu_backend")
+             if meta.get(k) is not None and meta.get(k) != ids.get(k)]
+    if stale:
+        print(f"STATUS: STALE ({', '.join(stale)} changed) — every "
+              "entry will miss; rerun this script.")
         return 1
     print("STATUS: fresh")
     return 0
 
 
 def reseed(commit: bool):
-    ver = jax_version()
+    ids = build_ids()
+    ver = ids["jax"]
     fresh = os.path.join(REPO, "tests", ".jit_cache.new")
     if os.path.isdir(fresh):
         shutil.rmtree(fresh)
@@ -113,7 +129,7 @@ def reseed(commit: bool):
                 else "*\n!.gitignore\n!SEED_MANIFEST.json\n")
     n, b = seed_stats(SEED)
     meta = {
-        "jax": ver,
+        **ids,
         "entries": n,
         "bytes": b,
         "created": datetime.date.today().isoformat(),
