@@ -235,7 +235,7 @@ def run_config4(hier, disc, make_material, levels, dense_max, repeats,
 
 
 def run_config5(levels, dense_unused, repeats, platform, setup_dev,
-                nsteps=50, verify_inner=False):
+                nsteps=50, verify_inner=False, chunk=0):
     import contextlib
     import jax
     import jax.numpy as jnp
@@ -281,7 +281,29 @@ def run_config5(levels, dense_unused, repeats, platform, setup_dev,
         V0 = float(fn3d.volumes(w0[: fn3d.nmech])[0])
         c0 = c0.at[circ.volume_index("lv")].set(V0)
         dt = 2.0
-        w, c, rep = solver.march(fn3d, circ, w0, c0, 0.0, dt, nsteps)
+        def march_all(w, c):
+            """nsteps coupled steps — one dispatch, or ``chunk``-step
+            dispatches when a single long dispatch would trip the
+            remote-worker watchdog (observed at 46.8k dofs)."""
+            if not chunk or chunk >= nsteps:
+                return solver.march(fn3d, circ, w, c, 0.0, dt, nsteps)
+            reps = []
+            t = 0.0
+            for s in range(0, nsteps, chunk):
+                m = min(chunk, nsteps - s)
+                w, c, rp = solver.march(fn3d, circ, w, c, t, dt, m)
+                jax.block_until_ready(w)
+                reps.append(rp)
+                t += m * dt
+            import dataclasses
+            merged = {
+                f.name: (np.concatenate(
+                    [np.asarray(getattr(r, f.name)) for r in reps])
+                    if getattr(reps[0], f.name) is not None else None)
+                for f in dataclasses.fields(reps[0])}
+            return w, c, type(reps[0])(**merged)
+
+        w, c, rep = march_all(w0, c0)
         if not rep.all_converged():
             bad = np.where(~np.asarray(rep.converged))[0]
             _emit({"config": 5, "ndofs": n, "platform": platform,
@@ -290,7 +312,7 @@ def run_config5(levels, dense_unused, repeats, platform, setup_dev,
         times = []
         for _ in range(repeats):
             t0 = time.perf_counter()
-            w, c, rep = solver.march(fn3d, circ, w0, c0, 0.0, dt, nsteps)
+            w, c, rep = march_all(w0, c0)
             jax.block_until_ready(w)
             times.append(time.perf_counter() - t0)
         el = float(np.median(times))
@@ -339,6 +361,11 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--dense-max", type=int, default=3000)
     ap.add_argument("--c5-steps", type=int, default=50)
+    ap.add_argument("--c5-chunk", type=int, default=0,
+                    help="split the config-5 march into chunk-step "
+                    "dispatches (long single dispatches trip the remote "
+                    "worker watchdog at 46.8k dofs); timing includes the "
+                    "per-chunk dispatch overhead")
     ap.add_argument("--verify-inner", action="store_true",
                     help="config 5: one-off inner_rtol=1e-8 march per "
                     "level, compare Newton counts + PV trace (ADVICE r4)")
@@ -372,7 +399,7 @@ def main():
     if 5 in configs:
         run_config5(levels, args.dense_max, args.repeats, platform,
                     setup_dev, nsteps=args.c5_steps,
-                    verify_inner=args.verify_inner)
+                    verify_inner=args.verify_inner, chunk=args.c5_chunk)
 
 
 if __name__ == "__main__":
