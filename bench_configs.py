@@ -229,13 +229,17 @@ def config5_coupled_heartbeat():
     # quadratic convergence 0.39 -> 1.7e-3 -> 2.4e-4)
     # chord (simplified) Newton: frozen blocked tangent + preconditioner,
     # auto re-linearization on slow contraction — newton_raphson.jl:67,223
-    # inner_rtol=1e-5: the Schur-CG need not out-resolve the outer
-    # rtol=1e-3 chord Newton by 5 decades. Measured (round 4, 6.5k-dof
-    # LV, 50-step march): identical Newton counts and volume trace,
-    # p_err 4e-7 vs the 1e-8 inner, 1.62x faster per coupled step.
+    # inner="schur_dense" (round 5): at 1,020 dofs one MXU dense LU per
+    # chord linearization (~1 ms measured, tools/roofline_mech.py)
+    # replaces the latency-bound Schur-CG entirely; verified to
+    # reproduce the schur_cg march bit-for-bit in Newton counts and the
+    # PV trace (and the f64-reference correctness gate below still
+    # applies). The CG policy note for larger sizes: inner_rtol=1e-5
+    # measured equivalent to 1e-8 at 1k/6.5k (identical Newton counts,
+    # vol trace bitwise, p_err <= 4.2e-7 — sweep --verify-inner).
     solver = tb.Coupled3D0DSolver(
         newton=tb.BlockedNewtonSolver(tol=5e-4, rtol=1e-3, max_iter=25,
-                                      inner="schur_cg", inner_rtol=1e-5,
+                                      inner="schur_dense",
                                       simplified_newton=True))
     w0, c0 = solver.init(fn3d, circ, jnp.float32)
     V0 = float(fn3d.volumes(w0[: fn3d.nmech])[0])

@@ -308,3 +308,29 @@ def test_stateful_march_matches_step_loop():
             not np.allclose(np.asarray(st[k2]), pre[i][k2]) for k2 in st)
         for i, st in enumerate(fn3d.mech.internal))
     assert changed
+
+
+def test_schur_dense_matches_schur_cg():
+    """inner="schur_dense" (round 5: dense LU of the masked blocked
+    tangent, frozen across chord iterations, two triangular solves per
+    update) must reproduce the schur_cg march — same Newton counts, same
+    trajectory to inner-solver tolerance."""
+    circuit = RSAFDQ2022LumpedCircuitModel(lv_pressure_given=False)
+    _, fn_a, circ_a = _lv_setup(circuit, scale=5.14)
+    _, fn_b, circ_b = _lv_setup(circuit, scale=5.14)
+    sol_cg = Coupled3D0DSolver(newton=BlockedNewtonSolver(
+        tol=1e-8, max_iter=40, inner="schur_cg", inner_rtol=1e-10,
+        simplified_newton=True))
+    sol_de = Coupled3D0DSolver(newton=BlockedNewtonSolver(
+        tol=1e-8, max_iter=40, inner="schur_dense",
+        simplified_newton=True))
+    w0, c0 = sol_cg.init(fn_a, circ_a, DT)
+    V0 = float(fn_a.volumes(w0[: fn_a.nmech])[0])
+    c0 = c0.at[circ_a.volume_index("lv")].set(V0)
+    wa, ca, rep_a = sol_cg.march(fn_a, circ_a, w0, c0, 0.0, 2.0, 4)
+    wb, cb, rep_b = sol_de.march(fn_b, circ_b, w0, c0, 0.0, 2.0, 4)
+    assert rep_a.all_converged() and rep_b.all_converged()
+    assert np.array_equal(np.asarray(rep_a.iterations),
+                          np.asarray(rep_b.iterations))
+    assert float(jnp.abs(wa - wb).max()) < 1e-7
+    assert float(jnp.abs(ca - cb).max()) < 1e-7

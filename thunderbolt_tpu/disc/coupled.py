@@ -269,7 +269,16 @@ class BlockedNewtonSolver:
         def make_minv(A, w, t, extra):
             """Preconditioner DATA (a pytree, carryable across while_loop
             iterations — a closure could not be). Default: the inverted
-            [c,c] diagonal blocks, computed ONCE per linearization."""
+            [c,c] diagonal blocks, computed ONCE per linearization.
+            ``inner="schur_dense"``: the dense LU factors of the masked
+            tangent instead — at ~1k dofs one MXU factorization (~1 ms
+            measured) replaces hundreds of latency-bound CG iterations
+            per chord step, and chord Newton amortizes it across the
+            whole step (the config-3/4 dense-inner policy applied to the
+            blocked solve)."""
+            if cfg.inner == "schur_dense":
+                from thunderbolt_tpu.fem.sparsity import operator_to_dense
+                return jax.scipy.linalg.lu_factor(operator_to_dense(A))
             if cfg.precon is not None:
                 return cfg.precon(A, w, t, extra)
             inner = A.A if isinstance(A, MaskedOperator) else A
@@ -295,17 +304,23 @@ class BlockedNewtonSolver:
         def schur_step(A, Mdata, B, r_u, r_p):
             """One blocked-Newton update: ONE vmapped CG over the m+1
             right-hand sides [r_u | -B^T] (columns share each sweep's
-            matvec batch; per-column scalars, so no scale mixing), then
-            the tiny multiplier Schur solve."""
+            matvec batch; per-column scalars, so no scale mixing) — or,
+            with ``inner="schur_dense"``, two triangular solves against
+            the carried LU factors — then the tiny multiplier Schur
+            solve."""
             rhs = jnp.concatenate([r_u[:, None], -B.T], axis=1)  # [n, m+1]
 
-            def solve_col(b):
-                x, _ = cg(A.mv, b, Minv=lambda v: apply_minv(A, Mdata, v),
-                          rtol=cfg.inner_rtol, atol=cfg.inner_atol,
-                          maxiter=cfg.inner_maxiter)
-                return x
+            if cfg.inner == "schur_dense":
+                X = jax.scipy.linalg.lu_solve(Mdata, rhs)
+            else:
+                def solve_col(b):
+                    x, _ = cg(A.mv,
+                              b, Minv=lambda v: apply_minv(A, Mdata, v),
+                              rtol=cfg.inner_rtol, atol=cfg.inner_atol,
+                              maxiter=cfg.inner_maxiter)
+                    return x
 
-            X = jax.vmap(solve_col, in_axes=1, out_axes=1)(rhs)
+                X = jax.vmap(solve_col, in_axes=1, out_axes=1)(rhs)
             xf, W = X[:, 0], X[:, 1:]
             S = B @ W
             from thunderbolt_tpu.solver.linear import _small_dense_solve

@@ -270,12 +270,16 @@ def run_config5(levels, dense_unused, repeats, platform, setup_dev,
             fn3d, circ = tb.semidiscretize(tb.RSAFDQ2022Split(coupled),
                                            disc, mesh)
         n = fn3d.nmech
-        # inner_rtol=1e-5 measured equivalent to 1e-8 here (identical
-        # Newton counts/volume trace, p_err 4e-7) and 1.62x faster —
-        # see bench_configs.py config 5
+        # size policy mirrors configs 3-4: dense LU of the blocked
+        # tangent below the dense cutoff (one MXU factorization per
+        # chord linearization beats the latency-bound Schur-CG;
+        # verified identical Newton counts + PV trace), bj Schur-CG
+        # above. inner_rtol=1e-5 measured equivalent to 1e-8 at 1k/6.5k
+        # (--verify-inner records it per level).
+        inner = "schur_dense" if n <= 3000 else "schur_cg"
         solver = tb.Coupled3D0DSolver(
             newton=tb.BlockedNewtonSolver(tol=5e-4, rtol=1e-3, max_iter=25,
-                                          inner="schur_cg", inner_rtol=1e-5,
+                                          inner=inner, inner_rtol=1e-5,
                                           simplified_newton=True))
         w0, c0 = solver.init(fn3d, circ, jnp.float32)
         V0 = float(fn3d.volumes(w0[: fn3d.nmech])[0])
@@ -316,7 +320,8 @@ def run_config5(levels, dense_unused, repeats, platform, setup_dev,
             jax.block_until_ready(w)
             times.append(time.perf_counter() - t0)
         el = float(np.median(times))
-        rec = {"config": 5, "ndofs": n, "variant": "schur-cg-chord",
+        rec = {"config": 5, "ndofs": n,
+               "variant": f"{inner.replace('_', '-')}-chord",
                "platform": platform, "steps": nsteps,
                "march_s": round(el, 3),
                "ms_per_coupled_step": round(1e3 * el / nsteps, 2),

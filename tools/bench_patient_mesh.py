@@ -171,8 +171,61 @@ def run_config3_on(fn, label, platform, repeats, expect_format):
     return rec
 
 
+def run_config3_kernels(fn, label, platform, expect_format):
+    """Bounded-dispatch kernel measurement for the config-3 path:
+    chained-K one-dispatch timing of the material-AD assembly and one
+    preconditioned CG iteration on the tangent (roofline recipe). Used
+    at 46.8k where the full gather-ELL ladder is a single multi-minute
+    dispatch that trips the remote worker watchdog."""
+    import jax
+    import jax.numpy as jnp
+    from roofline_mech import timed_loop
+    from thunderbolt_tpu.solver.linear import jacobi_preconditioner
+
+    n = fn.dh.ndofs
+    t = jnp.asarray(1.0, jnp.float32)
+    u = jnp.zeros(fn.solution_size, jnp.float32)
+    kv, r = fn.assemble(u, t)
+    A = fn.constraints.apply_operator(fn.jacobian_matrix(kv))
+    fmt = type(A).__name__ if not hasattr(A, "A") else (
+        f"Masked[{type(A.A).__name__}]")
+    assert expect_format in fmt, (fmt, expect_format)
+    r = fn.constraints.apply_zero(r)
+
+    K_asm = max(4, min(64, int(8e5 / n)))
+
+    def asm_body(u_):
+        kv_, r_ = fn.assemble(u_, t)
+        return u_ + 1e-6 * r_ + 1e-12 * kv_.reshape(-1)[: r_.size]
+
+    t_asm = timed_loop(asm_body, u, K_asm)
+
+    Minv = (A.block_jacobi_inv() if hasattr(A, "block_jacobi_inv")
+            else jacobi_preconditioner(A.diagonal()))
+
+    def cg_body(s):
+        d, x, rr, z = s
+        Ad = A.mv(d)
+        alpha = jnp.vdot(rr, z) / jnp.vdot(d, Ad)
+        x2 = x + alpha * d
+        r2 = rr - alpha * Ad
+        z2 = Minv(r2)
+        beta = jnp.vdot(r2, z2) / jnp.vdot(rr, z)
+        return (d * beta + z2, x2, r2, z2)
+
+    z0 = Minv(r)
+    K_cg = max(32, min(4000, int(4e6 / n)))
+    t_cg = timed_loop(cg_body, (z0, u * 0, r, z0), K_cg)
+    rec = {"patient_bench": label, "config": 3, "mode": "kernels",
+           "ndofs": n, "format": fmt, "platform": platform,
+           "assemble_ms": round(1e3 * t_asm, 3),
+           "cg_iter_ms": round(1e3 * t_cg, 4)}
+    _emit(rec)
+    return rec
+
+
 def run_config5_on(mesh, platform, repeats, setup_dev, nsteps=50,
-                   scale=5.14):
+                   scale=5.14, chunk=0):
     import contextlib
     import jax
     import jax.numpy as jnp
@@ -207,8 +260,29 @@ def run_config5_on(mesh, platform, repeats, setup_dev, nsteps=50,
     V0 = float(fn3d.volumes(w0[: fn3d.nmech])[0])
     c0 = c0.at[circ.volume_index("lv")].set(V0)
     dt = 2.0
-    w, c, rep = solver.march(fn3d, circ, w0, c0, 0.0, dt, nsteps)
-    if not rep.all_converged():
+
+    def march_all(w, c):
+        """Bounded ``chunk``-step dispatches (the gather-ELL coupled
+        march is slow enough per step to trip the remote worker
+        watchdog on one long dispatch)."""
+        if not chunk or chunk >= nsteps:
+            return solver.march(fn3d, circ, w, c, 0.0, dt, nsteps)
+        convs, its = [], []
+        t = 0.0
+        for s in range(0, nsteps, chunk):
+            m = min(chunk, nsteps - s)
+            w, c, rp = solver.march(fn3d, circ, w, c, t, dt, m)
+            jax.block_until_ready(w)
+            convs.append(np.asarray(rp.converged))
+            its.append(np.asarray(rp.iterations))
+            t += m * dt
+        rp_all = type(rp)(ts=None, volumes=None, pressures=None,
+                          iterations=np.concatenate(its),
+                          converged=np.concatenate(convs))
+        return w, c, rp_all
+
+    w, c, rep = march_all(w0, c0)
+    if not bool(np.all(np.asarray(rep.converged))):
         bad = np.where(~np.asarray(rep.converged))[0]
         _emit({"patient_bench": "mfem-loaded", "config": 5, "ndofs": n,
                "platform": platform,
@@ -217,7 +291,7 @@ def run_config5_on(mesh, platform, repeats, setup_dev, nsteps=50,
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        w, c, rep = solver.march(fn3d, circ, w0, c0, 0.0, dt, nsteps)
+        w, c, rep = march_all(w0, c0)
         jax.block_until_ready(w)
         times.append(time.perf_counter() - t0)
     el = float(np.median(times))
@@ -239,6 +313,16 @@ def main():
     ap.add_argument("--skip-rcm", action="store_true")
     ap.add_argument("--skip-lattice", action="store_true",
                     help="skip the lattice-ordered BlockDIA reference run")
+    ap.add_argument("--c3-mode", choices=["auto", "ladder", "kernels"],
+                    default="auto",
+                    help="config 3: full homotopy ladder (one dispatch) "
+                    "or bounded chained-kernel timing; auto = ladder "
+                    "below level 2 (a gather-ELL ladder at 46.8k is a "
+                    "multi-minute dispatch that trips the worker "
+                    "watchdog), kernels at level >= 2")
+    ap.add_argument("--c5-chunk", type=int, default=0,
+                    help="config 5: split the march into chunk-step "
+                    "dispatches")
     args = ap.parse_args()
 
     import jax
@@ -261,32 +345,57 @@ def main():
 
     patient = load_patient_mesh(src)
 
+    kernels = (args.c3_mode == "kernels"
+               or (args.c3_mode == "auto" and args.level >= 2))
     if 3 in configs:
         fn_p = build_fn3(patient, jnp.float32, setup_dev)
-        rec_p = run_config3_on(fn_p, "mfem-loaded", platform,
-                               args.repeats, "ELL")
+        if kernels:
+            rec_p = run_config3_kernels(fn_p, "mfem-loaded", platform,
+                                        "ELL")
+        else:
+            rec_p = run_config3_on(fn_p, "mfem-loaded", platform,
+                                   args.repeats, "ELL")
         del fn_p
         if not args.skip_rcm:
             from thunderbolt_tpu.mesh.tools import reorder_mesh_rcm
             rcm = reorder_mesh_rcm(patient)
             fn_r = build_fn3(rcm, jnp.float32, setup_dev)
-            run_config3_on(fn_r, "mfem-loaded+rcm", platform,
-                           args.repeats, "ELL")
+            if kernels:
+                run_config3_kernels(fn_r, "mfem-loaded+rcm", platform,
+                                    "ELL")
+            else:
+                run_config3_on(fn_r, "mfem-loaded+rcm", platform,
+                               args.repeats, "ELL")
             del fn_r
         if not args.skip_lattice:
             fn_l = build_fn3(src, jnp.float32, setup_dev)
-            rec_l = run_config3_on(fn_l, "lattice", platform,
-                                   args.repeats, "BlockDIA")
-            if rec_p and rec_l:
-                _emit({"patient_bench": "penalty", "config": 3,
-                       "ndofs": rec_p["ndofs"],
-                       "ell_vs_blockdia_slowdown": round(
-                           rec_l["iters_per_s"] / rec_p["iters_per_s"],
-                           2)})
+            if kernels:
+                rec_l = run_config3_kernels(fn_l, "lattice", platform,
+                                            "BlockDIA")
+                if rec_p and rec_l:
+                    _emit({"patient_bench": "penalty", "config": 3,
+                           "mode": "kernels", "ndofs": rec_p["ndofs"],
+                           "ell_vs_blockdia_cg_iter_slowdown": round(
+                               rec_p["cg_iter_ms"] / rec_l["cg_iter_ms"],
+                               2),
+                           "assemble_slowdown": round(
+                               rec_p["assemble_ms"] / rec_l["assemble_ms"],
+                               2)})
+            else:
+                rec_l = run_config3_on(fn_l, "lattice", platform,
+                                       args.repeats, "BlockDIA")
+                if rec_p and rec_l:
+                    _emit({"patient_bench": "penalty", "config": 3,
+                           "ndofs": rec_p["ndofs"],
+                           "ell_vs_blockdia_slowdown": round(
+                               rec_l["iters_per_s"] / rec_p["iters_per_s"],
+                               2)})
             del fn_l
 
     if 5 in configs:
-        run_config5_on(patient, platform, args.repeats, setup_dev)
+        run_config5_on(patient, platform, args.repeats, setup_dev,
+                       nsteps=(10 if args.c5_chunk else 50),
+                       chunk=args.c5_chunk)
 
 
 if __name__ == "__main__":

@@ -48,6 +48,35 @@ def _cost(compiled):
     return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
 
 
+def timed_loop(body, state0, K, repeats=3):
+    """Seconds per application of ``body`` (state -> state), measured as
+    K CHAINED applications inside ONE dispatch: the ~35 ms tunnel
+    dispatch overhead otherwise dominates every sub-50-ms kernel and the
+    single-dispatch numbers report overhead, not compute (the round-5
+    fix — the first recorded roofline used single dispatches and its
+    level-0/1 rows were latency, not bandwidth). Each repeat perturbs
+    the first leaf (the tunnel memoizes identical (executable, buffers)
+    pairs)."""
+    import jax
+    import jax.numpy as jnp
+
+    loop = jax.jit(lambda s: jax.lax.fori_loop(
+        0, K, lambda i, s_: body(s_), s))
+    out = loop(state0)
+    jax.block_until_ready(out)
+    ts = []
+    leaves, treedef = jax.tree.flatten(state0)
+    for k in range(repeats):
+        bump = jnp.asarray(1e-7 * (k + 1), leaves[0].dtype)
+        s0 = jax.tree.unflatten(treedef,
+                                [leaves[0] + bump] + leaves[1:])
+        t0 = time.perf_counter()
+        out = loop(s0)
+        jax.block_until_ready(out)
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)) / K
+
+
 def timed(fn, *args, repeats=5):
     """Median wall-clock of a jitted call; each repeat perturbs the first
     array operand (the axon tunnel memoizes (executable, identical
@@ -122,10 +151,22 @@ def main():
         rng = np.random.default_rng(lv)
         u = jnp.asarray(0.01 * rng.standard_normal(n), jnp.float32)
 
-        # (a) material-AD assembly: values + residual
-        asm = jax.jit(lambda u: fn.assemble(u, t))
+        # iteration counts per ONE-dispatch chain: sized for ~2-3 s per
+        # measurement so the ~35 ms tunnel dispatch overhead stays ~1%
+        K_asm = max(8, min(256, int(1.5e6 / max(n, 1))))
+        K_cg = max(64, min(20000, int(2e7 / max(n, 1))))
+
+        # (a) material-AD assembly: values + residual. The chain feeds a
+        # hash of BOTH outputs back into u so XLA cannot dead-code the
+        # tangent-value computation inside the loop.
+        def asm_body(u_):
+            kv_, r_ = fn.assemble(u_, t)
+            return u_ + 1e-18 * r_ + 1e-30 * kv_.reshape(-1)[: r_.size]
+
+        asm = jax.jit(lambda u_: fn.assemble(u_, t))
         fl, by = _cost(asm.lower(u).compile())
-        emit(lv, n, "assemble", timed(asm, u), fl, by, peaks)
+        emit(lv, n, "assemble", timed_loop(asm_body, u, K_asm), fl, by,
+             peaks, {"chain_K": K_asm})
 
         kv, r = asm(u)
         A = fn.constraints.apply_operator(fn.jacobian_matrix(kv))
@@ -134,46 +175,54 @@ def main():
         # (b) dense LU stage solve (the sub-cutoff inner)
         if n <= args.dense_max:
             Ad = operator_to_dense(A)
+            K_lu = max(8, min(1024, int(1e12 / max(n, 1) ** 3)))
 
-            def dsolve(r, Ad=Ad):
-                return jnp.linalg.solve(Ad, r)
+            def lu_body(r_):
+                return r_ + 1e-12 * jnp.linalg.solve(Ad, r_)
 
-            ds = jax.jit(dsolve)
+            ds = jax.jit(lambda r_: jnp.linalg.solve(Ad, r_))
             fl, by = _cost(ds.lower(r).compile())
-            emit(lv, n, "dense_lu", timed(ds, r), fl, by, peaks,
-                 {"analytic_gflop": round((2 / 3) * n ** 3 / 1e9, 3)})
+            emit(lv, n, "dense_lu", timed_loop(lu_body, r, K_lu), fl, by,
+                 peaks,
+                 {"analytic_gflop": round((2 / 3) * n ** 3 / 1e9, 3),
+                  "chain_K": K_lu})
 
         # (c) one preconditioned CG iteration: SpMV + precon + 3 axpys
-        #     + 2 dots, as a standalone jitted body (cost_analysis of a
-        #     while_loop counts its body once regardless of trip count,
-        #     so the iteration is materialized explicitly instead)
+        #     + 2 dots. The CG recurrence IS the chain — K iterations in
+        #     one dispatch, exactly what the solver's while_loop runs
+        #     (cost_analysis counts a loop body once, so the single body
+        #     is lowered separately for the FLOP/byte numbers).
         def make_iter(Minv):
-            def body(d, x, rr, z):
+            def body(s):
+                d, x, rr, z = s
                 Ad = A.mv(d)
                 alpha = jnp.vdot(rr, z) / jnp.vdot(d, Ad)
                 x2 = x + alpha * d
                 r2 = rr - alpha * Ad
                 z2 = Minv(r2)
                 beta = jnp.vdot(r2, z2) / jnp.vdot(rr, z)
-                return d * beta + z2, x2, r2, z2
+                return (d * beta + z2, x2, r2, z2)
 
-            return jax.jit(body)
+            return body
 
         bj = jacobi_preconditioner(A.diagonal())
-        it_bj = make_iter(bj)
+        body_bj = make_iter(bj)
         z0 = bj(r)
-        fl, by = _cost(it_bj.lower(z0, u * 0, r, z0).compile())
-        emit(lv, n, "cg_iter_bj", timed(it_bj, z0, u * 0, r, z0), fl, by,
-             peaks)
+        s0 = (z0, u * 0, r, z0)
+        fl, by = _cost(jax.jit(body_bj).lower(s0).compile())
+        emit(lv, n, "cg_iter_bj", timed_loop(body_bj, s0, K_cg), fl, by,
+             peaks, {"chain_K": K_cg})
 
         if lv >= 1:
             mg = MechanicsGMGPreconditioner(sub_hierarchy(hier, lv))
             vc = mg(A, u, t, ())
-            it_mg = make_iter(vc)
+            body_mg = make_iter(vc)
             z0 = vc(r)
-            fl, by = _cost(it_mg.lower(z0, u * 0, r, z0).compile())
-            emit(lv, n, "cg_iter_mg", timed(it_mg, z0, u * 0, r, z0), fl,
-                 by, peaks)
+            s0 = (z0, u * 0, r, z0)
+            K_mg = max(8, K_cg // 8)
+            fl, by = _cost(jax.jit(body_mg).lower(s0).compile())
+            emit(lv, n, "cg_iter_mg", timed_loop(body_mg, s0, K_mg), fl,
+                 by, peaks, {"chain_K": K_mg})
 
 
 if __name__ == "__main__":
