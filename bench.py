@@ -195,5 +195,19 @@ if __name__ == "__main__":
     if (not os.environ.get("TB_BENCH_CPU")
             and os.environ.get("TB_BENCH_CONFIGS", "1") != "0"):
         _rc = _run_configs_3to5()
-    main()
+    try:
+        main()
+    except Exception as e:
+        # the remote compile helper can transiently 500 (observed once
+        # right after the config marches); the headline metric must not
+        # be lost to that — retry once in a fresh process, configs off
+        if os.environ.get("TB_BENCH_RETRY"):
+            raise
+        print(json.dumps({"note": f"monodomain bench crashed "
+                          f"({type(e).__name__}); retrying in a fresh "
+                          "process"}), flush=True)
+        import subprocess, sys
+        env = dict(os.environ, TB_BENCH_CONFIGS="0", TB_BENCH_RETRY="1")
+        rc2 = subprocess.call([sys.executable, __file__], env=env)
+        raise SystemExit(rc2 or _rc)
     raise SystemExit(_rc)

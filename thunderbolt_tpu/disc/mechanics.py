@@ -315,7 +315,7 @@ class QuasiStaticFunction:
         # without the barrier XLA duplicates the (expensive) AD-tangent
         # producer into each of the ~nbn^2 slice consumers
         Kes, res = jax.lax.optimization_barrier((Kes, res))
-        A = plan.assemble_matrix(Kes)
+        A = plan.assemble_matrix(Kes).with_soa()
         r = plan.assemble_vector(res)
         return A, r
 
@@ -329,7 +329,7 @@ class QuasiStaticFunction:
             b = block_dia_builder(self.pattern, ncomp)
             self.__dict__["_bdia_builder"] = b
         if b is not None:
-            return b(kvals)
+            return b(kvals).with_soa()
         return csr_to_ell(self.pattern, kvals)
 
 
@@ -389,7 +389,7 @@ def _wrap_elastodynamics(fn, rho, disc, ncomp):
         for (res_fn, tan_fn, dofs, em) in fn.wbc_kernels:
             nf, nd = dofs.shape
             Mes.append(jnp.zeros((nf, nd, nd), disc.dtype))
-        fne.M_bdia = plan.assemble_matrix(Mes)
+        fne.M_bdia = plan.assemble_matrix(Mes).with_soa()
     else:
         fne.M_bdia = None
     return fne

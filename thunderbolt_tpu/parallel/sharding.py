@@ -368,10 +368,11 @@ class ShardedMechanicsFunction:
                 (len(A.offsets), npe) + A.blocks.shape[2:], A.blocks.dtype)
             pad_blocks = pad_blocks.at[k0].set(
                 jnp.eye(A.ncomp, dtype=A.blocks.dtype))
-            return BlockDIAMatrix(
+            out = BlockDIAMatrix(
                 A.offsets, jnp.concatenate([A.blocks, pad_blocks], axis=1),
                 self.nent_pad, A.ncomp, spill_rows=A.spill_rows,
                 spill_cols=A.spill_cols, spill_vals=A.spill_vals)
+            return out.with_soa() if A.blocks_soa is not None else out
         if isinstance(A, ELLMatrix):
             k = A.cols.shape[1]
             extra = (self.n + jnp.arange(self.npad,
@@ -403,10 +404,13 @@ class ShardedMechanicsFunction:
             return MaskedOperator(self._op(A.A), pin(A.free_mask, P(axis)))
         if isinstance(A, BlockDIAMatrix):
             blocks = pin(A.blocks, P(None, axis, None, None))
+            soa = None if A.blocks_soa is None else pin(
+                A.blocks_soa, P(None, None, None, axis))
             return BlockDIAMatrix(A.offsets, blocks, A.nent, A.ncomp,
                                   spill_rows=A.spill_rows,
                                   spill_cols=A.spill_cols,
-                                  spill_vals=A.spill_vals)
+                                  spill_vals=A.spill_vals,
+                                  blocks_soa=soa)
         if isinstance(A, ELLMatrix):
             return ELLMatrix(pin(A.cols, P(axis, None)),
                              pin(A.vals, P(axis, None)),
