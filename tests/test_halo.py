@@ -189,3 +189,46 @@ def test_auto_falls_back_on_wide_band():
     nst = odeform.functions[1].ion.nstates
     n = u_ref.size // nst
     assert np.abs(U[:, :n] - u_ref.reshape(nst, n)).max() < 1e-12
+
+
+@needs8
+def test_halo_with_apex_spill_matches_gspmd():
+    """The LV generator's apex-plug rows couple the pole across the dof
+    numbering (bandwidth ~ n), which round-5 serves with an O(#rows)
+    spill psum instead of rejecting the whole operator. The spill-backed
+    halo step must match GSPMD exactly on an LV mesh (2,192 EP dofs:
+    band 215 <= block 274 with 0.55% of the nnz spilling)."""
+    from thunderbolt_tpu.parallel.sharding import (
+        pad_split_function, shard_split_function)
+    from thunderbolt_tpu.parallel.halo import halo_eligibility
+    mesh = tb.generate_ideal_lv_mesh(24, 6, 12)
+    kappa = 1e-3 * np.eye(3)
+    model = tb.MonodomainModel(chi=1.0, Cm=1.0, kappa=kappa,
+                               stim=tb.NoStimulationProtocol(),
+                               ion=tb.FHNModel())
+    odeform = tb.semidiscretize(
+        tb.ReactionDiffusionSplit(model),
+        tb.FiniteElementDiscretization({"phi_m": 1}, dtype=jnp.float64),
+        mesh)
+    u0 = tb.create_initial_condition(odeform, jnp.float64)
+    u0 = tb.setvariable(u0, odeform, "phi_m",
+                        lambda x: np.where(x[:, 2] < -0.5, 1.0, 0.0))
+    heat = tb.BackwardEulerSolver(rtol=1e-10, atol=1e-12)
+    alg = tb.LieTrotterGodunov((heat,
+                                tb.ForwardEulerCellSolver(substeps=2)))
+    dmesh = make_device_mesh(8)
+    fn_p, _, _ = pad_split_function(odeform, 8)
+    heat_s = shard_split_function(fn_p, dmesh, "shard").functions[0]
+    ok, why = halo_eligibility(heat_s, heat, 8)
+    assert ok and "spill" in why, why
+    step_g, place_g = make_sharded_step(odeform, alg, 1.0, dmesh,
+                                        spmv="gspmd")
+    step_h, place_h = make_sharded_step(odeform, alg, 1.0, dmesh,
+                                        spmv="halo")
+    Ug, Uh = place_g(u0), place_h(u0)
+    for i in range(3):
+        t = jnp.asarray(float(i), Ug.dtype)
+        Ug = step_g(Ug, t)
+        Uh = step_h(Uh, t)
+    err = np.abs(np.asarray(Ug) - np.asarray(Uh)).max()
+    assert err < 1e-11, err

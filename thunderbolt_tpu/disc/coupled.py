@@ -284,16 +284,25 @@ class BlockedNewtonSolver:
             inner = A.A if isinstance(A, MaskedOperator) else A
             if isinstance(inner, BlockDIAMatrix):
                 D = inner.blocks[inner.offsets.index(0)]
-                return inv_small(D, det_small(D))
+                # component-major [c, c, nent] — the [nent, c, c] einsum
+                # pays the same lane-padding tax as the AoS matvec
+                return jnp.transpose(inv_small(D, det_small(D)),
+                                     (1, 2, 0))
             return 1.0 / A.diagonal()
 
         def apply_minv(A, data, r):
             if cfg.precon is not None:
                 return cfg.precon_apply(data, r)
-            if data.ndim == 3:           # block-Jacobi [nent, c, c]
-                c_ = data.shape[-1]
-                y = jnp.einsum("nab,nb->na", data,
-                               r.reshape(-1, c_)).reshape(-1)
+            if data.ndim == 3:           # block-Jacobi [c, c, nent]
+                c_ = data.shape[0]
+                Rc = r.reshape(-1, c_).T             # [c, nent]
+                outs = []
+                for a in range(c_):
+                    acc = data[a, 0] * Rc[0]
+                    for b in range(1, c_):
+                        acc = acc + data[a, b] * Rc[b]
+                    outs.append(acc)
+                y = jnp.stack(outs, axis=1).reshape(-1)
             else:
                 y = data * r
             if isinstance(A, MaskedOperator):

@@ -476,15 +476,24 @@ class BlockDIAMatrix:
     def block_jacobi_inv(self):
         """r -> D_block^{-1} r with the [c,c] diagonal blocks inverted in
         closed form — a materially stronger preconditioner than scalar
-        Jacobi for elasticity (couples the components of each node)."""
+        Jacobi for elasticity (couples the components of each node).
+        Applied component-major ([c, c, nent], entity minor) for the same
+        lane-padding reason as the SoA matvec."""
         from thunderbolt_tpu.utils.smallmat import det_small, inv_small
         k = self.offsets.index(0)
         D = self.blocks[k]                        # [nent, c, c]
-        Dinv = inv_small(D, det_small(D))
+        Dinv = jnp.transpose(inv_small(D, det_small(D)), (1, 2, 0))
+        c = self.ncomp
 
         def apply(r):
-            R = r.reshape(self.nent, self.ncomp)
-            return jnp.einsum("nab,nb->na", Dinv, R).reshape(-1)
+            Rc = r.reshape(self.nent, c).T        # [c, nent]
+            outs = []
+            for a in range(c):
+                acc = Dinv[a, 0] * Rc[0]
+                for b in range(1, c):
+                    acc = acc + Dinv[a, b] * Rc[b]
+                outs.append(acc)
+            return jnp.stack(outs, axis=1).reshape(-1)
 
         return apply
 

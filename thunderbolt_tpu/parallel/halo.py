@@ -41,6 +41,51 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def ell_halo_partition(cols: np.ndarray, ndev: int,
+                       max_spill_frac: float = 0.01):
+    """Banded+spill partition of a row-partitioned ELL matrix.
+
+    Returns ``(B, lc, spill_mask)``: ``B`` is the bandwidth of the BANDED
+    part, ``lc`` the device-local extended-vector column table, and
+    ``spill_mask [n, k]`` flags the entries whose column distance exceeds
+    the per-device block — on LV meshes the apex-plug rows couple the
+    pole to rings on the numbering's far side, which would otherwise
+    reject the whole operator (measured: bandwidth 3841 vs block 481 at
+    the 3.8k-dof EM-beat LV). Those few entries are served by an
+    O(#unique rows) ``psum`` (the ``halo_mech._SpillPlan`` mechanism)
+    while everything else rides the two neighbour permutes. Raises
+    ValueError when even the spill split cannot make the band fit or the
+    spill fraction exceeds ``max_spill_frac``.
+    """
+    n = cols.shape[0]
+    if n % ndev:
+        raise ValueError(f"rows ({n}) not divisible by mesh size {ndev}")
+    L = n // ndev
+    rows = np.arange(n, dtype=np.int64)[:, None]
+    dist = np.abs(cols.astype(np.int64) - rows)
+    B0 = int(dist.max())
+    if B0 <= L:
+        spill_mask = np.zeros(cols.shape, bool)
+        B = B0
+    else:
+        in_band = dist <= L
+        if not in_band.any():
+            raise ValueError("no banded entries at all")
+        B = int(dist[in_band].max())
+        spill_mask = ~in_band
+        nspill = int(spill_mask.sum())
+        if nspill > max_spill_frac * cols.size:
+            raise ValueError(
+                f"matrix bandwidth {B0} exceeds the local block size {L} "
+                f"and {nspill}/{cols.size} entries "
+                f"({nspill / cols.size:.1%}) fall outside the band — too "
+                "many for the spill psum (use spmv='gspmd')")
+    owner = (rows // L) * L
+    lc = np.clip(cols.astype(np.int64) - owner + B, 0,
+                 L + 2 * B - 1).astype(np.int32)
+    return B, lc, spill_mask
+
+
 def ell_halo_tables(cols: np.ndarray, ndev: int):
     """(bandwidth B, local column table) for a row-partitioned ELL matrix.
 
@@ -140,17 +185,14 @@ def halo_eligibility(fn, solver, ndev: int):
     cols = np.asarray(jax.device_get(cols_k))
     if not np.array_equal(cols, np.asarray(jax.device_get(cols_m))):
         return False, "M and K sparsity patterns differ"
-    n = cols.shape[0]
-    if n % ndev:
-        return False, f"rows ({n}) not divisible by mesh size {ndev}"
-    L = n // ndev
-    rows = np.arange(n, dtype=np.int64)[:, None]
-    B = int(np.max(np.abs(cols.astype(np.int64) - rows)))
-    if B > L:
-        return False, (f"matrix bandwidth {B} exceeds the local block "
-                       f"size {L} (dofs not band-ordered; renumber or "
-                       "use fewer devices)")
-    return True, f"bandwidth {B} <= block {L}"
+    try:
+        B, lc, spill = ell_halo_partition(cols, ndev)
+    except ValueError as e:
+        return False, str(e)
+    ns = int(spill.sum())
+    L = cols.shape[0] // ndev
+    return True, (f"bandwidth {B} <= block {L}"
+                  + (f" + {ns} spill entries via psum" if ns else ""))
 
 
 def resolve_spmv(spmv: str, fn, solver, ndev: int, *, logger=None):
@@ -202,8 +244,29 @@ def make_halo_heat_step(fn, solver, dt, mesh: Mesh, axis: str = "shard"):
     M, K = fn.M, fn.K
     A = M.axpby(1.0, K, -dt)
     cols_np = np.asarray(jax.device_get(A.cols))
-    B, lc_np = ell_halo_tables(cols_np, ndev)
+    B, lc_np, spill_mask = ell_halo_partition(cols_np, ndev)
     lc = jnp.asarray(lc_np)
+    n = cols_np.shape[0]
+    L = n // ndev
+
+    # non-banded entries (LV apex plugs) ride an O(#unique rows) psum;
+    # their banded-table values are zeroed and their (row, col, val)
+    # triples partitioned by COLUMN owner (halo_mech._SpillPlan, c=1)
+    has_spill = bool(spill_mask.any())
+    band = jnp.asarray(~spill_mask, A.vals.dtype)
+    Avals_b = A.vals * band
+    Mvals_b = M.vals * band
+    if has_spill:
+        from thunderbolt_tpu.parallel.halo_mech import _SpillPlan
+        sr_, sk_ = np.nonzero(spill_mask)
+        sc_ = cols_np[sr_, sk_].astype(np.int64)
+        Av_np = np.asarray(jax.device_get(A.vals))[sr_, sk_]
+        Mv_np = np.asarray(jax.device_get(M.vals))[sr_, sk_]
+        planA = _SpillPlan(sr_.astype(np.int64), sc_, Av_np, ndev, L, 1, n)
+        planM = _SpillPlan(sr_.astype(np.int64), sc_, Mv_np, ndev, L, 1, n)
+        nu = planA.nu
+    else:
+        planA = planM = None
 
     diag = A.diagonal()
     dinv = 1.0 / diag
@@ -219,13 +282,36 @@ def make_halo_heat_step(fn, solver, dt, mesh: Mesh, axis: str = "shard"):
 
     row = P(axis, None)
     vec = P(axis)
+    tab = P(axis, None)
+
+    if has_spill:
+        from thunderbolt_tpu.parallel.halo_mech import _spill_add
+        spill_specs = (tab,) * 10
+        spill_ops = planA.tables() + planM.tables()
+    else:
+        spill_specs = ()
+        spill_ops = ()
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(row, row, row, vec, vec, vec),
+             in_specs=(row, row, row, vec, vec, vec) + spill_specs,
              out_specs=vec)
-    def local_solve(Avals, Mvals, lcs, dinv_l, u, src):
-        mvA = lambda x: _halo_mv(Avals, lcs, x, B=B, axis=axis, ndev=ndev)
-        b = _halo_mv(Mvals, lcs, u, B=B, axis=axis, ndev=ndev) + src
+    def local_solve(Avals, Mvals, lcs, dinv_l, u, src, *spill_tabs):
+        if has_spill:
+            tabsA, tabsM = spill_tabs[:5], spill_tabs[5:]
+
+            def mvA(x):
+                y = _halo_mv(Avals, lcs, x, B=B, axis=axis, ndev=ndev)
+                return _spill_add(y, x, tabsA, nu=nu, axis=axis)
+
+            def mvM(x):
+                y = _halo_mv(Mvals, lcs, x, B=B, axis=axis, ndev=ndev)
+                return _spill_add(y, x, tabsM, nu=nu, axis=axis)
+        else:
+            mvA = lambda x: _halo_mv(Avals, lcs, x, B=B, axis=axis,
+                                     ndev=ndev)
+            mvM = lambda x: _halo_mv(Mvals, lcs, x, B=B, axis=axis,
+                                     ndev=ndev)
+        b = mvM(u) + src
         if use_cheb:
             return chebyshev(mvA, b, x0=u, lam_min=lmin, lam_max=lmax,
                              iters=iters, Minv=lambda r: dinv_l * r)
@@ -237,8 +323,8 @@ def make_halo_heat_step(fn, solver, dt, mesh: Mesh, axis: str = "shard"):
 
     def step(u, t):
         src = dt * source(t + dt) if source is not None else zeros
-        return local_solve(A.vals, M.vals, lc, dinv, u,
-                           src.astype(u.dtype))
+        return local_solve(Avals_b, Mvals_b, lc, dinv, u,
+                           src.astype(u.dtype), *spill_ops)
 
     return step
 
