@@ -1,0 +1,69 @@
+"""Constant-hoisting jit (``utils/hoist.py``): the hoisted march must be
+numerically identical to the embedded-constant march (same jaxpr replayed),
+with the FEM tables moved from HLO constants to parameters — the axon
+tunnel's remote-compile body limit is a deployment constraint, never a
+semantics change (BASELINE.md 353k-dof note)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import thunderbolt_tpu as tb
+from thunderbolt_tpu.solver.time.homotopy import march_fixed_ladder
+from thunderbolt_tpu.utils.hoist import hoisted_jit
+
+DT = jnp.float64
+
+
+def _ramp_fn():
+    mesh = tb.generate_mesh("hex8", (4, 2, 2), (0, 0, 0), (3.0, 1.0, 1.0))
+    material = tb.PK1Model(tb.NeoHookeanModel(mu=1.0, lam=5.0))
+    press = tb.PressureFieldBC(
+        tb.AnalyticalCoefficient(lambda x, t: jnp.minimum(t, 1.0) * 0.06),
+        "bottom")
+    model = tb.QuasiStaticModel("d", material, (press,))
+    disc = tb.FiniteElementDiscretization(
+        {"d": tb.FieldSpec(order=1, ncomponents=3)},
+        dbcs=[tb.Dirichlet("d", "left", 0.0)], dtype=DT)
+    return tb.semidiscretize(model, disc, mesh)
+
+
+def test_hoisted_jit_bitwise_and_hoists():
+    big = np.arange(4096, dtype=np.float32)  # 16 KiB -> at threshold
+
+    def f(x):
+        return {"y": (big * x).sum(), "z": x * 2.0}
+
+    x = jnp.linspace(0.0, 1.0, 4096, dtype=jnp.float32)
+    hf = hoisted_jit(f, x, threshold_bytes=1 << 14)
+    ref = jax.jit(f)(x)
+    got = hf(x)
+    assert hf.n_hoisted >= 1 and hf.hoisted_bytes >= big.nbytes
+    assert np.array_equal(np.asarray(got["y"]), np.asarray(ref["y"]))
+    assert np.array_equal(np.asarray(got["z"]), np.asarray(ref["z"]))
+
+
+def test_hoisted_ladder_bitwise(monkeypatch):
+    """march_fixed_ladder under THUNDERBOLT_HOIST_CONSTS=1 reproduces the
+    embedded-constant march bitwise (same jaxpr, different byte placement)."""
+    newton = tb.NewtonRaphsonSolver(tol=1e-9, max_iter=25, inner="dense")
+
+    fn_a = _ramp_fn()
+    u0 = jnp.zeros(fn_a.solution_size, DT)
+    u_ref, its_ref, convs_ref = march_fixed_ladder(
+        newton, fn_a, u0, (0.0, 1.0), 3)
+    assert bool(jnp.all(convs_ref))
+
+    monkeypatch.setenv("THUNDERBOLT_HOIST_CONSTS", "1")
+    # the test mesh's tables are tiny; lower the threshold so they hoist
+    monkeypatch.setenv("THUNDERBOLT_HOIST_THRESHOLD", "4096")
+    fn_b = _ramp_fn()  # fresh fn: the jit cache is keyed on the instance
+    u_h, its_h, convs_h = march_fixed_ladder(
+        newton, fn_b, u0, (0.0, 1.0), 3)
+    assert bool(jnp.all(convs_h))
+    assert np.array_equal(np.asarray(u_ref), np.asarray(u_h))
+    assert np.array_equal(np.asarray(its_ref), np.asarray(its_h))
+    run = next(v for k, v in fn_b.__dict__.items()
+               if isinstance(k, tuple) and k[0] == "_homotopy_ladder_jit")
+    assert run.n_hoisted >= 1, "no tables were hoisted"

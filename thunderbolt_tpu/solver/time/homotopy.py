@@ -310,10 +310,11 @@ def march_fixed_ladder(newton, fn, u0, tspan, nsteps):
     stateful = internal0 is not None
     dtype = u0.dtype
 
-    cache_key = ("_homotopy_ladder_jit", newton, int(nsteps), t0, t1)
+    from thunderbolt_tpu.utils.hoist import hoist_enabled, hoisted_jit
+    hoist = hoist_enabled()
+    cache_key = ("_homotopy_ladder_jit", newton, int(nsteps), t0, t1, hoist)
     run = fn.__dict__.get(cache_key)
     if run is None:
-        @jax.jit
         def run(u0, internal):
             def body(carry, k):
                 u, internal = carry
@@ -330,6 +331,15 @@ def march_fixed_ladder(newton, fn, u0, tspan, nsteps):
                 jnp.arange(int(nsteps), dtype=jnp.int32))
             return u, internal, its, convs
 
+        if hoist:
+            # tunnel deployments: lift the FEM tables out of the HLO
+            # constants so the remote compile request stays small
+            # (utils/hoist.py; BASELINE.md 353k-dof note)
+            example_internal = [None if st is None else dict(st)
+                                for st in internal0] if stateful else None
+            run = hoisted_jit(run, u0, example_internal)
+        else:
+            run = jax.jit(run)
         fn.__dict__[cache_key] = run
 
     internal_in = [None if st is None else dict(st)

@@ -125,7 +125,8 @@ def _emit(rec):
     print(json.dumps(rec), flush=True)
 
 
-def run_config3(hier, levels, dense_max, repeats, platform):
+def run_config3(hier, levels, dense_max, repeats, platform,
+                only_variants=None):
     import jax
     import jax.numpy as jnp
     import thunderbolt_tpu as tb
@@ -151,6 +152,9 @@ def run_config3(hier, levels, dense_max, repeats, platform):
                 variants["mg-cg"] = tb.NewtonRaphsonSolver(
                     tol=5e-4, inner="cg", inner_rtol=1e-5,
                     inner_maxiter=400, max_iter=30, precon=mg)
+        if only_variants:
+            variants = {k: v for k, v in variants.items()
+                        if k in only_variants}
         u0 = jnp.zeros(fn.solution_size, jnp.float32)
         for variant, newton in variants.items():
             u, its, convs = march_fixed_ladder(newton, fn, u0,
@@ -371,10 +375,25 @@ def main():
                     "dispatches (long single dispatches trip the remote "
                     "worker watchdog at 46.8k dofs); timing includes the "
                     "per-chunk dispatch overhead")
+    ap.add_argument("--hoist", action="store_true",
+                    help="lift large FEM tables from HLO constants to jit "
+                    "parameters (utils/hoist.py) — required through the "
+                    "axon compile tunnel at the 353k-dof level, where the "
+                    "embedded tables exceed the HTTP body limit (413); "
+                    "auto-enabled when levels include 3")
+    ap.add_argument("--c3-variants", type=str, default="",
+                    help="comma list limiting config-3 inner variants "
+                    "(e.g. 'bj-cg'); default measures all applicable")
     ap.add_argument("--verify-inner", action="store_true",
                     help="config 5: one-off inner_rtol=1e-8 march per "
                     "level, compare Newton counts + PV trace (ADVICE r4)")
     args = ap.parse_args()
+
+    levels_pre = sorted(int(s) for s in args.levels.split(","))
+    if args.hoist or max(levels_pre) >= 3:
+        os.environ.setdefault("THUNDERBOLT_HOIST_CONSTS", "1")
+        _emit({"note": "const hoisting ON (utils/hoist.py): FEM tables "
+               "ship as jit parameters, not HLO constants"})
 
     import jax
     if args.cpu:
@@ -397,7 +416,10 @@ def main():
         hier, disc, make_material = build_hierarchy(
             nlev, setup_dev, None)
     if 3 in configs:
-        run_config3(hier, levels, args.dense_max, args.repeats, platform)
+        only = ({s.strip() for s in args.c3_variants.split(",") if s.strip()}
+                or None)
+        run_config3(hier, levels, args.dense_max, args.repeats, platform,
+                    only_variants=only)
     if 4 in configs:
         run_config4(hier, disc, make_material, levels, args.dense_max,
                     args.repeats, platform, setup_dev)
