@@ -67,3 +67,37 @@ def test_hoisted_ladder_bitwise(monkeypatch):
     run = next(v for k, v in fn_b.__dict__.items()
                if isinstance(k, tuple) and k[0] == "_homotopy_ladder_jit")
     assert run.n_hoisted >= 1, "no tables were hoisted"
+
+
+def test_hoisted_newmark_march_bitwise(monkeypatch):
+    """NewmarkSolver.march under hoisting == the embedded-constant march."""
+    def _block():
+        mesh = tb.generate_mesh("hex8", (2, 2, 2))
+        material = tb.PK1Model(tb.NeoHookeanModel(mu=5.0, lam=5.0))
+        model = tb.ElastodynamicsModel("d", "v", material, rho=1.0)
+        disc = tb.FiniteElementDiscretization(
+            {"d": tb.FieldSpec(order=1, ncomponents=3)},
+            dbcs=[tb.Dirichlet("d", "left", 0.0)], dtype=DT)
+        return tb.semidiscretize(model, disc, mesh)
+
+    solver = tb.NewmarkSolver(newton=tb.NewtonRaphsonSolver(
+        tol=1e-10, max_iter=25, inner="dense"))
+
+    fn_a = _block()
+    st0 = solver.init(fn_a)
+    v0 = fn_a.constraints.apply_zero(jnp.full(fn_a.solution_size, 0.05, DT))
+    st0 = type(st0)(st0.u, v0, st0.a, st0.t)
+    st_ref, its_ref, convs_ref = solver.march(fn_a, st0, 0.1, 5)
+    assert bool(jnp.all(convs_ref))
+
+    monkeypatch.setenv("THUNDERBOLT_HOIST_CONSTS", "1")
+    monkeypatch.setenv("THUNDERBOLT_HOIST_THRESHOLD", "4096")
+    fn_b = _block()
+    st_h, its_h, convs_h = solver.march(fn_b, st0, 0.1, 5)
+    assert bool(jnp.all(convs_h))
+    for a, b in ((st_ref.u, st_h.u), (st_ref.v, st_h.v),
+                 (st_ref.a, st_h.a)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    run = next(v for k, v in fn_b.__dict__.items()
+               if isinstance(k, tuple) and k[0] == "_newmark_march_jit")
+    assert run.n_hoisted >= 1, "no tables were hoisted"

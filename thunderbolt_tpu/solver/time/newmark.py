@@ -174,11 +174,12 @@ class NewmarkSolver:
         dt = float(dt)
         c = jnp.asarray(1.0 / (b * dt * dt), dtype)
 
+        from thunderbolt_tpu.utils.hoist import hoist_enabled, hoisted_jit
+        hoist = hoist_enabled()
         cache_key = ("_newmark_march_jit", self.newton, b, g, dt,
-                     int(nsteps))
+                     int(nsteps), hoist)
         run = fn.__dict__.get(cache_key)
         if run is None:
-            @jax.jit
             def run(u, v, a, t0, internal):
                 def body(carry, k):
                     u, v, a, t, internal = carry
@@ -202,6 +203,16 @@ class NewmarkSolver:
                     jnp.arange(int(nsteps), dtype=jnp.int32))
                 return u, v, a, t, internal, its, convs
 
+            if hoist:
+                # tunnel deployments: FEM tables as jit parameters, not
+                # HLO constants (utils/hoist.py; BASELINE.md 353k note)
+                ex_internal = [None if st is None else dict(st)
+                               for st in internal0] if stateful else None
+                run = hoisted_jit(
+                    run, state.u, state.v, state.a,
+                    jnp.asarray(state.t, dtype), ex_internal)
+            else:
+                run = jax.jit(run)
             fn.__dict__[cache_key] = run
 
         internal_in = [None if st is None else dict(st)
