@@ -101,3 +101,37 @@ def test_hoisted_newmark_march_bitwise(monkeypatch):
     run = next(v for k, v in fn_b.__dict__.items()
                if isinstance(k, tuple) and k[0] == "_newmark_march_jit")
     assert run.n_hoisted >= 1, "no tables were hoisted"
+
+
+def test_hoisted_coupled_march_bitwise(monkeypatch):
+    """Coupled3D0DSolver.march under hoisting == the embedded-constant
+    march (the config-5 path at the 353k tunnel level)."""
+    from thunderbolt_tpu.models.fluid.lumped import (
+        RSAFDQ2022LumpedCircuitModel)
+    from thunderbolt_tpu.disc.coupled import (
+        BlockedNewtonSolver, Coupled3D0DSolver)
+    from tests.test_fsi import _lv_setup
+
+    circuit = RSAFDQ2022LumpedCircuitModel(lv_pressure_given=False)
+    sol = Coupled3D0DSolver(newton=BlockedNewtonSolver(tol=1e-8,
+                                                       max_iter=25))
+
+    _, fn_a, circ_a = _lv_setup(circuit, scale=5.14)
+    w0, c0 = sol.init(fn_a, circ_a, DT)
+    V0 = float(fn_a.volumes(w0[: fn_a.nmech])[0])
+    c0 = c0.at[circ_a.volume_index("lv")].set(V0)
+    w_ref, c_ref, rep_ref = sol.march(fn_a, circ_a, w0, c0, 0.0, 2.0, 3)
+    assert rep_ref.all_converged()
+
+    monkeypatch.setenv("THUNDERBOLT_HOIST_CONSTS", "1")
+    monkeypatch.setenv("THUNDERBOLT_HOIST_THRESHOLD", "4096")
+    _, fn_b, circ_b = _lv_setup(circuit, scale=5.14)
+    w_h, c_h, rep_h = sol.march(fn_b, circ_b, w0, c0, 0.0, 2.0, 3)
+    assert rep_h.all_converged()
+    assert np.array_equal(np.asarray(w_ref), np.asarray(w_h))
+    assert np.array_equal(np.asarray(c_ref), np.asarray(c_h))
+    assert np.array_equal(np.asarray(rep_ref.volumes),
+                          np.asarray(rep_h.volumes))
+    run = next(v for k, v in fn_b.__dict__.items()
+               if isinstance(k, tuple) and k[0] == "_coupled_march_jit")
+    assert run.n_hoisted >= 1, "no tables were hoisted"

@@ -634,16 +634,17 @@ class Coupled3D0DSolver:
         # compiled closure bakes in its rhs/indices, so a different
         # circuit sharing this fn3d must not reuse the entry. dt is baked
         # into the shared step body, so it is in the key too.
+        from thunderbolt_tpu.utils.hoist import hoist_enabled, hoisted_jit
+        hoist = hoist_enabled()
         cache_key = ("_coupled_march_jit", self.newton,
                      self.circuit_substeps, int(nsteps), circuit, dt,
-                     stateful)
+                     stateful, hoist)
         run = fn3d.__dict__.get(cache_key)
         if run is None:
             step1 = make_coupled_step(self.newton, fn3d, circuit, dt,
                                       self.circuit_substeps, stateful,
                                       w.dtype)
 
-            @jax.jit
             def run(w, c, t0, internal, extra):
                 def body(carry, k):
                     w, c, internal, t = carry
@@ -655,6 +656,23 @@ class Coupled3D0DSolver:
                     jnp.arange(nsteps))
                 return w, c, internal, recs
 
+            if hoist:
+                # tunnel deployments: FEM tables as jit parameters, not
+                # HLO constants (utils/hoist.py; BASELINE.md 353k note).
+                # t0 is coerced at the boundary — the hoisted replay is
+                # specialized to concrete avals, unlike jax.jit's cache.
+                ex_internal = [None if st is None else dict(st)
+                               for st in internal0] if stateful else None
+                run_h = hoisted_jit(run, w, c, jnp.asarray(t0, c.dtype),
+                                    ex_internal, static_extra)
+
+                def run(w, c, t0, internal, extra, _h=run_h):
+                    return _h(w, c, jnp.asarray(t0, c.dtype), internal,
+                              extra)
+                run.n_hoisted = run_h.n_hoisted
+                run.hoisted_bytes = run_h.hoisted_bytes
+            else:
+                run = jax.jit(run)
             fn3d.__dict__[cache_key] = run
 
         internal_in = [None if st is None else dict(st)
